@@ -1,0 +1,170 @@
+"""Distance metrics as Catalyst Column builders.
+
+Mirrors the reference's pluggable-metric surface
+(``/root/reference/vectordb/distance_metric.py``) but each metric is a
+*SQL expression builder* over ``array<float>`` columns, not a Python
+callable: the whole distance computation stays inside whole-stage
+codegen on the JVM — no per-row Python, no Arrow boundary. This is the
+Spark analogue of the reference preferring closed-form ``point2plane``
+over its scipy blackbox (distance_metric.py:39-45): expression first,
+pandas_udf only as the escape hatch for metrics Catalyst can't express
+(e.g. full-matrix Mahalanobis — see ``mahalanobis_full_udf``).
+
+Semantics pinned to the reference (verified in SURVEY.md §2A.3):
+
+- ``euclidean_sq``: **squared** Euclidean, no sqrt
+  (distance_metric.py:57-60) — the default metric.
+- ``manhattan``: one-norm (distance_metric.py:107-109).
+- ``chebyshev``: infinity-norm / max-abs (distance_metric.py:95-104).
+- ``mahalanobis_diag``: diagonal-covariance Mahalanobis — elementwise
+  reciprocal weights (distance_metric.py:66-82).
+- ``cosine_distance``: engine extra (not in the reference) needed by
+  the similarity-search / dedup north-star ops.
+
+All arithmetic is done in double (cast from the stored float32), left
+fold with 0.0 seed, so results are bit-reproducible against the DuckDB
+oracle computing the same fold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def vec_lit(values: Sequence[float]) -> Column:
+    """A literal array<double> column from a Python float sequence."""
+    return F.array(*[F.lit(float(v)).cast("double") for v in values])
+
+
+def _as_double(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("array<double>")
+
+
+def _coerce(b: Column | str | Sequence[float]) -> Column:
+    if isinstance(b, (list, tuple)):
+        return vec_lit(b)
+    return _as_double(b)
+
+
+def _fold_sum(arr: Column) -> Column:
+    # Left fold with 0.0 seed == sequential sum; matches DuckDB list_sum
+    # accumulation order so oracle hashes agree bit-for-bit.
+    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def euclidean_sq(a: Column | str, b: Column | str | Sequence[float]) -> Column:
+    """Squared Euclidean distance (reference default; NO sqrt)."""
+    a, b = _as_double(a), _coerce(b)
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def manhattan(a: Column | str, b: Column | str | Sequence[float]) -> Column:
+    """One-norm (Manhattan) distance."""
+    a, b = _as_double(a), _coerce(b)
+    return _fold_sum(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+
+
+def chebyshev(a: Column | str, b: Column | str | Sequence[float]) -> Column:
+    """Infinity-norm (Chebyshev) distance: max_i |a_i - b_i|."""
+    a, b = _as_double(a), _coerce(b)
+    return F.array_max(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+
+
+def mahalanobis_diag(
+    a: Column | str,
+    b: Column | str | Sequence[float],
+    inv_diag: Sequence[float] | Column,
+) -> Column:
+    """Diagonal-covariance Mahalanobis: sum_i (a_i-b_i)^2 * inv_diag_i.
+
+    ``inv_diag`` is the elementwise reciprocal of the covariance
+    diagonal (the reference precomputes ``1/cov`` at metric-construction
+    time, distance_metric.py:71-72).
+    """
+    a, b = _as_double(a), _coerce(b)
+    w = _coerce(inv_diag)
+    diff_sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return _fold_sum(F.zip_with(diff_sq, w, lambda d, wi: d * wi))
+
+
+def dot(a: Column | str, b: Column | str | Sequence[float]) -> Column:
+    a, b = _as_double(a), _coerce(b)
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = _as_double(a)
+    return F.sqrt(_fold_sum(F.zip_with(a, a, lambda x, y: x * y)))
+
+
+def cosine_distance(a: Column | str, b: Column | str | Sequence[float]) -> Column:
+    """1 - cos(a, b). Engine extra for similarity search / near-dup."""
+    a, b = _as_double(a), _coerce(b)
+    num = _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+    na = F.sqrt(_fold_sum(F.zip_with(a, a, lambda x, y: x * y)))
+    nb = F.sqrt(_fold_sum(F.zip_with(b, b, lambda x, y: x * y)))
+    return F.lit(1.0) - num / (na * nb)
+
+
+# --- metric registry -------------------------------------------------
+# The reference's custom-metric extension point (README.md:4, abstract
+# DistanceMetric) becomes a name -> Column-builder registry. Builders
+# take (vector_column, other) and return a distance Column.
+
+MetricBuilder = Callable[..., Column]
+
+METRICS: dict[str, MetricBuilder] = {
+    "euclidean_sq": euclidean_sq,
+    "manhattan": manhattan,
+    "chebyshev": chebyshev,
+    "cosine": cosine_distance,
+    "mahalanobis_diag": mahalanobis_diag,
+    "dot": dot,
+}
+
+
+def register_metric(name: str, builder: MetricBuilder) -> None:
+    """Register a custom metric (the reference's DistanceMetric plug
+    point). Builders returning Catalyst expressions stay on the fast
+    path; a pandas_udf-based builder is the escape hatch."""
+    METRICS[name] = builder
+
+
+def metric_expr(
+    name: str, a: Column | str, b: Column | str | Sequence[float], **kwargs
+) -> Column:
+    if name not in METRICS:
+        raise KeyError(f"unknown metric {name!r}; registered: {sorted(METRICS)}")
+    return METRICS[name](a, b, **kwargs)
+
+
+def mahalanobis_full_udf(inv_cov) -> Callable[[Column, Sequence[float]], Column]:
+    """Full-matrix Mahalanobis via an Arrow-batched pandas UDF — the
+    slow-path escape hatch for metrics with no Catalyst closed form
+    (reference: np.linalg.solve per call, distance_metric.py:78-80; we
+    precompute the inverse once and broadcast it in the closure).
+
+    Returns a builder(vec_col, probe_list) -> Column.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    inv = np.asarray(inv_cov, dtype=np.float64)
+
+    def builder(a: Column | str, probe: Sequence[float]) -> Column:
+        p = np.asarray(list(probe), dtype=np.float64)
+
+        @pandas_udf("double")
+        def _dist(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            d = m - p
+            return pd.Series(np.einsum("ij,jk,ik->i", d, inv, d))
+
+        return _dist(F.col(a) if isinstance(a, str) else a)
+
+    return builder

@@ -1,0 +1,3 @@
+from .knn import knn, knn_join
+
+__all__ = ["knn", "knn_join"]

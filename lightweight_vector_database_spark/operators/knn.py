@@ -1,0 +1,125 @@
+"""k-nearest-neighbor operators, Spark-first.
+
+Reference semantics (kd_tree_database.py:285-304, SURVEY.md §2A.5),
+all preserved here:
+
+- metadata filter applies BEFORE top-k ("k nearest matching", not
+  "matching among k nearest") — kd_tree_database.py:186-190;
+- returns min(k, matching rows), sorted ascending by distance;
+- distances in the metric's native units (squared for the default
+  Euclidean metric);
+- ties broken by id (the reference leaves tie order unspecified; we
+  make it total so results are deterministic and oracle-comparable).
+
+Physical plan notes:
+- ``knn`` compiles to filter → codegen'd distance expression →
+  ``TakeOrderedAndProject`` (ORDER BY dist LIMIT k): no full sort, no
+  wide shuffle — each task keeps a k-heap, driver merges. This scales
+  to any base-table size.
+- ``knn_join`` broadcasts the (small) probe set against the base table
+  so the base is never shuffled for the join itself. Two top-k
+  strategies:
+  * ``window``  — global Window.partitionBy(probe).orderBy(dist):
+    simple, but shuffles |base| x |probes| rows. Fine for small data.
+  * ``partial`` — per-input-partition top-k (Arrow-batched
+    mapInPandas, a pure reduction: each partition emits at most
+    k x |probes| rows) followed by the window on the reduced set.
+    At 100 TB this is the only viable plan: shuffle volume drops from
+    |base| x |probes| to (#partitions x k x |probes|).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import metric_expr
+
+
+def knn(
+    df: DataFrame,
+    probe: Sequence[float],
+    k: int,
+    metric: str = "euclidean_sq",
+    pred: Column | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    **metric_kwargs,
+) -> DataFrame:
+    """k nearest rows to ``probe``; reference find_k_nearest_neighbors
+    (database.py:31-48) as a declarative plan."""
+    if pred is not None:
+        df = df.filter(pred)  # filter-before-topk, kd_tree_database.py:186-190
+    scored = df.withColumn(
+        dist_col, metric_expr(metric, vec_col, list(probe), **metric_kwargs)
+    )
+    # ORDER BY + LIMIT plans as TakeOrderedAndProject (per-task k-heap).
+    return scored.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join(
+    probes: DataFrame,
+    base: DataFrame,
+    k: int,
+    metric: str = "euclidean_sq",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    strategy: str = "partial",
+) -> DataFrame:
+    """For every probe row, the k nearest base rows (batch kNN).
+
+    Output: (probe_id, vec_id, dist, rank) sorted within each probe.
+    """
+    pairs = base.join(F.broadcast(probes))  # broadcast nested loop; base never shuffles
+    scored = pairs.withColumn(
+        dist_col, metric_expr(metric, vec_col, F.col(probe_vec_col))
+    ).select(probe_id_col, id_col, dist_col)
+
+    if strategy == "partial":
+        scored = _partial_topk(scored, probe_id_col, id_col, dist_col, k)
+
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col(dist_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _partial_topk(
+    scored: DataFrame, key_col: str, id_col: str, dist_col: str, k: int
+) -> DataFrame:
+    """Per-input-partition top-k per key: a map-side combine for top-k.
+
+    Runs BEFORE any shuffle, so each of the N input partitions emits at
+    most k rows per key — the subsequent exact window top-k only sees
+    N*k*|keys| rows instead of |base|*|keys|.
+    """
+    import pandas as pd
+
+    schema = scored.schema
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list[pd.DataFrame] = []
+        for pdf in batches:
+            acc.append(
+                pdf.sort_values([key_col, dist_col, id_col])
+                .groupby(key_col, sort=False)
+                .head(k)
+            )
+        if acc:
+            out = pd.concat(acc)
+            yield (
+                out.sort_values([key_col, dist_col, id_col])
+                .groupby(key_col, sort=False)
+                .head(k)
+            )
+
+    return scored.mapInPandas(local_topk, schema=schema)

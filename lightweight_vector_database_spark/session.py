@@ -1,0 +1,30 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[$SPARK_GRAFT_CPUS]`` (default 32) but every
+config here is chosen to also make sense on a multi-executor cluster:
+AQE on (runtime re-plan: coalesce shuffle partitions, skew-join
+splitting, broadcast conversion), Arrow for any pandas-UDF boundary,
+and a shuffle-partition count sized for the local fixture scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "lvdb-spark", cpus: str | None = None) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,31 @@
+"""The driver-facing query suite.
+
+Each submodule registers (query, oracle-SQL) pairs via ``register``;
+``__spark_entry__.py`` re-exports the collected dicts. Column names are
+aliased identically on both sides (the driver hash sorts columns by
+name), floats are rounded to 6 decimals on both sides, and every
+ORDER/top-k has a total tie-break so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    if name in QUERIES:
+        raise ValueError(f"duplicate query name {name!r}")
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLE[name] = oracle
+
+
+# Import order is suite registration order; update as modules land.
+from . import knn_suite  # noqa: E402,F401

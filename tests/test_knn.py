@@ -1,0 +1,102 @@
+"""kNN correctness vs a numpy brute-force oracle (reference semantics:
+filter-before-topk, squared-Euclidean default, ascending, min(k, n) —
+SURVEY.md §2A.5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lightweight_vector_database_spark.operators.knn import knn, knn_join
+from lightweight_vector_database_spark.probes import probe_vector
+from lightweight_vector_database_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+    labels = np.array([r.label for r in rows])
+    return ids, vecs, labels
+
+
+def brute_knn(ids, vecs, probe, k, mask=None, metric="euclidean_sq"):
+    p = np.asarray(probe, dtype=np.float64)
+    if mask is not None:
+        ids, vecs = ids[mask], vecs[mask]
+    d = vecs - p
+    if metric == "euclidean_sq":
+        dist = (d * d).sum(axis=1)
+    elif metric == "manhattan":
+        dist = np.abs(d).sum(axis=1)
+    elif metric == "chebyshev":
+        dist = np.abs(d).max(axis=1)
+    else:
+        raise KeyError(metric)
+    order = np.lexsort((ids, dist))[:k]
+    return list(ids[order]), dist[order]
+
+
+@pytest.mark.parametrize("metric", ["euclidean_sq", "manhattan", "chebyshev"])
+def test_knn_matches_bruteforce(spark, sf_dir, emb_np, metric):
+    ids, vecs, labels = emb_np
+    probe = probe_vector(seed=1)
+    out = knn(load_table(spark, sf_dir, "embeddings"), probe, 10, metric=metric).collect()
+    exp_ids, exp_dist = brute_knn(ids, vecs, probe, 10, metric=metric)
+    assert [r.vec_id for r in out] == exp_ids
+    np.testing.assert_allclose([r.dist for r in out], exp_dist, rtol=1e-9)
+
+
+def test_knn_filter_before_topk(spark, sf_dir, emb_np):
+    ids, vecs, labels = emb_np
+    probe = probe_vector(seed=2)
+    out = knn(
+        load_table(spark, sf_dir, "embeddings"),
+        probe,
+        10,
+        pred=F.col("label") == 3,
+    ).collect()
+    exp_ids, _ = brute_knn(ids, vecs, probe, 10, mask=labels == 3)
+    assert [r.vec_id for r in out] == exp_ids
+    assert all(r.label == 3 for r in out)
+
+
+def test_knn_k_exceeds_table(spark, sf_dir, emb_np):
+    # k > len(db) returns everything (kd_tree_database.py:191-195, verified)
+    ids, _, _ = emb_np
+    probe = probe_vector(seed=0)
+    out = knn(load_table(spark, sf_dir, "embeddings"), probe, 10_000).collect()
+    assert len(out) == len(ids)
+    dists = [r.dist for r in out]
+    assert dists == sorted(dists)
+
+
+def test_knn_empty_result(spark, sf_dir):
+    # empty input -> empty result (tests/test_kd_tree_database.py:70-77)
+    out = knn(
+        load_table(spark, sf_dir, "embeddings"),
+        probe_vector(seed=0),
+        5,
+        pred=F.col("label") == -1,
+    ).collect()
+    assert out == []
+
+
+@pytest.mark.parametrize("strategy", ["window", "partial"])
+def test_knn_join_matches_bruteforce(spark, sf_dir, emb_np, strategy):
+    ids, vecs, labels = emb_np
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = knn_join(probes, emb, k=3, strategy=strategy).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.probe_id, []).append((r.rank, r.vec_id))
+    assert set(got) == set(range(5))
+    for pid, lst in got.items():
+        pvec = vecs[np.where(ids == pid)[0][0]]
+        exp_ids, _ = brute_knn(ids, vecs, pvec, 3)
+        assert [v for _, v in sorted(lst)] == exp_ids

@@ -1,0 +1,116 @@
+"""Driver-mimic: run every queries() entry against its oracle_sql()
+via DuckDB at sf0.01 and compare row count, column names, and an
+order-insensitive canonical value multiset (exact string equality —
+stricter than any plausible hash).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+from collections import Counter
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def rows_to_multiset(cols: list[str], rows) -> Counter:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as se
+    from lightweight_vector_database_spark.sources import TABLES
+    from lightweight_vector_database_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = se.queries(), se.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle — rows-only check)")
+            if len(srows) == 0:
+                print(f"      WARN: 0 rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        ok = True
+        if len(srows) != len(drows):
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
+            ok = False
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL  {name}: columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+            ok = False
+        if ok:
+            sm = rows_to_multiset(scols, [[r[c] for c in scols] for r in srows])
+            dm = rows_to_multiset(dcols, drows)
+            if sm != dm:
+                ok = False
+                miss = list((dm - sm).items())[:3]
+                extra = list((sm - dm).items())[:3]
+                print(f"FAIL  {name}: value mismatch")
+                for t_, n in miss:
+                    print(f"      oracle-only x{n}: {t_}")
+                for t_, n in extra:
+                    print(f"      spark-only  x{n}: {t_}")
+        if ok:
+            print(f"OK    {name}: {len(srows)} rows")
+        else:
+            failed.append(name)
+
+    print(f"\n{len(failed)} failed of {len([n for n in qs if not only or n in only])}")
+    if failed:
+        print("failed:", ", ".join(failed))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
