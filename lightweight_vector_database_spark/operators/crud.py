@@ -1,0 +1,113 @@
+"""CRUD as snapshot transformations (reference write path, SURVEY.md §3.2-3.3).
+
+The reference mutates two structures in place (point store + tree,
+kd_tree_database.py:262-270); in Spark every mutation is a pure
+DataFrame -> DataFrame transform producing a new immutable snapshot —
+the reference's value semantics (deepcopy on insert/read,
+database.py:11-14, kd_tree_database.py:263-265) come for free.
+
+Id minting preserves the reference contract (unique + monotonic, never
+reused — kd_tree_database.py:253-256): new ids are max(existing)+row_number,
+computed declaratively (broadcast 1-row max, no driver round-trip).
+
+At scale: the snapshot would be a partitioned table (Delta/Iceberg in
+production); `delete` is a partition-prunable filter, `insert` an
+append, updates a broadcast-join rewrite of only the touched files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def insert(
+    snapshot: DataFrame,
+    new_rows: DataFrame,
+    id_col: str = "vec_id",
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Append ``new_rows`` (without ids) minting monotonic ids.
+
+    ``order_by``: deterministic ordering for id assignment among the
+    new rows (the reference assigns in insertion order).
+    """
+    order_cols = [F.col(c) for c in (order_by or new_rows.columns)]
+    maxdf = snapshot.agg(
+        F.coalesce(F.max(id_col), F.lit(-1)).cast("long").alias("__max_id")
+    )
+    w = Window.orderBy(*order_cols)
+    minted = (
+        new_rows.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(maxdf))
+        .withColumn(id_col, F.col("__max_id") + F.col("__rn"))
+        .drop("__rn", "__max_id")
+    )
+    return snapshot.unionByName(minted.select(snapshot.columns))
+
+
+def delete(
+    snapshot: DataFrame, pred: Column, id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Remove rows matching ``pred``; returns (remaining, removed).
+
+    The reference's delete returns the removed entry (or None if
+    absent, kd_tree_database.py:278-283) — ``removed`` is the batch
+    generalization (empty DF when nothing matched).
+    """
+    return snapshot.filter(~pred), snapshot.filter(pred)
+
+
+def delete_ids(
+    snapshot: DataFrame, ids: Sequence[int], id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame]:
+    pred = F.col(id_col).isin([int(i) for i in ids])
+    return delete(snapshot, pred, id_col)
+
+
+def update_positions(
+    snapshot: DataFrame,
+    updates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch update_position (kd_tree_database.py:310-316): replace the
+    vector for matching ids, metadata untouched. ``updates`` has
+    (id_col, vec_col). Broadcast join — only a map-side rewrite."""
+    u = updates.select(F.col(id_col), F.col(vec_col).alias("__new_vec"))
+    return (
+        snapshot.join(F.broadcast(u), id_col, "left")
+        .withColumn(vec_col, F.coalesce(F.col("__new_vec"), F.col(vec_col)))
+        .drop("__new_vec")
+    )
+
+
+def update_metadata(
+    snapshot: DataFrame,
+    updates: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch update_metadata (kd_tree_database.py:324-328): replace the
+    metadata columns carried by ``updates`` for matching ids."""
+    meta_cols = [c for c in updates.columns if c != id_col]
+    u = updates.select(
+        F.col(id_col), *[F.col(c).alias(f"__new_{c}") for c in meta_cols]
+    )
+    out = snapshot.join(F.broadcast(u), id_col, "left")
+    for c in meta_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c))).drop(
+            f"__new_{c}"
+        )
+    return out
+
+
+def get_entry(snapshot: DataFrame, entry_id: int, id_col: str = "vec_id") -> DataFrame:
+    """Point lookup (kd_tree_database.py:272-276): 0-or-1-row DataFrame."""
+    return snapshot.filter(F.col(id_col) == F.lit(int(entry_id)))
+
+
+def count_rows(snapshot: DataFrame) -> DataFrame:
+    """__len__ (kd_tree_database.py:307-308) as a 1-row DataFrame."""
+    return snapshot.agg(F.count(F.lit(1)).alias("n"))

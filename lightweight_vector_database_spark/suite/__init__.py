@@ -29,3 +29,5 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 # Import order is suite registration order; update as modules land.
 from . import knn_suite  # noqa: E402,F401
+from . import crud_suite  # noqa: E402,F401
+from . import relational_suite  # noqa: E402,F401

@@ -70,9 +70,12 @@ SELECT vec_id, label, round(dist, 6) AS dist FROM (
 """
 
 
-def _mk_knn(metric: str, probe: list[float], pred=None, **kw):
+def _mk_knn(metric: str, probe: list[float], pred_fn=None, **kw):
+    # pred_fn is a thunk: Column construction needs a live SparkContext,
+    # so it must not run at module-import time.
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
+        pred = pred_fn() if pred_fn is not None else None
         out = knn(emb, probe, K, metric=metric, pred=pred, **kw)
         return out.select(
             "vec_id", "label", F.round(F.col("dist"), 6).alias("dist")
@@ -88,7 +91,7 @@ register(
 )
 register(
     "knn_filtered",
-    _mk_knn("euclidean_sq", PROBE2, pred=F.col("label") < 5),
+    _mk_knn("euclidean_sq", PROBE2, pred_fn=lambda: F.col("label") < 5),
     _knn_oracle("euclidean_sq", PROBE2, where="label < 5"),
 )
 register("knn_manhattan", _mk_knn("manhattan", PROBE), _knn_oracle("manhattan", PROBE))

@@ -1,0 +1,100 @@
+"""CRUD snapshot invariants, mirroring the reference's test style
+(tests/test_kd_tree_database.py:30-52: count invariants across a
+mutation sequence; :79-94 update_position; :96-106 iteration)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from lightweight_vector_database_spark.operators import crud
+from lightweight_vector_database_spark.operators.knn import knn
+from lightweight_vector_database_spark.probes import probe_vector
+from lightweight_vector_database_spark.sources import load_table
+
+
+@pytest.fixture()
+def snap(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_insert_mints_monotonic_ids(spark, snap):
+    n0 = snap.count()
+    max0 = snap.agg(F.max("vec_id")).first()[0]
+    new_rows = spark.createDataFrame(
+        [([0.0] * 64, 7), ([0.1] * 64, 8)],
+        StructType(
+            [
+                StructField("embedding", ArrayType(FloatType())),
+                StructField("label", IntegerType()),
+            ]
+        ),
+    )
+    out = crud.insert(snap, new_rows, order_by=["label"])
+    assert out.count() == n0 + 2
+    minted = sorted(
+        r.vec_id for r in out.filter(F.col("vec_id") > max0).collect()
+    )
+    assert minted == [max0 + 1, max0 + 2]
+    # ids never reused: delete then insert mints fresh ids
+    remaining, _ = crud.delete_ids(out, [max0 + 2])
+    out2 = crud.insert(remaining, new_rows.limit(1), order_by=["label"])
+    assert out2.agg(F.max("vec_id")).first()[0] == max0 + 2  # max+1 of remaining
+
+
+def test_delete_returns_removed(snap):
+    remaining, removed = crud.delete(snap, F.col("vec_id") < 10)
+    assert removed.count() == 10
+    assert remaining.count() == snap.count() - 10
+    # delete of absent ids removes nothing (reference returns None)
+    r2, rm2 = crud.delete_ids(snap, [10_000_000])
+    assert rm2.count() == 0 and r2.count() == snap.count()
+
+
+def test_update_position_moves_row(spark, snap):
+    # reference tests:79-94 — after a move, kNN finds the row at its
+    # new position with dist > 0 from the old probe
+    target = probe_vector(seed=99)
+    upd = spark.createDataFrame(
+        [(42, [float(v) for v in target])],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )
+    moved = crud.update_positions(snap, upd)
+    top = knn(moved, target, 1).first()
+    assert top.vec_id == 42
+    assert top.dist < 1e-9  # float32 storage of the exact target
+    assert moved.count() == snap.count()  # metadata/rows untouched
+
+
+def test_update_metadata_only(spark, snap):
+    upd = spark.createDataFrame(
+        [(7, 99)],
+        StructType(
+            [StructField("vec_id", LongType()), StructField("label", IntegerType())]
+        ),
+    )
+    out = crud.update_metadata(snap, upd)
+    assert out.filter(F.col("vec_id") == 7).first().label == 99
+    # vector untouched
+    v0 = snap.filter(F.col("vec_id") == 7).first().embedding
+    v1 = out.filter(F.col("vec_id") == 7).first().embedding
+    assert v0 == v1
+
+
+def test_get_entry_and_count(snap):
+    assert crud.get_entry(snap, 123).count() == 1
+    assert crud.get_entry(snap, -5).count() == 0
+    assert crud.count_rows(snap).first().n == snap.count()
