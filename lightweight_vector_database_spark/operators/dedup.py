@@ -1,0 +1,269 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Five families, each with an explicit 100 TB story:
+
+- ``exact_dedup``      — hash-groupBy on a normalized content hash.
+  One shuffle on the hash; keeps min-id representative.
+- ``jaccard_pairs``    — exact token/shingle-set Jaccard via an
+  inverted-index self-join (explode -> join on token -> pair counts).
+  Exact but O(sum_token df^2); the ``max_df`` knob drops
+  ubiquitous tokens (standard prefix-filter trick) to tame skew.
+  Used as the small-scale oracle for the approximate paths.
+- ``minhash_signatures`` + ``lsh_candidate_pairs`` — MinHash + banded
+  LSH: per-row signature (k independent (a*h+b) mod p permutations,
+  all codegen), band hashing, candidates = equal band-bucket pairs.
+  Shuffle is on band buckets — linear in data, the scale path.
+- ``simhash64``        — 64-bit SimHash folded entirely in Catalyst
+  higher-order functions (no UDF): token hashes vote per bit.
+- ``embedding_topk_pairs`` — nearest embedding pairs by cosine
+  (exact top-k; LSH-bucketed variant in similarity.py for scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import cosine_distance
+from ..functions.text import content_sha256, tokens, word_ngrams
+
+# --- exact ---------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per normalized-content hash.
+    Adds ``dup_count`` (group size)."""
+    hashed = df.withColumn("__h", content_sha256(text_col))
+    w = Window.partitionBy("__h")
+    return (
+        hashed.withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .withColumn("__keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__h", "__keep")
+    )
+
+
+# --- exact jaccard via inverted index -------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    threshold: float | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id1, id2, jaccard) for id1 < id2 over distinct token/ngram sets.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) computed from integer
+    counts -> the double division is engine-portable.
+    """
+    grams = (
+        F.array_distinct(tokens(text_col))
+        if ngram == 1
+        else F.array_distinct(word_ngrams(text_col, ngram))
+    )
+    sets = df.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
+        "set_size", F.size("grams").cast("long")
+    )
+    inv = sets.select("id", "set_size", F.explode("grams").alias("tok"))
+    if max_df is not None:
+        df_counts = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+        inv = (
+            inv.join(df_counts, "tok")
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    a = inv.select(
+        F.col("tok"), F.col("id").alias("id1"), F.col("set_size").alias("n1")
+    )
+    b = inv.select(
+        F.col("tok"), F.col("id").alias("id2"), F.col("set_size").alias("n2")
+    )
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("common")).cast("double"),
+        )
+        .select("id1", "id2", "jaccard")
+    )
+    if threshold is not None:
+        pairs = pairs.filter(F.col("jaccard") >= threshold)
+    return pairs
+
+
+# --- minhash + LSH ---------------------------------------------------------
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = (state % (_MERSENNE31 - 1)) + 1
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = state % _MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    ngram: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) — pure Catalyst: token ->
+    xxhash64 -> k affine permutations mod 2^31-1 -> min per permutation.
+
+    Intermediates stay < 2^62 (a, h < 2^31), so int64 never overflows.
+    """
+    grams = (
+        F.array_distinct(tokens(text_col))
+        if ngram == 1
+        else F.array_distinct(word_ngrams(text_col, ngram))
+    )
+    hashes = F.transform(grams, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE31)))
+    mins = [
+        F.array_min(
+            F.transform(hashes, lambda h: F.pmod(h * a + b, F.lit(_MERSENNE31)))
+        )
+        for a, b in _perm_params(num_hashes, seed)
+    ]
+    return df.select(
+        F.col(id_col).alias("id"), F.array(*mins).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, id_col: str = "id"
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` bands, bucket by
+    (band index, band hash), emit distinct (id1 < id2) pairs sharing a
+    bucket. Shuffle cost is linear in rows x bands."""
+    sig_len_row = signatures.select(F.size("signature").alias("n")).first()
+    rows_per_band = (sig_len_row.n if sig_len_row else 0) // bands
+    if rows_per_band == 0:
+        raise ValueError("bands exceeds signature length")
+    banded = signatures.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select("band", "bucket", F.col("id").alias("id1"))
+    b = banded.select("band", "bucket", F.col("id").alias("id2"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def minhash_dedup_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 1,
+) -> DataFrame:
+    """MinHash LSH near-dup candidates with estimated jaccard (fraction
+    of agreeing signature positions)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, ngram)
+    cands = lsh_candidate_pairs(sigs, bands)
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("signature").alias("__s1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("signature").alias("__s2"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("__s1"), F.col("__s2"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("est_jaccard", est)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
+# --- simhash ---------------------------------------------------------------
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash without UDFs: per-bit votes folded with nested
+    higher-order functions, reassembled with bit ops."""
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # votes[i] = sum over tokens of +-1 depending on bit i of the hash.
+    # Unrolled per bit (shift amounts must be Python ints in the API);
+    # still one codegen'd expression per row, no UDF.
+    # NB: the merge lambda must have arity exactly 2 — a `i=i` default
+    # arg makes pyspark treat it as a 3-parameter HOF lambda and bind a
+    # lambda-variable Column over the closure int.
+    def _vote(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(i))
+        bit_val = (1 << i) if i < 63 else -(1 << 63)  # i=63: sign-bit pattern
+        sim = sim.bitwiseOR(
+            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# --- embedding near-dup -----------------------------------------------------
+
+def embedding_topk_pairs(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k closest pairs by cosine distance (id1 < id2).
+
+    O(n^2) distances — the correctness baseline. At scale use the LSH
+    bucketing in similarity.py to restrict the pair space first.
+    """
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cos_dist", cosine_distance(F.col("__v1"), F.col("__v2")))
+        .select("id1", "id2", "cos_dist")
+        .orderBy(F.col("cos_dist").asc(), F.col("id1").asc(), F.col("id2").asc())
+        .limit(k)
+    )

@@ -1,0 +1,139 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Two tiers (north-star similarity search):
+
+- ``knn`` / ``knn_join`` in knn.py are the exact brute-force baseline
+  (codegen'd distance + TakeOrderedAndProject — already linear-scan
+  optimal for one-shot queries).
+- IVF (inverted-file) here is the scale path for repeated queries:
+  partition vectors into Voronoi cells around centroids, search only
+  the ``nprobe`` nearest cells. At 100 TB the assignment table is
+  written partitioned by ``cell`` so a probe reads only its cells'
+  files (partition pruning), exactly like the reference's grid-cell
+  pruning (kd_tree_database.py:164-181) but hash-free and data-adaptive.
+
+Centroid selection is deterministic k-means++-lite: a fixed id-based
+sample refined by a few Lloyd iterations driver-side (centroid count
+is small; the heavy assignment step stays distributed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import euclidean_sq, metric_expr
+
+
+def _centroid_lits(centroids: np.ndarray):
+    return [[float(x) for x in c] for c in centroids]
+
+
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample_rows: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic Lloyd refinement on a bounded driver-side sample.
+
+    The sample is id-ordered-limit (deterministic); for 100 TB you'd
+    sample with df.sample(fraction, seed) — still one scan.
+    """
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray | Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``cell`` column = argmin_c ||v - centroid_c||^2.
+
+    The argmin is a single codegen'd fold over a literal array of
+    centroid structs — no UDF, no shuffle; at scale, follow with
+    .write.partitionBy('cell') so probes prune files.
+    """
+    cents = _centroid_lits(np.asarray(centroids))
+    pairs = [
+        F.struct(F.lit(i).alias("c"), euclidean_sq(vec_col, cent).alias("d"))
+        for i, cent in enumerate(cents)
+    ]
+    best = F.aggregate(
+        F.array(*pairs[1:]),
+        pairs[0],
+        lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+    )
+    return df.withColumn("cell", best["c"])
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: np.ndarray | Sequence[Sequence[float]],
+    probe: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "euclidean_sq",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """kNN restricted to the ``nprobe`` cells nearest the probe.
+
+    Cell selection is a driver-side argsort over n_centroids values
+    (tiny); the scan then carries an IN-list filter on ``cell`` that
+    prunes partitions/row-groups."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    p = np.asarray(list(probe), dtype=np.float64)
+    order = np.argsort(((cents - p) ** 2).sum(axis=1))
+    probe_cells = [int(c) for c in order[:nprobe]]
+    cand = assigned.filter(F.col("cell").isin(probe_cells))
+    scored = cand.withColumn("dist", metric_expr(metric, vec_col, list(probe)))
+    return scored.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign pattern of n_planes dot
+    products) for cosine similarity — near-dup pairs land in the same
+    bucket with probability (1 - theta/pi)^n_planes. Pure codegen."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        dp = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.array(*[F.lit(float(x)) for x in planes[i]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(dp > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.withColumn("bucket", bucket)

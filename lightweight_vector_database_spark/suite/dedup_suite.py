@@ -1,0 +1,165 @@
+"""Deduplication + similarity queries (north-star dedup ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..sources import load_table
+from . import register
+
+_NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+
+def _exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import content_sha256
+
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(content_sha256("text")).alias("n_distinct"),
+    )
+
+
+register(
+    "dedup_exact_summary",
+    _exact_summary,
+    f"""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT sha256({_NORM})) AS n_distinct
+FROM documents GROUP BY source
+""",
+)
+
+
+def _exact_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.exact_dedup(docs, "text", "doc_id")
+    return out.select("doc_id", "dup_count")
+
+
+register(
+    "dedup_exact_keep_min",
+    _exact_keep_min,
+    f"""
+WITH h AS (
+  SELECT doc_id, sha256({_NORM}) AS hsh FROM documents
+), g AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY hsh) AS dup_count,
+         min(doc_id) OVER (PARTITION BY hsh) AS keeper
+  FROM h
+)
+SELECT doc_id, dup_count FROM g WHERE doc_id = keeper
+""",
+)
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", ngram=1, threshold=0.95)
+    return pairs.select(
+        "id1", "id2", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+register(
+    "dedup_jaccard_pairs",
+    _jaccard_pairs,
+    """
+WITH s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         len(list_intersect(a.toks, b.toks)) AS common,
+         len(a.toks) AS n1, len(b.toks) AS n2
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id1, id2,
+       round(common::DOUBLE / (n1 + n2 - common), 6) AS jaccard
+FROM p
+WHERE common::DOUBLE / (n1 + n2 - common) >= 0.95
+""",
+)
+
+
+def _ngram3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.02)
+    return pairs.select(
+        "id1", "id2", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+register(
+    "dedup_ngram3_jaccard_pairs",
+    _ngram3_pairs,
+    """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS toks
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         len(list_intersect(a.toks, b.toks)) AS common,
+         len(a.toks) AS n1, len(b.toks) AS n2
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id1, id2,
+       round(common::DOUBLE / (n1 + n2 - common), 6) AS jaccard
+FROM p
+WHERE common > 0 AND common::DOUBLE / (n1 + n2 - common) >= 0.02
+""",
+)
+
+
+def _minhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (xxhash64 signatures -> no SQL
+    oracle; recall/precision invariants are pytest-checked)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.minhash_dedup_candidates(docs, num_hashes=32, bands=8)
+    return out.select(
+        "id1", "id2", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
+    )
+
+
+register("dedup_minhash_candidates", _minhash_cands)  # rows-only
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash64(docs, "doc_id", "text").select("id", "simhash")
+
+
+register("dedup_simhash_docs", _simhash)  # rows-only
+
+
+def _emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = D.embedding_topk_pairs(emb, k=20)
+    return out.select(
+        "id1", "id2", F.round(F.col("cos_dist"), 6).alias("cos_dist")
+    )
+
+
+register(
+    "embedding_nearest_pairs",
+    _emb_pairs,
+    """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         1.0 - list_sum(list_transform(range(1, 65),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (a.nrm * b.nrm) AS cos_dist
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, round(cos_dist, 6) AS cos_dist
+FROM p ORDER BY cos_dist ASC, id1 ASC, id2 ASC LIMIT 20
+""",
+)

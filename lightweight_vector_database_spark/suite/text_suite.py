@@ -1,0 +1,181 @@
+"""Text-analysis queries over ``documents`` (north-star text ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources import load_table
+from . import register
+
+# DuckDB fragments mirroring functions/text.py exactly
+_TOKS = "string_split(text, ' ')"
+_NTOK = f"len({_TOKS})"
+_NUNIQ = f"len(list_distinct({_TOKS}))"
+_MEANLEN = f"(list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE / {_NTOK})"
+_PUNCT = (
+    "((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE"
+    " / length(text))"
+)
+_UNIQR = f"({_NUNIQ}::DOUBLE / {_NTOK})"
+_QUALITY = (
+    f"(0.5 * {_UNIQR} + 0.3 * least({_NTOK}::DOUBLE / 64.0, 1.0)"
+    f" + 0.2 * (1.0 - {_PUNCT}))"
+)
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(T.tokens("text"))).cast("long").alias("n_uniq"),
+        F.round(T.uniq_token_ratio("text"), 6).alias("uniq_ratio"),
+        F.round(T.mean_token_len("text"), 6).alias("mean_tok_len"),
+        F.round(T.quality_score("text"), 6).alias("quality"),
+    )
+
+
+register(
+    "text_stats_docs",
+    _text_stats,
+    f"""
+SELECT doc_id, lang,
+       CAST({_NTOK} AS BIGINT) AS n_tokens,
+       CAST({_NUNIQ} AS BIGINT) AS n_uniq,
+       round({_UNIQR}, 6) AS uniq_ratio,
+       round({_MEANLEN}, 6) AS mean_tok_len,
+       round({_QUALITY}, 6) AS quality
+FROM documents
+""",
+)
+
+
+def _token_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+register(
+    "token_tf_top20",
+    _token_tf,
+    f"""
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+""",
+)
+
+
+def _lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", T.token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .withColumn(
+            "avg_tokens",
+            F.round(F.col("total_tokens") / F.col("n_docs"), 6),
+        )
+    )
+
+
+register(
+    "lang_stats",
+    _lang_stats,
+    f"""
+SELECT lang, count(*) AS n_docs, SUM(n_chars) AS total_chars,
+       SUM(CAST({_NTOK} AS BIGINT)) AS total_tokens,
+       round(SUM(CAST({_NTOK} AS BIGINT)) / count(*), 6) AS avg_tokens
+FROM documents GROUP BY lang
+""",
+)
+
+
+def _lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", T.lang_guess("text").alias("guessed")
+    )
+
+
+def _lang_guess_oracle() -> str:
+    langs = sorted(T.LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        markers = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter({_TOKS}, t -> list_contains([{markers}], t))) AS s_{lang}"
+        )
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    # first lang (sorted order) reaching the max wins == the fold in
+    # functions/text.py::lang_guess (later langs replace only if strictly greater)
+    whens = " ".join(f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in langs)
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {mx} = 0 THEN 'und' {whens} END AS guessed
+FROM (SELECT doc_id, lang, text, {', '.join(score_cols)} FROM documents)
+"""
+
+
+register("lang_guess_docs", _lang_guess, _lang_guess_oracle())
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.content_md5("text").alias("fp_md5"))
+
+
+register(
+    "doc_fingerprint_md5",
+    _fingerprint,
+    r"""
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+FROM documents
+""",
+)
+
+
+def _rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level polynomial rolling hash (xxhash64-based -> no SQL
+    oracle; invariants are pytest-checked)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.rolling_hash("text").alias("fp_rolling"))
+
+
+register("doc_fingerprint_rolling", _rolling_fp)  # rows-only
+
+
+def _bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("ws_tokens"),
+        F.size(T.bpe_ish_tokens("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+register(
+    "token_count_bpe",
+    _bpe_counts,
+    f"""
+SELECT doc_id, CAST({_NTOK} AS BIGINT) AS ws_tokens,
+       CAST(len(list_filter(string_split_regex(
+         trim(regexp_replace(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', '\\1 ', 'g')),
+         '\\s+'), t -> t <> '')) AS BIGINT) AS bpe_tokens
+FROM documents
+""",
+)

@@ -1,0 +1,104 @@
+"""Dedup operator invariants: minhash estimates track true jaccard,
+LSH candidates achieve high recall on near-dups, simhash respects
+content identity, exact dedup keeps min-id representatives."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from lightweight_vector_database_spark.operators import dedup as D
+from lightweight_vector_database_spark.sources import load_table
+
+SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello World"), (3, "unique text"), (7, "hello world ")],
+        SCHEMA,
+    )
+    out = D.exact_dedup(df).collect()
+    got = {r.doc_id: r.dup_count for r in out}
+    # 1, 2, 7 normalize to 'hello world' -> keeper is 1 with count 3
+    assert got == {1: 3, 3: 1}
+
+
+def test_jaccard_pairs_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")], SCHEMA
+    )
+    out = {(r.id1, r.id2): r.jaccard for r in D.jaccard_pairs(df).collect()}
+    assert out[(1, 2)] == pytest.approx(3 / 5)  # {a,b,c} / {a,b,c,d,e}
+    assert (1, 3) not in out and (2, 3) not in out  # no shared tokens
+
+
+def test_minhash_estimates_track_jaccard(spark, docs):
+    sub = docs.filter(F.col("doc_id") < 120)
+    true = {
+        (r.id1, r.id2): r.jaccard
+        for r in D.jaccard_pairs(sub, threshold=0.8).collect()
+    }
+    est = {
+        (r.id1, r.id2): r.est_jaccard
+        for r in D.minhash_dedup_candidates(sub, num_hashes=64, bands=16).collect()
+    }
+    checked = 0
+    for pair, j in true.items():
+        if pair in est:
+            assert abs(est[pair] - j) < 0.35  # 64 hashes -> sigma ~0.06
+            checked += 1
+    assert checked >= 5
+
+
+def test_lsh_recall_on_near_dups(spark, docs):
+    sub = docs.filter(F.col("doc_id") < 200)
+    true_pairs = {
+        (r.id1, r.id2) for r in D.jaccard_pairs(sub, threshold=0.9).collect()
+    }
+    assert len(true_pairs) > 10  # fixture sanity: near-dups exist
+    cands = {
+        (r.id1, r.id2)
+        for r in D.minhash_dedup_candidates(sub, num_hashes=32, bands=8).collect()
+    }
+    recall = len(true_pairs & cands) / len(true_pairs)
+    # P(candidate | j=0.9) = 1-(1-0.9^4)^8 ~ 0.9998
+    assert recall >= 0.9
+
+
+def test_simhash_identity_and_similarity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # identical -> same hash
+            (3, "alpha beta gamma epsilon"),  # near -> small hamming
+            (4, "zz qq ww ee rr tt yy uu"),  # far -> large hamming
+        ],
+        SCHEMA,
+    )
+    sigs = D.simhash64(df)
+    a = sigs.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"))
+    b = sigs.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"))
+    pairs = a.join(b, F.col("id1") < F.col("id2")).select(
+        "id1", "id2", D.hamming64(F.col("h1"), F.col("h2")).alias("ham")
+    )
+    got = {(r.id1, r.id2): r.ham for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] < got[(1, 4)]
+
+
+def test_embedding_topk_pairs_symmetric_ids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = D.embedding_topk_pairs(emb, k=5).collect()
+    assert len(out) == 5
+    assert all(r.id1 < r.id2 for r in out)
+    dists = [r.cos_dist for r in out]
+    assert dists == sorted(dists)

@@ -1,0 +1,62 @@
+"""IVF and LSH similarity-search invariants: IVF recall vs exact
+brute force, cell assignment correctness, LSH bucket behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lightweight_vector_database_spark.operators import similarity as S
+from lightweight_vector_database_spark.operators.knn import knn
+from lightweight_vector_database_spark.probes import probe_vector
+from lightweight_vector_database_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return S.train_centroids(emb, n_centroids=16, iters=3)
+
+
+def test_ivf_assign_is_argmin(emb, centroids):
+    assigned = S.ivf_assign(emb, centroids).collect()
+    cents = np.asarray(centroids)
+    for r in assigned[:50]:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        expected = int(((cents - v) ** 2).sum(axis=1).argmin())
+        assert r.cell == expected
+
+
+def test_ivf_recall_vs_bruteforce(emb, centroids):
+    probe = probe_vector(seed=5)
+    exact = {r.vec_id for r in knn(emb, probe, 10).collect()}
+    assigned = S.ivf_assign(emb, centroids)
+    hits = []
+    for nprobe in (4, 16):
+        got = {
+            r.vec_id
+            for r in S.ivf_search(assigned, centroids, probe, k=10, nprobe=nprobe).collect()
+        }
+        hits.append(len(exact & got) / 10)
+    assert hits[1] == 1.0  # nprobe = all cells -> exact
+    # near-uniform random 64-d vectors are IVF's worst case (all points
+    # ~equidistant); 1/4 of cells probed still must beat 1/4 recall
+    assert hits[0] >= 0.3
+
+
+def test_lsh_buckets_group_similar(spark, emb):
+    b = S.cosine_lsh_buckets(emb, n_planes=6)
+    n_buckets = b.select("bucket").distinct().count()
+    assert 2 <= n_buckets <= 64
+    # identical vectors always share a bucket
+    dup = b.select("bucket", "embedding").limit(1).collect()[0]
+    again = S.cosine_lsh_buckets(
+        spark.createDataFrame([(dup.embedding,)], "embedding array<float>"),
+        n_planes=6,
+    ).first()
+    assert again.bucket == dup.bucket
