@@ -135,25 +135,47 @@ def minhash_signatures(
         else F.array_distinct(word_ngrams(text_col, ngram))
     )
     hashes = F.transform(grams, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE31)))
-    mins = [
-        F.array_min(
-            F.transform(hashes, lambda h: F.pmod(h * a + b, F.lit(_MERSENNE31)))
-        )
-        for a, b in _perm_params(num_hashes, seed)
-    ]
-    return df.select(
-        F.col(id_col).alias("id"), F.array(*mins).alias("signature")
+    # ONE fold over the token hashes updating every signature slot per
+    # element — k separate array_min(transform(...)) expressions would
+    # re-evaluate the (expensive) shingle+hash array k times, since
+    # Catalyst does no CSE across projection expressions.
+    params = _perm_params(num_hashes, seed)
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in params
+        ]
     )
+    init = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
+    sig = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda cur, p: F.least(
+                cur, F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE31))
+            ),
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, id_col: str = "id"
+    signatures: DataFrame,
+    bands: int = 8,
+    id_col: str = "id",
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` bands, bucket by
     (band index, band hash), emit distinct (id1 < id2) pairs sharing a
-    bucket. Shuffle cost is linear in rows x bands."""
-    sig_len_row = signatures.select(F.size("signature").alias("n")).first()
-    rows_per_band = (sig_len_row.n if sig_len_row else 0) // bands
+    bucket. Shuffle cost is linear in rows x bands.
+
+    Pass ``sig_len`` when known to avoid a probe job on ``signatures``."""
+    if sig_len is None:
+        sig_len_row = signatures.select(F.size("signature").alias("n")).first()
+        sig_len = sig_len_row.n if sig_len_row else 0
+    rows_per_band = sig_len // bands
     if rows_per_band == 0:
         raise ValueError("bands exceeds signature length")
     banded = signatures.select(
@@ -189,9 +211,14 @@ def minhash_dedup_candidates(
     ngram: int = 1,
 ) -> DataFrame:
     """MinHash LSH near-dup candidates with estimated jaccard (fraction
-    of agreeing signature positions)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, ngram)
-    cands = lsh_candidate_pairs(sigs, bands)
+    of agreeing signature positions).
+
+    Signatures are cached: the 32-permutation expression is expensive
+    enough that recomputing it for the bucket join and both est-jaccard
+    joins would triple the work (at any scale you'd persist the
+    signature table anyway — it IS the index)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, ngram).cache()
+    cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes)
     s1 = sigs.select(F.col("id").alias("id1"), F.col("signature").alias("__s1"))
     s2 = sigs.select(F.col("id").alias("id2"), F.col("signature").alias("__s2"))
     est = F.size(

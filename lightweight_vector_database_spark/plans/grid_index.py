@@ -1,0 +1,210 @@
+"""Equal-width grid index — the reference's KD-tree, Spark-first.
+
+The reference's _KDTree (kd_tree_database.py:31-221) is a pointer
+structure: equal-width bins per level (:59-70, NOT median splits —
+class docstring :227-229), round-robin split dims (:19-22), lazy
+sparse children (:43-57), and kNN pruning via a lower-bound distance
+to each partition (:164-181) with best-first traversal (:183-219).
+
+In Spark the index is a COLUMN, not a structure:
+
+- ``build_index`` adds ``cell_id`` = the base-(s+1) digit string of
+  the reference's child indices for a fixed depth D (one level per
+  dim, D <= dim). Empty cells simply have no rows (the reference's
+  sparse children, :40-41, for free).
+- ``knn_indexed`` replaces recursive best-first search with the batch
+  two-pass plan (SURVEY.md §4#1-2): (1) scan the minimal set of
+  cells (by lower-bound order) guaranteed to hold k rows -> a kth-
+  distance upper bound; (2) rescan the cells whose lower bound beats
+  it. Cell selection is driver-side numpy over index *metadata*
+  (per-cell counts — the analogue of the reference's node counts);
+  the data scans carry an IN-list filter on ``cell_id`` which prunes
+  parquet partitions/row-groups when the table is written
+  ``partitionBy('cell_id')``. Exact results, verified against brute
+  force.
+
+Out-of-bounds handling differs deliberately: the reference asserts on
+insert (:84-85); we clamp into the edge cells and extend edge-cell
+boxes to +-inf for bound computation, so pruning stays exact for any
+input (queries outside the bounds were always allowed, SURVEY.md
+§2A.5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.knn import knn
+
+
+class GridIndex:
+    """Index geometry: bounds, splits per level, depth.
+
+    depth levels use dims 0..depth-1 (round-robin ``l % dim`` as in
+    kd_tree_database.py:19-22; with depth <= dim each level owns one
+    dim, so cell boxes are plain per-dim intervals).
+    """
+
+    def __init__(
+        self,
+        lower: Sequence[float],
+        upper: Sequence[float],
+        num_splits: int = 2,
+        depth: int = 6,
+    ):
+        self.lower = np.asarray(list(lower), dtype=np.float64)
+        self.upper = np.asarray(list(upper), dtype=np.float64)
+        self.dim = len(self.lower)
+        if depth > self.dim:
+            raise ValueError("depth must be <= dim (one level per dim)")
+        self.bins = num_splits + 1  # reference: num_splits+1 children, :64-69
+        self.depth = depth
+
+    # --- build side ----------------------------------------------------
+
+    def cell_expr(self, vec_col: str = "embedding") -> Column:
+        """cell_id as a single long: base-``bins`` digits of the
+        per-level child indices (reference _get_child_index_impl
+        :59-70: floor(norm * bins), clamped)."""
+        v = F.col(vec_col).cast("array<double>")
+        cell = F.lit(0).cast("long")
+        for level in range(self.depth):
+            d = level % self.dim
+            lo, hi = float(self.lower[d]), float(self.upper[d])
+            norm = (F.element_at(v, d + 1) - F.lit(lo)) / F.lit(hi - lo)
+            idx = F.least(
+                F.greatest(F.floor(norm * self.bins), F.lit(0)).cast("long"),
+                F.lit(self.bins - 1).cast("long"),
+            )
+            cell = cell * self.bins + idx
+        return cell
+
+    # --- query side (driver-local geometry, no Spark) -------------------
+
+    def _digits(self, cell_ids: np.ndarray) -> np.ndarray:
+        """(n_cells, depth) child indices from packed cell ids."""
+        out = np.empty((len(cell_ids), self.depth), dtype=np.int64)
+        rem = cell_ids.astype(np.int64).copy()
+        for level in range(self.depth - 1, -1, -1):
+            out[:, level] = rem % self.bins
+            rem //= self.bins
+        return out
+
+    def lower_bound_dists(
+        self, probe: Sequence[float], cell_ids: Sequence[int], metric: str = "euclidean_sq"
+    ) -> np.ndarray:
+        """Exact lower bound of metric(probe, x) over each cell's box —
+        the reference's distance_to_partition (:164-181) in closed
+        form, but using the full box (tighter than its single-plane
+        bound). Edge cells extend to +-inf (clamped points)."""
+        p = np.asarray(list(probe), dtype=np.float64)
+        cells = np.asarray(list(cell_ids), dtype=np.int64)
+        digits = self._digits(cells)
+        gaps = np.zeros((len(cells), self.depth), dtype=np.float64)
+        for level in range(self.depth):
+            d = level % self.dim
+            w = (self.upper[d] - self.lower[d]) / self.bins
+            lo = self.lower[d] + digits[:, level] * w
+            hi = lo + w
+            lo = np.where(digits[:, level] == 0, -np.inf, lo)
+            hi = np.where(digits[:, level] == self.bins - 1, np.inf, hi)
+            gaps[:, level] = np.maximum(0.0, np.maximum(lo - p[d], p[d] - hi))
+        if metric == "euclidean_sq":
+            return (gaps**2).sum(axis=1)
+        if metric == "manhattan":
+            return gaps.sum(axis=1)
+        if metric == "chebyshev":
+            return gaps.max(axis=1)
+        raise KeyError(f"no closed-form cell bound for metric {metric!r}")
+
+
+def build_index(
+    df: DataFrame, index: GridIndex, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the ``cell_id`` column. At scale, follow with
+    ``.write.partitionBy('cell_id')`` so the IN-list filters in
+    knn_indexed become file-level partition pruning."""
+    return df.withColumn("cell_id", index.cell_expr(vec_col))
+
+
+def index_stats(assigned: DataFrame) -> dict[int, int]:
+    """Per-cell row counts — the index metadata used for candidate
+    selection (reference node-count analogue; also the consistency
+    invariant: sum == table count, tests:20-28)."""
+    return {
+        r.cell_id: r.cnt
+        for r in assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+
+def knn_indexed(
+    assigned: DataFrame,
+    index: GridIndex,
+    probe: Sequence[float],
+    k: int,
+    metric: str = "euclidean_sq",
+    stats: dict[int, int] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    pred: Column | None = None,
+) -> DataFrame:
+    """Exact kNN scanning only cells that can contain a top-k row.
+
+    Pass 1: cheapest cell prefix (by lower bound) holding >= k rows ->
+    kth distance as upper bound. Pass 2 (only if needed): all cells
+    whose lower bound <= that upper bound. A metadata ``pred`` is
+    applied before top-k inside each scan (reference leaf filter,
+    kd_tree_database.py:186-190); if the filtered prefix yields < k
+    rows the fallback widens to every cell, so results stay exact.
+    """
+    if stats is None:
+        stats = index_stats(assigned)
+    if not stats:
+        return knn(
+            assigned, probe, k, metric=metric, pred=pred, vec_col=vec_col, id_col=id_col
+        )
+
+    cells = np.array(sorted(stats), dtype=np.int64)
+    counts = np.array([stats[c] for c in cells.tolist()], dtype=np.int64)
+    bounds = index.lower_bound_dists(probe, cells, metric)
+    order = np.argsort(bounds, kind="stable")
+
+    cum = counts[order].cumsum()
+    n_pass1 = int(np.searchsorted(cum, k) + 1) if cum[-1] >= k else len(cells)
+    pass1 = set(cells[order[:n_pass1]].tolist())
+
+    first = knn(
+        assigned.filter(F.col("cell_id").isin([int(c) for c in pass1])),
+        probe,
+        k,
+        metric=metric,
+        pred=pred,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    rows = first.collect()
+    if len(rows) < k and len(pass1) < len(cells):
+        # fewer matches than k in the prefix -> fall back to all cells
+        pass2 = set(cells.tolist())
+    else:
+        ub = max(r.dist for r in rows) if rows else float("inf")
+        pass2 = {
+            int(c)
+            for c, b in zip(cells.tolist(), bounds.tolist())
+            if b <= ub
+        } | pass1
+    if pass2 == pass1:
+        return first
+    return knn(
+        assigned.filter(F.col("cell_id").isin([int(c) for c in pass2])),
+        probe,
+        k,
+        metric=metric,
+        pred=pred,
+        vec_col=vec_col,
+        id_col=id_col,
+    )

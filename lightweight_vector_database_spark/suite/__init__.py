@@ -33,3 +33,6 @@ from . import crud_suite  # noqa: E402,F401
 from . import relational_suite  # noqa: E402,F401
 from . import text_suite  # noqa: E402,F401
 from . import dedup_suite  # noqa: E402,F401
+from . import streaming_suite  # noqa: E402,F401
+from . import index_suite  # noqa: E402,F401
+from . import multimodal_suite  # noqa: E402,F401

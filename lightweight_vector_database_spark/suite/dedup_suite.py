@@ -115,10 +115,18 @@ WHERE common > 0 AND common::DOUBLE / (n1 + n2 - common) >= 0.02
 
 
 def _minhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (xxhash64 signatures -> no SQL
-    oracle; recall/precision invariants are pytest-checked)."""
+    """MinHash+LSH near-dup candidates on 3-gram shingles (xxhash64
+    signatures -> no SQL oracle; recall/precision invariants are
+    pytest-checked).
+
+    Shingles, not unigrams: with this corpus's 31-word vocabulary,
+    unigram token sets collide pathologically (every doc shares most
+    tokens with every other) and LSH degenerates to an all-pairs join —
+    7.9M candidates from 5k docs. 3-gram shingle sets are near-unique
+    per doc, which is exactly why shingling is the standard for
+    near-dup detection."""
     docs = load_table(spark, sf_dir, "documents")
-    out = D.minhash_dedup_candidates(docs, num_hashes=32, bands=8)
+    out = D.minhash_dedup_candidates(docs, num_hashes=32, bands=8, ngram=3)
     return out.select(
         "id1", "id2", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
     )

@@ -1,0 +1,62 @@
+"""Grid-index queries: cell assignment (oracle-checked against the
+same quantization arithmetic in SQL) and index-pruned exact kNN
+(oracle = brute-force SQL, since pruning never changes results)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.grid_index import GridIndex, build_index, knn_indexed
+from ..probes import DIM, probe_vector
+from ..sources import load_table
+from . import register
+from .knn_suite import _knn_oracle
+
+# embeddings fixture geometry: values in ~[-0.45, 0.49]
+_LOWER = [-0.5] * DIM
+_UPPER = [0.5] * DIM
+_INDEX = GridIndex(_LOWER, _UPPER, num_splits=2, depth=6)
+_PROBE = probe_vector(seed=11)
+
+
+def _cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = build_index(emb, _INDEX)
+    return assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _cell_sql() -> str:
+    # same quantization as GridIndex.cell_expr: one level per dim,
+    # digit = clamp(floor((x - lo) / (hi - lo) * bins), 0, bins-1)
+    bins = _INDEX.bins
+    terms = []
+    for level in range(_INDEX.depth):
+        lo, hi = _LOWER[level], _UPPER[level]
+        digit = (
+            f"least(greatest(CAST(floor((CAST(embedding[{level + 1}] AS DOUBLE)"
+            f" - {lo}) / {hi - lo} * {bins}) AS BIGINT), 0), {bins - 1})"
+        )
+        terms.append(f"{digit} * {bins ** (_INDEX.depth - 1 - level)}")
+    return " + ".join(terms)
+
+
+register(
+    "grid_index_cell_stats",
+    _cell_stats,
+    f"""
+SELECT ({_cell_sql()}) AS cell_id, count(*) AS n
+FROM embeddings GROUP BY 1
+""",
+)
+
+
+def _knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = build_index(emb, _INDEX)
+    out = knn_indexed(assigned, _INDEX, _PROBE, k=10)
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
+# exact pruning -> identical to brute force; reuse the brute-force oracle
+register("knn_grid_indexed", _knn_grid, _knn_oracle("euclidean_sq", _PROBE))

@@ -1,0 +1,103 @@
+"""Streaming-window queries — batch twins over ``events`` (the oracle
+checks window semantics; true streaming execution is pytest-verified
+in tests/test_streaming.py with the same functions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load_table
+from ..streaming.windows import (
+    first_event_per_key,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from . import register
+
+_Q6_SQL = (
+    "(CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)"
+)
+
+
+def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+register(
+    "stream_tumbling_1h",
+    _tumbling,
+    f"""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       count(*) AS n, {_Q6_SQL} AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+
+
+def _sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(load_table(spark, sf_dir, "events"), "1 hour", "15 minutes")
+
+
+# each event belongs to 4 windows: starts at 15-min-floor(ts) - k*15min
+register(
+    "stream_sliding_1h_15m",
+    _sliding,
+    f"""
+WITH expanded AS (
+  SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)
+                  - o * INTERVAL '15 minutes') AS window_start_us, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o)
+)
+SELECT window_start_us, count(*) AS n, {_Q6_SQL} AS sum_value
+FROM expanded GROUP BY 1
+""",
+)
+
+
+def _session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+# gaps-and-islands formulation of gap-based sessions
+register(
+    "stream_session_30m",
+    _session,
+    f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n, {_Q6_SQL} AS sum_value
+FROM numbered GROUP BY user_id, session_id
+""",
+)
+
+
+def _first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = first_event_per_key(load_table(spark, sf_dir, "events"))
+    return out.select("event_id", "user_id", "event_type")
+
+
+register(
+    "stream_dedup_first_event",
+    _first_per_key,
+    """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)

@@ -1,0 +1,87 @@
+"""Grid index: brute-force equality (stronger than the reference's own
+tests — SURVEY.md §5 suggested it), index/store consistency invariant
+(tests:20-28 analogue), and pruning effectiveness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lightweight_vector_database_spark.operators.knn import knn
+from lightweight_vector_database_spark.plans.grid_index import (
+    GridIndex,
+    build_index,
+    index_stats,
+    knn_indexed,
+)
+from lightweight_vector_database_spark.probes import DIM, probe_vector
+from lightweight_vector_database_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = GridIndex([-0.5] * DIM, [0.5] * DIM, num_splits=2, depth=6)
+    assigned = build_index(emb, idx).cache()
+    return emb, idx, assigned, index_stats(assigned)
+
+
+def test_index_store_consistency(indexed):
+    emb, idx, assigned, stats = indexed
+    # sum of per-cell counts == table count (reference
+    # _debug_compute_length_from_tree invariant, tests:20-28)
+    assert sum(stats.values()) == emb.count()
+
+
+@pytest.mark.parametrize("seed,metric", [(0, "euclidean_sq"), (7, "euclidean_sq"),
+                                         (3, "manhattan"), (5, "chebyshev")])
+def test_indexed_equals_bruteforce(indexed, seed, metric):
+    emb, idx, assigned, stats = indexed
+    probe = probe_vector(seed=seed)
+    exact = [(r.vec_id, round(r.dist, 9)) for r in knn(emb, probe, 10, metric=metric).collect()]
+    got = [
+        (r.vec_id, round(r.dist, 9))
+        for r in knn_indexed(assigned, idx, probe, 10, metric=metric, stats=stats).collect()
+    ]
+    assert got == exact
+
+
+def test_indexed_with_filter(indexed):
+    emb, idx, assigned, stats = indexed
+    probe = probe_vector(seed=2)
+    pred = F.col("label") == 3
+    exact = [r.vec_id for r in knn(emb, probe, 10, pred=pred).collect()]
+    got = [
+        r.vec_id
+        for r in knn_indexed(assigned, idx, probe, 10, stats=stats, pred=pred).collect()
+    ]
+    assert got == exact
+
+
+def test_lower_bounds_are_valid(indexed):
+    # every cell's bound must not exceed the true min distance of its rows
+    emb, idx, assigned, stats = indexed
+    probe = probe_vector(seed=4)
+    rows = assigned.select("cell_id", "embedding").collect()
+    p = np.asarray(probe)
+    true_min: dict[int, float] = {}
+    for r in rows:
+        d = float(((np.asarray(r.embedding, dtype=np.float64) - p) ** 2).sum())
+        true_min[r.cell_id] = min(true_min.get(r.cell_id, np.inf), d)
+    cells = sorted(true_min)
+    bounds = idx.lower_bound_dists(probe, cells)
+    for c, b in zip(cells, bounds):
+        assert b <= true_min[c] + 1e-9
+
+
+def test_out_of_bounds_point_is_found(spark, indexed):
+    # clamped points (outside the declared box) must still be exact
+    emb, idx, assigned, stats = indexed
+    far = [1.5] * DIM  # way outside [-0.5, 0.5]
+    extra = spark.createDataFrame(
+        [(99_999, [1.5] * DIM, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    assigned2 = build_index(emb.unionByName(extra), idx)
+    got = knn_indexed(assigned2, idx, far, 1).first()
+    assert got.vec_id == 99_999

@@ -1,0 +1,117 @@
+"""True Structured Streaming execution: the same window functions used
+by the batch-twin queries, run through readStream -> memory sink with
+availableNow, must equal the batch results. Plus a custom stateful
+operator via applyInPandasWithState."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightweight_vector_database_spark.sources import load_table
+from lightweight_vector_database_spark.streaming.windows import (
+    session_agg,
+    stream_events,
+    tumbling_agg,
+)
+
+
+def _run_stream(df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name != "dedup" else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    batch = {
+        tuple(r)
+        for r in tumbling_agg(load_table(spark, sf_dir, "events")).collect()
+    }
+    stream = tumbling_agg(stream_events(spark, sf_dir))
+    _run_stream(stream, "tumbling_t")
+    assert _rows(spark, "tumbling_t") == batch
+
+
+def test_streaming_session_equals_batch(spark, sf_dir):
+    batch = {
+        tuple(r)
+        for r in session_agg(load_table(spark, sf_dir, "events")).collect()
+    }
+    stream = session_agg(stream_events(spark, sf_dir))
+    _run_stream(stream, "session_t")
+    assert _rows(spark, "session_t") == batch
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    ev = stream_events(spark, sf_dir, watermark="2 hours")
+    dedup = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark, "dedup_t")
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == batch_keys  # one row per key
+
+
+def test_stateful_running_count(spark, sf_dir):
+    """Custom stateful streaming op: per-user running event count via
+    applyInPandasWithState."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def count_fn(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    ev = stream_events(spark, sf_dir, watermark="2 hours")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        count_fn,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: r.n_events for r in spark.sql("SELECT * FROM state_t").collect()}
+    batch = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # final state per user must equal the batch count
+    assert got == batch
