@@ -152,15 +152,17 @@ def mahalanobis_full_udf(inv_cov) -> Callable[[Column, Sequence[float]], Column]
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     inv = np.asarray(inv_cov, dtype=np.float64)
 
     def builder(a: Column | str, probe: Sequence[float]) -> Column:
         p = np.asarray(list(probe), dtype=np.float64)
 
-        @pandas_udf("double")
-        def _dist(vecs: pd.Series) -> pd.Series:
+        # explicit functionType: type-hint inference can't resolve
+        # locally-imported pandas annotations
+        @pandas_udf("double", PandasUDFType.SCALAR)
+        def _dist(vecs):
             m = np.stack(vecs.to_numpy()).astype(np.float64)
             d = m - p
             return pd.Series(np.einsum("ij,jk,ik->i", d, inv, d))

@@ -1,0 +1,50 @@
+"""Sinks: parquet/csv/json writers with the partitioning that makes
+the 100 TB read path work.
+
+``write_indexed_snapshot`` is the load-bearing one: persisting the
+vector snapshot partitioned by ``cell_id`` turns the grid index's
+IN-list candidate filters (plans/grid_index.py) into directory-level
+partition pruning — a probe query then opens only the candidate
+cells' files instead of scanning the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_indexed_snapshot(assigned: DataFrame, path: str) -> None:
+    """Vector snapshot partitioned by grid cell (see module doc)."""
+    write_parquet(assigned, path, partition_by=["cell_id"])
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).json(path)

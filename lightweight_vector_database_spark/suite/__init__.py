@@ -31,6 +31,7 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 from . import knn_suite  # noqa: E402,F401
 from . import crud_suite  # noqa: E402,F401
 from . import relational_suite  # noqa: E402,F401
+from . import relational_suite2  # noqa: E402,F401
 from . import text_suite  # noqa: E402,F401
 from . import dedup_suite  # noqa: E402,F401
 from . import streaming_suite  # noqa: E402,F401
