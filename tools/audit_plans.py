@@ -1,0 +1,93 @@
+"""Physical-plan audit for every suite query: surfaces the properties
+that matter at 100 TB — join strategies, parquet pushdown, shuffle
+(Exchange) counts, Python/Arrow boundaries, cartesian products.
+
+Usage: python tools/audit_plans.py [sf_dir] > PLANS.md
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Python boundaries that are intentional (documented Arrow paths)
+EXPECTED_PYTHON = {
+    "knn_join_topk",  # partial top-k reduction (mapInPandas)
+    "dedup_minhash_candidates",  # none actually; verify
+    "multimodal_features",  # fake decoder mapInPandas
+    "multimodal_frame_sample",
+    "udaf_grouped_events",  # grouped-agg pandas UDAF
+}
+
+
+def audit(name: str, plan: str) -> dict:
+    return {
+        "broadcast_joins": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "shuffle_hash_joins": plan.count("ShuffledHashJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "exchanges": plan.count("Exchange"),
+        "python": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|AggregateInPandas|BatchEvalPython", plan)),
+        "row_python": plan.count("BatchEvalPython"),
+        "take_ordered": "TakeOrderedAndProject" in plan,
+        "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+    }
+
+
+def main() -> int:
+    from lightweight_vector_database_spark.session import get_spark
+    from lightweight_vector_database_spark.suite import QUERIES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("# PLANS — physical-plan audit (tools/audit_plans.py)\n")
+    print(f"sf_dir: {sf_dir}; AQE on (final plans may improve at runtime).\n")
+    print(
+        "| query | joins (bc/smj/shj) | exchanges | python ops | "
+        "TakeOrdered | pushdown | notes |"
+    )
+    print("|---|---|---|---|---|---|---|")
+
+    warnings: list[str] = []
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"| {name} | ERROR | | | | | {str(e)[:60]} |")
+            continue
+        a = audit(name, plan)
+        notes = []
+        if a["cartesian"]:
+            notes.append(f"{a['cartesian']} cartesian")
+        if a["row_python"]:
+            warnings.append(f"{name}: row-at-a-time Python (BatchEvalPython)")
+            notes.append("ROW PYTHON")
+        if a["python"] and name not in EXPECTED_PYTHON:
+            warnings.append(f"{name}: unexpected Python boundary")
+            notes.append("unexpected python")
+        print(
+            f"| {name} | {a['broadcast_joins']}/{a['sortmerge_joins']}/"
+            f"{a['shuffle_hash_joins']} | {a['exchanges']} | {a['python']} | "
+            f"{'y' if a['take_ordered'] else ''} | {'y' if a['pushed'] else ''} | "
+            f"{', '.join(notes)} |"
+        )
+
+    print()
+    if warnings:
+        print("## Warnings\n")
+        for w in warnings:
+            print(f"- {w}")
+    else:
+        print("No plan warnings: no row-at-a-time Python, no unexpected "
+              "Arrow boundaries outside the documented paths.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
