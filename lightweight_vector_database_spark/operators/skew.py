@@ -1,0 +1,91 @@
+"""Skew mitigation operators — the 100 TB survival kit.
+
+AQE's skew-join splitting handles sort-merge join skew automatically,
+but two patterns still need explicit salting at scale:
+
+- ``salted_agg``: high-cardinality-value aggregation where one key
+  dominates (power-law keys). Two-level aggregation: partial agg on
+  (key, salt) spreads the hot key over N reducers, then a final agg
+  on key merges the partials. Works for any algebraic aggregate
+  (sum/count/min/max — pass the merge form).
+- ``salted_join``: broadcast is plan A for skewed joins; when the
+  build side is too big to broadcast, explode it N ways and salt the
+  probe side, so the hot key's rows land in N tasks instead of one.
+
+Both are pure DataFrame transforms; correctness is partitioning-
+independent (tested by comparing against the unsalted plan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-level skew-safe aggregation.
+
+    ``aggs``: name -> (partial_agg_expr, final_merge_expr) where the
+    final expr references the partial column by name, e.g.::
+
+        salted_agg(df, ["k"], {
+            "n":     (F.count(F.lit(1)),  F.sum("n")),
+            "total": (F.sum("v"),         F.sum("total")),
+            "mx":    (F.max("v"),         F.max("mx")),
+        })
+    """
+    salted = df.withColumn(
+        "__salt", F.floor(F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge.alias(name) for name, (_, merge) in aggs.items()]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi-join: salt the (large, skewed) left side, explode
+    the right side across all salt values. Output == plain join.
+
+    Right-side cost is x``salt_buckets`` rows — use when right is
+    mid-sized (too big to broadcast, small enough to replicate N ways).
+    """
+    on = list(on)
+    l2 = left.withColumn(
+        "__salt", F.floor(F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    r2 = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")),
+    )
+    out = l2.join(r2, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
+def top_frequent_keys(
+    df: DataFrame, key: str, min_share: float = 0.01, sample_fraction: float = 0.05
+) -> list:
+    """Detect hot keys from a sample — the input to a targeted
+    hot/cold split (broadcast the hot keys' rows, shuffle the rest)."""
+    total = df.count()
+    if total == 0:
+        return []
+    sampled = df.sample(fraction=min(1.0, sample_fraction), seed=42)
+    counts = sampled.groupBy(key).agg(F.count(F.lit(1)).alias("n")).collect()
+    sample_n = sum(r.n for r in counts) or 1
+    return [r[0] for r in counts if r.n / sample_n >= min_share]

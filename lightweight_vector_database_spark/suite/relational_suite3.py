@@ -1,0 +1,300 @@
+"""Engine surface, part 3: TF-IDF, vector arithmetic, a 6-way TPC-H
+Q5-style join, string distance, first/last/nth window values, date
+series generation, nested struct / from_json."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources import load_table
+from . import register
+from .relational_suite import _dsum, _dsum_sql
+
+
+# --- TF-IDF ----------------------------------------------------------------
+
+def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc (doc_id < 30). idf = ln((N+1)/(df+1))+1;
+    integer tf/df counts -> the only float op is one ln + one divide,
+    identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.filter(F.col("doc_id") < 30)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+register(
+    "tfidf_top_terms",
+    _tfidf,
+    """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n + 1.0) / (dfc.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored WHERE doc_id < 30
+) WHERE rnk <= 3
+""",
+)
+
+
+# --- vector arithmetic ------------------------------------------------------
+
+def _vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize / scale / add as higher-order functions (vec_id < 30):
+    the vector-math surface beyond distances."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+    unit = F.transform(v, lambda x: x / norm)
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2"),
+        F.round(F.element_at(unit, 1), 6).alias("unit_0"),
+        F.round(
+            F.aggregate(
+                F.zip_with(unit, unit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("unit_norm_sq"),
+        F.round(F.element_at(F.transform(v, lambda x: x * 2.0 + 1.0), 2), 6).alias(
+            "scaled_1"
+        ),
+    )
+
+
+register(
+    "vector_arithmetic",
+    _vector_ops,
+    """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings WHERE vec_id < 30
+), n AS (
+  SELECT vec_id, vd,
+         sqrt(list_sum(list_transform(vd, x -> x * x))) AS l2 FROM v
+)
+SELECT vec_id, round(l2, 6) AS l2,
+       round(vd[1] / l2, 6) AS unit_0,
+       round(list_sum(list_transform(vd, x -> (x / l2) * (x / l2))), 6) AS unit_norm_sq,
+       round(vd[2] * 2.0 + 1.0, 6) AS scaled_1
+FROM n
+""",
+)
+
+
+# --- Q5-style 6-way join ----------------------------------------------------
+
+def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(revenue, 4).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+register(
+    "q5_revenue_by_nation",
+    _q5,
+    f"""
+SELECT r_name, n_name,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+
+
+# --- string distance --------------------------------------------------------
+
+def _string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 60)
+    return part.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#22")).cast("long").alias(
+            "lev_to_b22"
+        ),
+        F.levenshtein(
+            F.split(F.col("p_name"), " ").getItem(0),
+            F.split(F.col("p_name"), " ").getItem(1),
+        ).cast("long").alias("lev_first_two"),
+    )
+
+
+register(
+    "string_distance_part",
+    _string_distance,
+    """
+SELECT p_partkey,
+       CAST(levenshtein(p_brand, 'Brand#22') AS BIGINT) AS lev_to_b22,
+       CAST(levenshtein(split_part(p_name, ' ', 1),
+                        split_part(p_name, ' ', 2)) AS BIGINT) AS lev_first_two
+FROM part WHERE p_partkey < 60
+""",
+)
+
+
+# --- first/last/nth window values ------------------------------------------
+
+def _first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+register(
+    "window_first_last_nth",
+    _first_last,
+    """
+SELECT o_orderkey, o_custkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER w AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders WHERE o_custkey < 30
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+
+
+# --- generated date series --------------------------------------------------
+
+def _date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar generation (sequence + explode) left-joined with order
+    counts per month — the time-dimension pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1996-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    )
+    per_month = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        months.join(per_month, "month_start", "left")
+        .na.fill(0, ["n_orders"])
+        .select(
+            F.date_format("month_start", "yyyy-MM-dd").alias("month"), "n_orders"
+        )
+    )
+
+
+register(
+    "date_series_order_counts",
+    _date_series,
+    """
+WITH months AS (
+  SELECT unnest(generate_series(DATE '1995-01-01', DATE '1996-12-01',
+                                INTERVAL 1 MONTH))::DATE AS month_start
+), per_month AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS month_start,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT strftime(m.month_start, '%Y-%m-%d') AS month,
+       coalesce(p.n_orders, 0) AS n_orders
+FROM months m LEFT JOIN per_month p USING (month_start)
+""",
+)
+
+
+# --- nested struct / from_json ---------------------------------------------
+
+def _struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    parsed = F.from_json(F.col("props"), "k int")
+    nested = F.struct(
+        F.col("event_type").alias("etype"),
+        parsed["k"].alias("k"),
+    )
+    return ev.withColumn("info", nested).select(
+        "event_id",
+        F.col("info.etype").alias("etype"),
+        (F.col("info.k") * 2).cast("long").alias("k2"),
+        F.to_json(F.struct(F.col("info.k").alias("k"))).alias("rejson"),
+    )
+
+
+register(
+    "struct_json_events",
+    _struct_json,
+    """
+SELECT event_id, event_type AS etype,
+       CAST(CAST(props->>'k' AS INTEGER) * 2 AS BIGINT) AS k2,
+       concat('{"k":', CAST(props->>'k' AS INTEGER), '}') AS rejson
+FROM events WHERE event_id < 200
+""",
+)

@@ -1,0 +1,71 @@
+"""Skew operators: salted plans must equal their unsalted twins on a
+deliberately skewed dataset (one key owning 90% of rows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 0 gets 9000 rows, keys 1..100 get 10 each
+    hot = spark.range(9000).select(
+        F.lit(0).alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    cold = spark.range(1000).select(
+        (F.col("id") % 100 + 1).alias("k"), (F.col("id") % 31).cast("double").alias("v")
+    )
+    return hot.unionByName(cold).cache()
+
+
+def test_salted_agg_equals_plain(skewed):
+    from lightweight_vector_database_spark.operators.skew import salted_agg
+
+    plain = {
+        (r.k): (r.n, r.total, r.mx)
+        for r in skewed.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.k): (r.n, r.total, r.mx)
+        for r in salted_agg(
+            skewed,
+            ["k"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "total": (F.sum("v"), F.sum("total")),
+                "mx": (F.max("v"), F.max("mx")),
+            },
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark, skewed):
+    from lightweight_vector_database_spark.operators.skew import salted_join
+
+    dims = spark.range(101).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("name")
+    )
+    plain = {
+        (r.k, r.v, r.name)
+        for r in skewed.join(dims, "k").collect()
+    }
+    salted = {
+        (r.k, r.v, r.name)
+        for r in salted_join(skewed, dims, ["k"], salt_buckets=4).collect()
+    }
+    assert plain == salted
+
+
+def test_top_frequent_keys_finds_hot_key(skewed):
+    from lightweight_vector_database_spark.operators.skew import top_frequent_keys
+
+    hot = top_frequent_keys(skewed, "k", min_share=0.5, sample_fraction=0.2)
+    assert hot == [0]
