@@ -21,6 +21,8 @@ HEADLINE = [
     "knn_grid_indexed",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "tfidf_top_terms",
     "asof_join_purchase_click",
     "window_rank_orders",
     "agg_rollup_lineitem",

@@ -44,9 +44,11 @@ from ..operators.knn import knn
 class GridIndex:
     """Index geometry: bounds, splits per level, depth.
 
-    depth levels use dims 0..depth-1 (round-robin ``l % dim`` as in
-    kd_tree_database.py:19-22; with depth <= dim each level owns one
-    dim, so cell boxes are plain per-dim intervals).
+    Levels visit dims round-robin (``l % dim``, kd_tree_database.py
+    :19-22). depth may exceed dim: revisits refine the dim's interval
+    equal-width (the reference's recursive child bounds, :43-57), which
+    in closed form makes the j-th visit's child index the j-th
+    bins-ary digit of the normalized coordinate.
     """
 
     def __init__(
@@ -59,28 +61,59 @@ class GridIndex:
         self.lower = np.asarray(list(lower), dtype=np.float64)
         self.upper = np.asarray(list(upper), dtype=np.float64)
         self.dim = len(self.lower)
-        if depth > self.dim:
-            raise ValueError("depth must be <= dim (one level per dim)")
         self.bins = num_splits + 1  # reference: num_splits+1 children, :64-69
         self.depth = depth
+        # depth > dim revisits dims round-robin (reference :19-22) with
+        # nested equal-width refinement; the j-th visit of dim d is the
+        # j-th bins-ary digit of the normalized coordinate.
+
+    @classmethod
+    def for_table(
+        cls,
+        lower: Sequence[float],
+        upper: Sequence[float],
+        n_rows: int,
+        target_cell_rows: int = 256,
+        num_splits: int = 2,
+        max_depth: int = 12,
+    ) -> "GridIndex":
+        """Pick depth so the expected non-empty cell holds about
+        ``target_cell_rows`` rows — the reference's max_leaf_size knob
+        (kd_tree_database.py:98) as a build-time sizing rule."""
+        import math
+
+        bins = num_splits + 1
+        depth = 1
+        while bins**depth * target_cell_rows < n_rows and depth < max_depth:
+            depth += 1
+        return cls(lower, upper, num_splits=num_splits, depth=depth)
 
     # --- build side ----------------------------------------------------
 
     def cell_expr(self, vec_col: str = "embedding") -> Column:
         """cell_id as a single long: base-``bins`` digits of the
         per-level child indices (reference _get_child_index_impl
-        :59-70: floor(norm * bins), clamped)."""
+        :59-70: floor(norm * bins), clamped). Level l is the
+        (l // dim)-th visit of dim (l % dim); nested equal-width
+        refinement makes that visit's child index the (l//dim)-th
+        bins-ary digit of the clamped normalized coordinate."""
         v = F.col(vec_col).cast("array<double>")
         cell = F.lit(0).cast("long")
         for level in range(self.depth):
             d = level % self.dim
+            j = level // self.dim
             lo, hi = float(self.lower[d]), float(self.upper[d])
             norm = (F.element_at(v, d + 1) - F.lit(lo)) / F.lit(hi - lo)
-            idx = F.least(
-                F.greatest(F.floor(norm * self.bins), F.lit(0)).cast("long"),
-                F.lit(self.bins - 1).cast("long"),
+            scaled = F.floor(norm * float(self.bins ** (j + 1))).cast("long")
+            digit = F.pmod(scaled, F.lit(self.bins))
+            # clamp out-of-range coords into the edge cells at every level
+            digit = (
+                F.when(norm < 0, F.lit(0))
+                .when(norm >= 1, F.lit(self.bins - 1))
+                .otherwise(digit)
+                .cast("long")
             )
-            cell = cell * self.bins + idx
+            cell = cell * self.bins + digit
         return cell
 
     # --- query side (driver-local geometry, no Spark) -------------------
@@ -104,15 +137,24 @@ class GridIndex:
         p = np.asarray(list(probe), dtype=np.float64)
         cells = np.asarray(list(cell_ids), dtype=np.int64)
         digits = self._digits(cells)
-        gaps = np.zeros((len(cells), self.depth), dtype=np.float64)
-        for level in range(self.depth):
-            d = level % self.dim
-            w = (self.upper[d] - self.lower[d]) / self.bins
-            lo = self.lower[d] + digits[:, level] * w
-            hi = lo + w
-            lo = np.where(digits[:, level] == 0, -np.inf, lo)
-            hi = np.where(digits[:, level] == self.bins - 1, np.inf, hi)
-            gaps[:, level] = np.maximum(0.0, np.maximum(lo - p[d], p[d] - hi))
+        used_dims = sorted({level % self.dim for level in range(self.depth)})
+        gaps = np.zeros((len(cells), len(used_dims)), dtype=np.float64)
+        for di, d in enumerate(used_dims):
+            levels = [l for l in range(self.depth) if l % self.dim == d]
+            span = self.upper[d] - self.lower[d]
+            # combine this dim's digits (successive bins-ary refinement)
+            # into one interval [frac_lo, frac_lo + bins^-J) of the range
+            frac_lo = np.zeros(len(cells), dtype=np.float64)
+            for j, level in enumerate(levels):
+                frac_lo += digits[:, level] * float(self.bins) ** -(j + 1)
+            width = float(self.bins) ** -len(levels)
+            lo = self.lower[d] + frac_lo * span
+            hi = lo + width * span
+            all_low = np.all(digits[:, levels] == 0, axis=1)
+            all_high = np.all(digits[:, levels] == self.bins - 1, axis=1)
+            lo = np.where(all_low, -np.inf, lo)
+            hi = np.where(all_high, np.inf, hi)
+            gaps[:, di] = np.maximum(0.0, np.maximum(lo - p[d], p[d] - hi))
         if metric == "euclidean_sq":
             return (gaps**2).sum(axis=1)
         if metric == "manhattan":

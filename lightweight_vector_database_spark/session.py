@@ -16,9 +16,14 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "lvdb-spark", cpus: str | None = None) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # local mode: driver == executors, so driver memory IS the cluster
+    # memory; the 1g default OOMs at a few million rows x 32 threads.
+    # Must be set before the JVM launches (no effect on a live session).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     return (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

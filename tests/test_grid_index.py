@@ -85,3 +85,29 @@ def test_out_of_bounds_point_is_found(spark, indexed):
     assigned2 = build_index(emb.unionByName(extra), idx)
     got = knn_indexed(assigned2, idx, far, 1).first()
     assert got.vec_id == 99_999
+
+
+def test_deep_index_low_dim(spark):
+    # depth > dim: round-robin revisits with nested refinement
+    # (reference trees grow deeper than dim for dim=2 fixtures)
+    import numpy as np
+    from lightweight_vector_database_spark.operators.knn import knn
+
+    rng = np.random.RandomState(0)
+    rows = [(i, rng.random(2).astype("float32").tolist(), 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    idx = GridIndex([0.0, 0.0], [1.0, 1.0], num_splits=2, depth=6)  # 729 cells on 2 dims
+    assigned = build_index(df, idx).cache()
+    stats = index_stats(assigned)
+    assert sum(stats.values()) == 400
+    assert len(stats) > 50  # refinement actually spreads cells
+    probe = [1 / 3, 2 / 3]
+    exact = [r.vec_id for r in knn(df, probe, 10).collect()]
+    got = [r.vec_id for r in knn_indexed(assigned, idx, probe, 10, stats=stats).collect()]
+    assert got == exact
+
+
+def test_for_table_depth_sizing(spark):
+    idx = GridIndex.for_table([0] * 4, [1] * 4, n_rows=100_000, target_cell_rows=256, num_splits=2)
+    assert 3**idx.depth * 256 >= 100_000
+    assert 3 ** (idx.depth - 1) * 256 < 100_000
