@@ -110,6 +110,53 @@ def ivf_search(
     return scored.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def lsh_near_pairs(
+    df: DataFrame,
+    max_cos_dist: float,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: OR-amplified hyperplane LSH.
+
+    Candidates = pairs sharing a bucket in ANY of ``n_tables``
+    independent hash tables (recall amplification), then the exact
+    cosine distance filters to ``max_cos_dist``. Work is linear in
+    rows x tables plus the (small) candidate join — never the O(n^2)
+    cross join of the exact baseline (dedup.embedding_topk_pairs).
+    """
+    from ..functions.distance import cosine_distance
+
+    dim = len(df.select(vec_col).first()[0])
+    tagged = df
+    bucket_cols = []
+    for t in range(n_tables):
+        tagged = cosine_lsh_buckets(
+            tagged, n_planes=n_planes, dim=dim, vec_col=vec_col, seed=100 + t
+        ).withColumnRenamed("bucket", f"__b{t}")
+        bucket_cols.append(f"__b{t}")
+    slim = tagged.select(F.col(id_col).alias("id"), vec_col, *bucket_cols)
+
+    cands = None
+    for t, bc in enumerate(bucket_cols):
+        a = slim.select(F.col(bc).alias("bk"), F.col("id").alias("id1"))
+        b = slim.select(F.col(bc).alias("bk"), F.col("id").alias("id2"))
+        p = a.join(b, "bk").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+
+    v1 = slim.select(F.col("id").alias("id1"), F.col(vec_col).alias("__v1"))
+    v2 = slim.select(F.col("id").alias("id2"), F.col(vec_col).alias("__v2"))
+    return (
+        cands.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cos_dist", cosine_distance(F.col("__v1"), F.col("__v2")))
+        .filter(F.col("cos_dist") <= max_cos_dist)
+        .select("id1", "id2", "cos_dist")
+    )
+
+
 def cosine_lsh_buckets(
     df: DataFrame,
     n_planes: int = 8,

@@ -30,6 +30,7 @@ def get_spark(app_name: str = "lvdb-spark", cpus: str | None = None) -> SparkSes
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir", "/tmp/lvdb_warehouse")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

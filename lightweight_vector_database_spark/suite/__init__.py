@@ -38,3 +38,4 @@ from . import dedup_suite  # noqa: E402,F401
 from . import streaming_suite  # noqa: E402,F401
 from . import index_suite  # noqa: E402,F401
 from . import multimodal_suite  # noqa: E402,F401
+from . import udf_suite  # noqa: E402,F401

@@ -143,6 +143,45 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("dedup_simhash_docs", _simhash)  # rows-only
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS via iterative connected components over the
+    jaccard>=0.95 pair graph (operators/graph.py driver-loop joins);
+    oracle is a DuckDB recursive CTE computing min reachable label."""
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.95)
+    return dedup_clusters(docs, pairs).select("doc_id", "cluster", "is_keeper")
+
+
+register(
+    "dedup_connected_clusters",
+    _dedup_clusters,
+    """
+WITH RECURSIVE s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p
+), reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster,
+       d.doc_id = coalesce(c.component, d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+""",
+)
+
+
 def _emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = D.embedding_topk_pairs(emb, k=20)

@@ -1,0 +1,55 @@
+"""Grouped-map applyInPandas surface: per-group z-score normalization.
+
+The UDF computes its mean from floor-quantized int64 sums, so results
+are identical under any row order / partitioning — which is what lets
+a pandas-side computation match a SQL oracle exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import register
+
+
+def _zscore_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(pdf["value"].to_numpy() * 1e6).astype("int64")
+        n = len(q)
+        mean = (q.sum() / n) / 1e6  # same division order as the oracle
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "centered": np.round(pdf["value"].to_numpy() - mean, 6),
+                "group_n": n,
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, centered double, group_n long"
+    )
+
+
+register(
+    "grouped_map_zscore",
+    _zscore_grouped,
+    """
+WITH g AS (
+  SELECT event_type,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / count(*) / 1000000.0 AS mean,
+         count(*) AS group_n
+  FROM events WHERE event_id < 500 GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, round(e.value - g.mean, 6) AS centered,
+       g.group_n
+FROM events e JOIN g USING (event_type)
+WHERE e.event_id < 500
+""",
+)

@@ -60,3 +60,34 @@ def test_lsh_buckets_group_similar(spark, emb):
         n_planes=6,
     ).first()
     assert again.bucket == dup.bucket
+
+
+def test_lsh_near_pairs_recall(spark):
+    # clustered vectors with genuine near-dups (fixture embeddings have
+    # none): 50 base vectors, each with a jittered twin
+    rng = np.random.RandomState(11)
+    base = rng.randn(50, 64)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, (v / np.linalg.norm(v)).astype("float32").tolist()))
+        w = v + rng.randn(64) * 0.05
+        rows.append((2 * i + 1, (w / np.linalg.norm(w)).astype("float32").tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from lightweight_vector_database_spark.operators.dedup import embedding_topk_pairs
+    from lightweight_vector_database_spark.operators.similarity import lsh_near_pairs
+
+    exact = {
+        (r.id1, r.id2)
+        for r in embedding_topk_pairs(df, k=200).collect()
+        if r.cos_dist <= 0.01
+    }
+    assert len(exact) >= 40  # twins are near-dups
+    got = {
+        (r.id1, r.id2)
+        for r in lsh_near_pairs(df, max_cos_dist=0.01, n_planes=8, n_tables=4).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9
+    assert got <= {(r.id1, r.id2) for r in embedding_topk_pairs(df, k=10000).collect()
+                   if r.cos_dist <= 0.01}  # no false accepts past the exact filter
