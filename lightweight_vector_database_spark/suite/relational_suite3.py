@@ -271,6 +271,41 @@ FROM months m LEFT JOIN per_month p USING (month_start)
 )
 
 
+# --- aggregate extras: min_by/max_by, sorted list agg, bool aggs ------------
+
+def _agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # make the ordering value unique so min_by/max_by ties can't differ
+    # between engines: price + orderkey * 1e-9 is injective here
+    uniq = F.col("o_totalprice") + F.col("o_orderkey") / F.lit(1e9)
+    return (
+        orders.withColumn("__u", uniq)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("max_by(o_orderkey, __u)").alias("top_order"),
+            F.expr("min_by(o_orderkey, __u)").alias("bottom_order"),
+            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 450_000).alias("any_jumbo"),
+        )
+    )
+
+
+register(
+    "agg_extras_orders",
+    _agg_extras,
+    """
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice + o_orderkey / 1000000000.0) AS top_order,
+       arg_min(o_orderkey, o_totalprice + o_orderkey / 1000000000.0) AS bottom_order,
+       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_totalprice > 450000) AS any_jumbo
+FROM orders GROUP BY o_orderpriority
+""",
+)
+
+
 # --- nested struct / from_json ---------------------------------------------
 
 def _struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
