@@ -115,3 +115,75 @@ def test_stateful_running_count(spark, sf_dir):
     }
     # final state per user must equal the batch count
     assert got == batch
+
+
+def test_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks + time-range condition:
+    each purchase joined to the same user's clicks in the preceding
+    hour. Checked against the identical batch join."""
+    purchases = (
+        stream_events(spark, sf_dir, watermark="2 hours")
+        .filter("event_type = 'purchase'")
+        .selectExpr("event_id AS p_id", "user_id", "ts AS p_ts")
+    )
+    clicks = (
+        stream_events(spark, sf_dir, watermark="2 hours")
+        .filter("event_type = 'click'")
+        .selectExpr("event_id AS c_id", "user_id AS c_user", "ts AS c_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            user_id = c_user AND
+            c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+            """
+        ),
+    ).select("p_id", "c_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark, "ss_join_t")
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS p_id", "user_id", "ts AS p_ts"
+    )
+    c = ev.filter("event_type = 'click'").selectExpr(
+        "event_id AS c_id", "user_id AS c_user", "ts AS c_ts"
+    )
+    batch = {
+        tuple(r)
+        for r in p.join(
+            c,
+            F.expr(
+                "user_id = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+            ),
+        )
+        .select("p_id", "c_id")
+        .collect()
+    }
+    assert got == batch
+    assert len(batch) > 0
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: arbitrary sink logic (upsert-style write) driven
+    by the streaming engine."""
+    seen = []
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(str(tmp_path / "fb_out"))
+        seen.append(epoch_id)
+
+    ev = stream_events(spark, sf_dir).select("event_id", "event_type")
+    q = ev.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "fb_out"))
+    assert back.count() == load_table(spark, sf_dir, "events").count()
+    assert len(seen) >= 1
