@@ -53,9 +53,19 @@ def knn(
     (database.py:31-48) as a declarative plan."""
     if pred is not None:
         df = df.filter(pred)  # filter-before-topk, kd_tree_database.py:186-190
-    scored = df.withColumn(
-        dist_col, metric_expr(metric, vec_col, list(probe), **metric_kwargs)
+    dist = metric_expr(metric, vec_col, list(probe), **metric_kwargs)
+    # dimension guard: zip_with silently null-pads mismatched arrays,
+    # which would sort nulls FIRST and return garbage neighbors. Fail
+    # loudly instead (the reference asserts dims at insert; queries
+    # here must assert at read). assert_true returns NULL on success.
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) == len(list(probe)),
+        F.concat(
+            F.lit(f"probe dim {len(list(probe))} != vector dim "),
+            F.size(F.col(vec_col)).cast("string"),
+        ),
     )
+    scored = df.withColumn(dist_col, F.when(guard.isNull(), dist))
     # ORDER BY + LIMIT plans as TakeOrderedAndProject (per-task k-heap).
     return scored.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(k)
 

@@ -100,3 +100,14 @@ def test_knn_join_matches_bruteforce(spark, sf_dir, emb_np, strategy):
         pvec = vecs[np.where(ids == pid)[0][0]]
         exp_ids, _ = brute_knn(ids, vecs, pvec, 3)
         assert [v for _, v in sorted(lst)] == exp_ids
+
+
+def test_knn_wrong_dim_probe_raises(spark, sf_dir):
+    # zip_with null-pads mismatched lengths -> without the guard this
+    # would silently return nonsense instead of failing
+    from py4j.protocol import Py4JJavaError
+    import pyspark.errors
+
+    df = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(Exception, match="probe dim"):
+        knn(df, [0.0] * 32, 5).collect()

@@ -59,3 +59,20 @@ def test_json_roundtrip(spark, sf_dir, tmp):
     back = read_json(spark, path, "event_id long, event_type string, user_id long")
     assert back.count() == ev.count()
     assert {r.event_id for r in back.collect()} == {r.event_id for r in ev.collect()}
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = f"{tmp}/docs_orc"
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
+
+
+def test_text_lines_roundtrip(spark, sf_dir, tmp):
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    path = f"{tmp}/docs_text"
+    docs.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    assert back.count() == docs.count()
+    assert {r.value for r in back.collect()} == {r.text for r in docs.collect()}
