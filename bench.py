@@ -49,9 +49,10 @@ def main() -> None:
     spark = get_spark("lvdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query times measure
-    # execution, not session startup
+    # warm the JVM + parquet footers + Python/Arrow workers once so
+    # per-query times measure execution, not process startup
     QUERIES["knn_euclidean_sq"](spark, sf_dir).collect()
+    spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

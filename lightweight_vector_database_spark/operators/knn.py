@@ -80,12 +80,19 @@ def knn_join(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dist_col: str = "dist",
-    strategy: str = "partial",
+    strategy: str = "auto",
 ) -> DataFrame:
     """For every probe row, the k nearest base rows (batch kNN).
 
     Output: (probe_id, vec_id, dist, rank) sorted within each probe.
+
+    strategy='auto' picks 'partial' (map-side top-k reduction before
+    the window shuffle) when the base table spans enough partitions
+    for the reduction to pay for its Arrow round-trip, else the plain
+    window. Both produce identical results (tested).
     """
+    if strategy == "auto":
+        strategy = "partial" if base.rdd.getNumPartitions() > 8 else "window"
     pairs = base.join(F.broadcast(probes))  # broadcast nested loop; base never shuffles
     scored = pairs.withColumn(
         dist_col, metric_expr(metric, vec_col, F.col(probe_vec_col))

@@ -1,0 +1,89 @@
+"""Property-based checks (hypothesis): metric expressions equal numpy
+on adversarial vectors (zeros, duplicates, extremes), and text
+fingerprints are content-functional (equal text <-> equal hash).
+
+One Spark job per example batch, not per example — hypothesis
+generates the batch, Spark evaluates it vectorized."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lightweight_vector_database_spark.functions import distance as dist
+
+DIM = 8
+
+vec = st.lists(
+    st.floats(
+        min_value=-100,
+        max_value=100,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=DIM,
+    max_size=DIM,
+)
+
+
+@pytest.fixture(scope="module")
+def sql(spark):
+    return spark
+
+
+@settings(max_examples=10, deadline=None)
+@given(vs=st.lists(vec, min_size=1, max_size=8), probe=vec)
+def test_metric_expressions_match_numpy(sql, vs, probe):
+    df = sql.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = df.select(
+        "vec_id",
+        dist.euclidean_sq("embedding", probe).alias("e"),
+        dist.manhattan("embedding", probe).alias("m"),
+        dist.chebyshev("embedding", probe).alias("c"),
+    ).collect()
+    p = np.asarray(probe, dtype=np.float64)
+    for r in out:
+        v = np.asarray(vs[r.vec_id], dtype=np.float32).astype(np.float64)
+        np.testing.assert_allclose(r.e, ((v - p) ** 2).sum(), rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(r.m, np.abs(v - p).sum(), rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(r.c, np.abs(v - p).max(), rtol=1e-5, atol=1e-8)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc d", min_size=1, max_size=30), min_size=2, max_size=6
+    )
+)
+def test_fingerprints_are_content_functional(sql, texts):
+    from lightweight_vector_database_spark.functions.text import (
+        content_sha256,
+        norm_text,
+        rolling_hash,
+    )
+
+    df = sql.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        norm_text("text").alias("norm"),
+        content_sha256("text").alias("sha"),
+        rolling_hash("text").alias("roll"),
+    ).collect()
+    by_norm: dict[str, tuple] = {}
+    for r in rows:
+        key = (r.sha,)
+        if r.norm in by_norm:
+            assert by_norm[r.norm][0] == r.sha  # same normalized text -> same hash
+        else:
+            by_norm[r.norm] = key
+    # distinct normalized texts -> distinct sha (collision ~impossible)
+    shas = [v[0] for v in by_norm.values()]
+    assert len(set(shas)) == len(shas)

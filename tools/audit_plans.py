@@ -19,6 +19,7 @@ EXPECTED_PYTHON = {
     "multimodal_features",  # fake decoder mapInPandas
     "multimodal_frame_sample",
     "udaf_grouped_events",  # grouped-agg pandas UDAF
+    "grouped_map_zscore",  # applyInPandas grouped map
 }
 
 
