@@ -66,14 +66,37 @@ def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray | Sequence[Sequence[float]],
     vec_col: str = "embedding",
+    method: str = "expr",
 ) -> DataFrame:
     """Add a ``cell`` column = argmin_c ||v - centroid_c||^2.
 
-    The argmin is a single codegen'd fold over a literal array of
-    centroid structs — no UDF, no shuffle; at scale, follow with
-    .write.partitionBy('cell') so probes prune files.
+    method='expr': a fold over a literal array of centroid structs —
+    no UDF, plan stays JVM-only. Spark evaluates higher-order
+    functions interpreted, so cost is O(n_centroids * dim) interpreted
+    ops per row; fine for queries, slow for bulk index builds.
+
+    method='arrow': Arrow-batched matmul (||v||^2 - 2 v.C^T + ||c||^2,
+    argmin per batch) — the bulk-build path, ~an order of magnitude
+    faster at millions of rows. Identical assignment (tested); no
+    shuffle either way. Follow with .write.partitionBy('cell').
     """
-    cents = _centroid_lits(np.asarray(centroids))
+    cents_np = np.asarray(centroids, dtype=np.float64)
+    if method == "arrow":
+        import pandas as pd
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        c_t = cents_np.T.copy()
+        c_sq = (cents_np**2).sum(axis=1)
+
+        @pandas_udf("int", PandasUDFType.SCALAR)
+        def assign(vecs):
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            d = (m**2).sum(axis=1)[:, None] - 2.0 * (m @ c_t) + c_sq[None, :]
+            return pd.Series(d.argmin(axis=1).astype("int32"))
+
+        return df.withColumn("cell", assign(F.col(vec_col)))
+
+    cents = _centroid_lits(cents_np)
     pairs = [
         F.struct(F.lit(i).alias("c"), euclidean_sq(vec_col, cent).alias("d"))
         for i, cent in enumerate(cents)

@@ -240,7 +240,11 @@ def knn_indexed(
             if b <= ub
         } | pass1
     if pass2 == pass1:
-        return first
+        # pass 1 is provably complete; its k rows are already on the
+        # driver — rebuild locally instead of re-running the scan when
+        # the caller executes the returned DataFrame
+        spark = assigned.sparkSession
+        return spark.createDataFrame(rows, schema=first.schema)
     return knn(
         assigned.filter(F.col("cell_id").isin([int(c) for c in pass2])),
         probe,

@@ -91,3 +91,9 @@ def test_lsh_near_pairs_recall(spark):
     assert recall >= 0.9
     assert got <= {(r.id1, r.id2) for r in embedding_topk_pairs(df, k=10000).collect()
                    if r.cos_dist <= 0.01}  # no false accepts past the exact filter
+
+
+def test_ivf_assign_arrow_matches_expr(emb, centroids):
+    a = {r.vec_id: r.cell for r in S.ivf_assign(emb, centroids, method="expr").collect()}
+    b = {r.vec_id: r.cell for r in S.ivf_assign(emb, centroids, method="arrow").collect()}
+    assert a == b

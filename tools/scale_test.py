@@ -113,9 +113,9 @@ def main() -> None:
     # IVF
     t0 = time.time()
     cents = train_centroids(base, n_centroids=N_CLUSTERS, iters=3)
-    ivf = ivf_assign(base, cents).cache()
+    ivf = ivf_assign(base, cents, method="arrow").cache()  # bulk-build path
     ivf.count()
-    print(f"ivf train+assign: {time.time()-t0:.1f}s")
+    print(f"ivf train+assign (arrow): {time.time()-t0:.1f}s")
     exact_ids = {r.vec_id for r in knn(base, probe, 10).collect()}
     for nprobe in (2, 4):
         t0 = time.time()
