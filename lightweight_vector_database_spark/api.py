@@ -290,3 +290,69 @@ class SparkVectorDatabase(Generic[T]):
         """The (id, embedding, cell_id) snapshot — join your own
         metadata table against it for DataFrame-native pipelines."""
         return self._dataframe()
+
+    # --- persistence (SnapshotStore-backed; the reference has none) ------
+
+    def save(self, path: str) -> int:
+        """Persist the database as a new snapshot version. Metadata is
+        pickled per row (arbitrary T, like the reference's generic
+        metadata); vectors/ids go as typed columns. Returns version."""
+        import pickle
+
+        from .sources.snapshots import SnapshotStore
+
+        rows = [
+            (i, [float(x) for x in pos], bytearray(pickle.dumps(meta)))
+            for i, (pos, meta) in sorted(self._store.items())
+        ]
+        df = self._spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, metadata binary"
+        )
+        store = SnapshotStore(self._spark, path)
+        version = store.commit(df)
+        self._save_config(path)
+        return version
+
+    def _save_config(self, path: str) -> None:
+        import json
+        import os
+
+        cfg = {
+            "dim": self._dim,
+            "lower": self._lower.tolist(),
+            "upper": self._upper.tolist(),
+            "num_splits": self._index.bins - 1,
+            "depth": self._index.depth,
+            "next_id": self._next_id,
+        }
+        with open(os.path.join(path, "_DB_CONFIG.json"), "w") as f:
+            json.dump(cfg, f)
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, path: str, version: int | None = None
+    ) -> "SparkVectorDatabase":
+        """Restore a saved database (optionally a past version)."""
+        import json
+        import os
+        import pickle
+
+        from .sources.snapshots import SnapshotStore
+
+        with open(os.path.join(path, "_DB_CONFIG.json")) as f:
+            cfg = json.load(f)
+        db = cls(
+            spark,
+            dim=cfg["dim"],
+            lower_bound=cfg["lower"],
+            upper_bound=cfg["upper"],
+            num_splits_per_dimension=cfg["num_splits"],
+            index_depth=cfg["depth"],
+        )
+        store = SnapshotStore(spark, path)
+        for r in store.read(version).collect():
+            pos = np.asarray(r.embedding, dtype=np.float32)
+            pos.setflags(write=False)
+            db._store[r.vec_id] = (pos, pickle.loads(bytes(r.metadata)))
+        db._next_id = max(cfg["next_id"], (max(db._store) + 1) if db._store else 0)
+        return db

@@ -136,3 +136,28 @@ def test_filter_before_topk_and_metrics(spark, rng):
         res = db.find_k_nearest_neighbors(probe, 3, distance_metric=metric)
         dists = [d for _, d in res]
         assert dists == sorted(dists) and len(res) == 3
+
+
+def test_save_load_roundtrip(spark, rng, tmp_path):
+    # persistence the reference lacks: save -> restart -> load -> same
+    # data, same id sequence, queries still work
+    db = _setup_test_db(spark)
+    for i in range(20):
+        db.insert(rng.random(4).astype(np.float32), {"i": i})
+    probe = np.full(4, 0.5, dtype=np.float32)
+    before = [(e.metadata["i"], round(d, 6)) for e, d in db.find_k_nearest_neighbors(probe, 5)]
+
+    path = str(tmp_path / "dbsnap")
+    v = db.save(path)
+    db2 = SparkVectorDatabase.load(spark, path)
+    assert len(db2) == 20
+    after = [(e.metadata["i"], round(d, 6)) for e, d in db2.find_k_nearest_neighbors(probe, 5)]
+    assert after == before
+    # id minting continues past the restored sequence (never reused)
+    new_id = db2.insert(np.full(4, 0.25, dtype=np.float32), {"i": 99})
+    assert new_id == 20
+    # time travel: version saved before a mutation still loads
+    db2.delete(0)
+    db2.save(path)
+    old = SparkVectorDatabase.load(spark, path, version=v)
+    assert len(old) == 20
