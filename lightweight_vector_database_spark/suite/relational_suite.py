@@ -23,6 +23,12 @@ from ..operators.asof import asof_join
 from ..sources import load_table
 from . import register
 
+def _vtag(sf_dir: str) -> str:
+    # unique per sf_dir so concurrent runs across scale factors
+    # can't clobber each other's temp views
+    return "".join(c for c in sf_dir if c.isalnum())
+
+
 
 def _dsum(col, scale: int = 2):
     """Exact distributed sum of a double column: floor-quantize to an
@@ -296,11 +302,12 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_gs")
+    view = f"__li_gs_{_vtag(sf_dir)}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, l_linestatus, count(*) AS n
-        FROM __li_gs
+        FROM {view}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )

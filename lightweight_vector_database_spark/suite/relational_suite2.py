@@ -8,6 +8,12 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from . import register
+
+def _vtag(sf_dir: str) -> str:
+    # unique per sf_dir so concurrent runs across scale factors
+    # can't clobber each other's temp views
+    return "".join(c for c in sf_dir if c.isalnum())
+
 from .relational_suite import _dsum, _dsum_sql
 
 
@@ -64,14 +70,15 @@ FROM orders GROUP BY o_orderpriority
 # --- subqueries -------------------------------------------------------------
 
 def _scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__cust_sq")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__ord_sq")
+    t = _vtag(sf_dir)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(f"__cust_sq_{t}")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(f"__ord_sq_{t}")
     return spark.sql(
-        """
+        f"""
         SELECT c_custkey, c_acctbal,
-               (SELECT round(max(o_totalprice), 4) FROM __ord_sq
+               (SELECT round(max(o_totalprice), 4) FROM __ord_sq_{t}
                 WHERE o_custkey = c_custkey) AS max_order
-        FROM __cust_sq WHERE c_custkey < 50
+        FROM __cust_sq_{t} WHERE c_custkey < 50
         """
     )
 
@@ -89,12 +96,13 @@ FROM customer WHERE c_custkey < 50
 
 
 def _in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__cust_in")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__ord_in")
+    t = _vtag(sf_dir)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(f"__cust_in_{t}")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(f"__ord_in_{t}")
     return spark.sql(
-        """
-        SELECT c_custkey FROM __cust_in
-        WHERE c_custkey IN (SELECT o_custkey FROM __ord_in
+        f"""
+        SELECT c_custkey FROM __cust_in_{t}
+        WHERE c_custkey IN (SELECT o_custkey FROM __ord_in_{t}
                             WHERE o_totalprice > 450000)
         """
     )

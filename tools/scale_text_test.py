@@ -1,0 +1,103 @@
+"""Text-pipeline scale stress: 1M synthetic docs (with planted
+near-duplicates) through exact dedup, MinHash+LSH candidates, and
+connected-components clustering — the full LLM-dedup path end-to-end.
+
+Docs are generated Spark-side: each doc is ~80 words drawn from a
+5000-word vocabulary keyed by a deterministic hash; 10% of docs are
+near-copies of an earlier doc (a few words perturbed), 2% exact
+copies. Usage: python tools/scale_text_test.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from lightweight_vector_database_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from lightweight_vector_database_spark.operators.graph import connected_components
+from lightweight_vector_database_spark.session import get_spark
+
+WORDS_PER_DOC = 80
+VOCAB = 5000
+
+
+def generate(spark, n_docs: int):
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # source id: 10% near-dup of doc_id - (doc_id % 10_000) (same seed
+    # words with a perturbation), 2% exact copy, rest unique
+    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(100))
+    src = (
+        F.when(bucket < 2, F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(997)))
+        .when(bucket < 12, F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(997)))
+        .otherwise(F.col("doc_id"))
+    )
+    perturb = F.when(
+        (bucket >= 2) & (bucket < 12), F.col("doc_id")
+    ).otherwise(F.lit(0))
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(WORDS_PER_DOC)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.pmod(F.xxhash64(src, i), F.lit(VOCAB))
+                # perturbation flips ~4 of 80 words for near-dups
+                # (pmod first: raw hash sums overflow int64 under ANSI)
+                + F.when(
+                    (F.pmod(i, F.lit(20)) == 0) & (perturb > 0),
+                    F.pmod(F.xxhash64(perturb, i), F.lit(VOCAB)),
+                ).otherwise(F.lit(0)),
+                F.lit(VOCAB),
+            ).cast("string"),
+        ),
+    )
+    return base.select("doc_id", F.array_join(words, " ").alias("text"))
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark("scale-text")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = "/tmp/lvdb_scale_docs"
+    t0 = time.time()
+    generate(spark, n_docs).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    print(f"generate+write: {time.time()-t0:.1f}s ({n_docs} docs)")
+
+    t0 = time.time()
+    kept = exact_dedup(docs, "text", "doc_id")
+    n_kept = kept.count()
+    print(f"exact dedup: {time.time()-t0:.1f}s ({n_docs - n_kept} exact dups removed)")
+
+    t0 = time.time()
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, ngram=3).cache()
+    sigs.count()
+    print(f"minhash signatures (3-gram, 32 perms): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    cands = lsh_candidate_pairs(sigs, bands=8, sig_len=32).cache()
+    n_cands = cands.count()
+    print(f"LSH candidates (8 bands): {time.time()-t0:.1f}s ({n_cands} pairs)")
+
+    t0 = time.time()
+    comp = connected_components(cands, max_iter=10)
+    n_clusters = comp.select("component").distinct().count()
+    n_nodes = comp.count()
+    print(
+        f"connected components: {time.time()-t0:.1f}s "
+        f"({n_nodes} near-dup docs in {n_clusters} clusters)"
+    )
+    sigs.unpersist()
+    cands.unpersist()
+
+
+if __name__ == "__main__":
+    main()
