@@ -123,9 +123,22 @@ def minhash_signatures(
     num_hashes: int = 32,
     ngram: int = 1,
     seed: int = 42,
+    method: str = "expr",
 ) -> DataFrame:
-    """(id, signature array<long>[num_hashes]) — pure Catalyst: token ->
-    xxhash64 -> k affine permutations mod 2^31-1 -> min per permutation.
+    """(id, signature array<long>[num_hashes]) — token -> xxhash64 -> k
+    affine permutations mod 2^31-1 -> min per permutation.
+
+    method='expr': one Catalyst fold updating all k slots per token —
+    plan stays JVM-only. Interpreted HOF cost ~k ops per token.
+
+    method='arrow': hybrid path — shingle hashing in the JVM, the k
+    permutations as one numpy matrix op per Arrow batch (flatten
+    ragged hash arrays + segment-min via minimum.reduceat). Identical
+    signatures (tested) but MEASURED 4x SLOWER at 1M docs (145s vs
+    35s): the ragged per-token hash arrays must cross the Arrow
+    boundary, which costs more than the interpreted fold saves.
+    Retained as the template for environments with faster IPC; 'expr'
+    is the right default at every scale we measured.
 
     Intermediates stay < 2^62 (a, h < 2^31), so int64 never overflows.
     """
@@ -135,6 +148,35 @@ def minhash_signatures(
         else F.array_distinct(word_ngrams(text_col, ngram))
     )
     hashes = F.transform(grams, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE31)))
+
+    if method == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        params = _perm_params(num_hashes, seed)
+        a_v = np.array([a for a, _ in params], dtype=np.int64)
+        b_v = np.array([b for _, b in params], dtype=np.int64)
+
+        hashed = df.select(F.col(id_col).alias("id"), hashes.alias("__h"))
+
+        def sign(batches):
+            for pdf in batches:
+                arrs = pdf["__h"].to_numpy()
+                lens = np.array([len(x) for x in arrs], dtype=np.int64)
+                out = np.full((len(arrs), num_hashes), _MERSENNE31, dtype=np.int64)
+                nz = lens > 0
+                if nz.any():
+                    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrs[nz]])
+                    # (T, k) permuted hashes; values < 2^62, no overflow
+                    perm = (flat[:, None] * a_v[None, :] + b_v[None, :]) % _MERSENNE31
+                    starts = np.zeros(int(nz.sum()), dtype=np.int64)
+                    starts[1:] = lens[nz].cumsum()[:-1]
+                    out[nz] = np.minimum.reduceat(perm, starts, axis=0)
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "signature": [row.tolist() for row in out]}
+                )
+
+        return hashed.mapInPandas(sign, schema="id long, signature array<bigint>")
     # ONE fold over the token hashes updating every signature slot per
     # element — k separate array_min(transform(...)) expressions would
     # re-evaluate the (expensive) shingle+hash array k times, since

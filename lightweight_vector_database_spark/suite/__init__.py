@@ -39,3 +39,4 @@ from . import streaming_suite  # noqa: E402,F401
 from . import index_suite  # noqa: E402,F401
 from . import multimodal_suite  # noqa: E402,F401
 from . import udf_suite  # noqa: E402,F401
+from . import scalar_suite2  # noqa: E402,F401

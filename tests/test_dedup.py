@@ -102,3 +102,18 @@ def test_embedding_topk_pairs_symmetric_ids(spark, sf_dir):
     assert all(r.id1 < r.id2 for r in out)
     dists = [r.cos_dist for r in out]
     assert dists == sorted(dists)
+
+
+def test_minhash_arrow_matches_expr(spark, docs):
+    sub = docs.filter(F.col("doc_id") < 100)
+    a = {r.id: list(r.signature) for r in D.minhash_signatures(sub, ngram=3).collect()}
+    b = {
+        r.id: list(r.signature)
+        for r in D.minhash_signatures(sub, ngram=3, method="arrow").collect()
+    }
+    assert a == b
+    # edge: empty shingle set (doc shorter than ngram)
+    tiny = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    ta = D.minhash_signatures(tiny, ngram=3).first().signature
+    tb = D.minhash_signatures(tiny, ngram=3, method="arrow").first().signature
+    assert list(ta) == list(tb)

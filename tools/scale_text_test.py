@@ -78,6 +78,8 @@ def main() -> None:
     print(f"exact dedup: {time.time()-t0:.1f}s ({n_docs - n_kept} exact dups removed)")
 
     t0 = time.time()
+    # expr beats arrow here (35s vs 145s at 1M: the ragged hash arrays
+    # would have to cross the Arrow boundary) — see minhash_signatures
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, ngram=3).cache()
     sigs.count()
     print(f"minhash signatures (3-gram, 32 perms): {time.time()-t0:.1f}s")
