@@ -271,6 +271,128 @@ FROM months m LEFT JOIN per_month p USING (month_start)
 )
 
 
+# --- Q7-ish: supplier-vs-customer nation volume by year --------------------
+
+def _q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate")).cast("long").alias("l_year"),
+        )
+        .agg(_dsum(revenue, 4).alias("revenue"))
+    )
+
+
+register(
+    "q7_nation_volume",
+    _q7,
+    f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+""",
+)
+
+
+# --- Q10-ish: top returned-revenue customers --------------------------------
+
+def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(_dsum(revenue, 4).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+register(
+    "q10_returned_revenue",
+    _q10,
+    f"""
+SELECT c_custkey, c_name,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+
+
+# --- generic per-group top-k (operators/topk.py) ----------------------------
+
+def _topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import topk_per_group
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = topk_per_group(
+        li,
+        ["l_suppkey"],
+        "l_extendedprice",
+        k=2,
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        "l_extendedprice",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+register(
+    "topk_per_supplier",
+    _topk_group,
+    """
+SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+       l_extendedprice, rank FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                                     l_linenumber ASC) AS rank
+  FROM lineitem
+) WHERE rank <= 2
+""",
+)
+
+
 # --- aggregate extras: min_by/max_by, sorted list agg, bool aggs ------------
 
 def _agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
