@@ -127,6 +127,47 @@ class GridIndex:
             rem //= self.bins
         return out
 
+    def upper_bound_dists(
+        self,
+        probe: Sequence[float],
+        cell_ids: Sequence[int],
+        metric: str = "euclidean_sq",
+    ) -> np.ndarray:
+        """Upper bound of metric(probe, x) over each cell's FINITE box
+        (farthest corner). Valid for points inside the declared bounds;
+        clamped out-of-bounds points may exceed it — callers that use
+        this for pruning must verify and fall back (see knn_indexed).
+        """
+        p = np.asarray(list(probe), dtype=np.float64)
+        cells = np.asarray(list(cell_ids), dtype=np.int64)
+        digits = self._digits(cells)
+        used_dims = sorted({level % self.dim for level in range(self.depth)})
+        far = np.zeros((len(cells), len(used_dims)), dtype=np.float64)
+        for di, d in enumerate(used_dims):
+            levels = [l for l in range(self.depth) if l % self.dim == d]
+            span = self.upper[d] - self.lower[d]
+            frac_lo = np.zeros(len(cells), dtype=np.float64)
+            for j, level in enumerate(levels):
+                frac_lo += digits[:, level] * float(self.bins) ** -(j + 1)
+            width = float(self.bins) ** -len(levels)
+            lo = self.lower[d] + frac_lo * span
+            hi = lo + width * span
+            far[:, di] = np.maximum(np.abs(lo - p[d]), np.abs(hi - p[d]))
+        # dims never split by the index contribute their full range to
+        # the farthest corner
+        unused = [d for d in range(self.dim) if d not in used_dims]
+        extra = np.zeros(len(unused), dtype=np.float64)
+        for ui, d in enumerate(unused):
+            extra[ui] = max(abs(self.lower[d] - p[d]), abs(self.upper[d] - p[d]))
+        if metric == "euclidean_sq":
+            return (far**2).sum(axis=1) + (extra**2).sum()
+        if metric == "manhattan":
+            return far.sum(axis=1) + extra.sum()
+        if metric == "chebyshev":
+            base = far.max(axis=1) if far.shape[1] else np.zeros(len(cells))
+            return np.maximum(base, extra.max() if len(extra) else 0.0)
+        raise KeyError(f"no closed-form cell bound for metric {metric!r}")
+
     def lower_bound_dists(
         self, probe: Sequence[float], cell_ids: Sequence[int], metric: str = "euclidean_sq"
     ) -> np.ndarray:
@@ -196,12 +237,23 @@ def knn_indexed(
 ) -> DataFrame:
     """Exact kNN scanning only cells that can contain a top-k row.
 
-    Pass 1: cheapest cell prefix (by lower bound) holding >= k rows ->
-    kth distance as upper bound. Pass 2 (only if needed): all cells
-    whose lower bound <= that upper bound. A metadata ``pred`` is
-    applied before top-k inside each scan (reference leaf filter,
-    kd_tree_database.py:186-190); if the filtered prefix yields < k
-    rows the fallback widens to every cell, so results stay exact.
+    Two candidate-selection modes, chosen from the index metadata
+    (no extra Spark job either way):
+
+    - geometric single-pass: the count-weighted k-th smallest
+      farthest-corner distance upper-bounds the true kth distance, so
+      candidates = cells with box lower bound <= it. One scan. Chosen
+      when that candidate set is selective (<= 25% of rows) — i.e.
+      when the indexed dims capture the geometry (depth ~ dim).
+    - scanned two-pass: with many unindexed dims the corner bound is
+      loose (every unindexed dim contributes its full span), so scan
+      the cheapest >= k-row cell prefix for a tight data-driven kth
+      distance, then rescan cells whose lower bound beats it.
+
+    Both verify their result (row count + bound containment) and fall
+    back to the exact full scan if invalidated (clamped out-of-bounds
+    rows; metadata ``pred`` thinning the counted cells below k). The
+    pred applies before top-k (reference leaf filter, :186-190).
     """
     if stats is None:
         stats = index_stats(assigned)
@@ -210,47 +262,65 @@ def knn_indexed(
             assigned, probe, k, metric=metric, pred=pred, vec_col=vec_col, id_col=id_col
         )
 
+    spark = assigned.sparkSession
     cells = np.array(sorted(stats), dtype=np.int64)
     counts = np.array([stats[c] for c in cells.tolist()], dtype=np.int64)
-    bounds = index.lower_bound_dists(probe, cells, metric)
-    order = np.argsort(bounds, kind="stable")
+    total = int(counts.sum())
+    lb = index.lower_bound_dists(probe, cells, metric)
+    ub = index.upper_bound_dists(probe, cells, metric)
 
-    cum = counts[order].cumsum()
-    n_pass1 = int(np.searchsorted(cum, k) + 1) if cum[-1] >= k else len(cells)
-    pass1 = set(cells[order[:n_pass1]].tolist())
-
-    first = knn(
-        assigned.filter(F.col("cell_id").isin([int(c) for c in pass1])),
-        probe,
-        k,
-        metric=metric,
-        pred=pred,
-        vec_col=vec_col,
-        id_col=id_col,
+    # geometric bound: count-weighted kth-smallest corner distance
+    order_ub = np.argsort(ub, kind="stable")
+    cum_ub = counts[order_ub].cumsum()
+    kth_ub = (
+        float(ub[order_ub[int(np.searchsorted(cum_ub, k))]])
+        if cum_ub[-1] >= k
+        else float("inf")
     )
-    rows = first.collect()
+    geo_mask = lb <= kth_ub
+    geo_rows = int(counts[geo_mask].sum())
+
+    def scan(cell_set: set[int]):
+        out = knn(
+            assigned.filter(F.col("cell_id").isin(sorted(cell_set))),
+            probe,
+            k,
+            metric=metric,
+            pred=pred,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        return out, out.collect()
+
+    if geo_rows <= max(0.25 * total, float(k)):
+        # single-pass: geometric candidates are selective
+        cand = {int(c) for c, m in zip(cells.tolist(), geo_mask.tolist()) if m}
+        result, rows = scan(cand)
+        expected = k if pred is not None else min(k, total)
+        ok = len(rows) >= expected and (
+            not rows or max(r["dist"] for r in rows) <= kth_ub
+        )
+        if len(cand) < len(cells) and not ok:
+            return knn(
+                assigned, probe, k, metric=metric, pred=pred,
+                vec_col=vec_col, id_col=id_col,
+            )
+        return spark.createDataFrame(rows, schema=result.schema)
+
+    # two-pass: scan cheapest >= k-row prefix for a tight bound
+    order_lb = np.argsort(lb, kind="stable")
+    cum_lb = counts[order_lb].cumsum()
+    n_pass1 = int(np.searchsorted(cum_lb, k) + 1) if cum_lb[-1] >= k else len(cells)
+    pass1 = set(cells[order_lb[:n_pass1]].tolist())
+    first, rows = scan(pass1)
     if len(rows) < k and len(pass1) < len(cells):
-        # fewer matches than k in the prefix -> fall back to all cells
-        pass2 = set(cells.tolist())
+        pass2 = set(cells.tolist())  # pred thinned the prefix below k
     else:
-        ub = max(r.dist for r in rows) if rows else float("inf")
+        bound = max(r["dist"] for r in rows) if rows else float("inf")
         pass2 = {
-            int(c)
-            for c, b in zip(cells.tolist(), bounds.tolist())
-            if b <= ub
+            int(c) for c, b in zip(cells.tolist(), lb.tolist()) if b <= bound
         } | pass1
     if pass2 == pass1:
-        # pass 1 is provably complete; its k rows are already on the
-        # driver — rebuild locally instead of re-running the scan when
-        # the caller executes the returned DataFrame
-        spark = assigned.sparkSession
         return spark.createDataFrame(rows, schema=first.schema)
-    return knn(
-        assigned.filter(F.col("cell_id").isin([int(c) for c in pass2])),
-        probe,
-        k,
-        metric=metric,
-        pred=pred,
-        vec_col=vec_col,
-        id_col=id_col,
-    )
+    final, rows2 = scan(pass2)
+    return spark.createDataFrame(rows2, schema=final.schema)
