@@ -153,3 +153,20 @@ def content_md5(c: Column | str) -> Column:
 
 def content_sha256(c: Column | str) -> Column:
     return F.sha2(norm_text(c), 256)
+
+
+def token_chunks(c: Column | str, size: int, stride: int | None = None) -> Column:
+    """Overlapping fixed-size token windows (array<string> of chunk
+    texts) — the standard LLM training-data chunking step. ``stride``
+    defaults to ``size`` (no overlap). The final partial window is
+    kept iff the doc is non-empty and not covered by a full window."""
+    stride = stride or size
+    toks = tokens(c)
+    n = F.size(toks)
+    # a window starts every `stride` tokens while start <= n, so every
+    # token is covered; trailing windows may be shorter than `size`
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, size), " ")
+    )
+    return F.when(n > 0, chunks).otherwise(F.array().cast("array<string>"))

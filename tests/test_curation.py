@@ -1,0 +1,52 @@
+"""Chunking semantics + the Observation API (query-attached metrics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from lightweight_vector_database_spark.functions.text import token_chunks, tokens
+from lightweight_vector_database_spark.sources import load_table
+
+
+def test_token_chunks_cover_all_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "a b c"),                                # shorter than size
+         (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.chunks
+        for r in df.select(
+            "doc_id", token_chunks("text", size=4, stride=4).alias("chunks")
+        ).collect()
+    }
+    assert out[1] == ["t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9"]
+    assert out[2] == ["a b c"]
+    assert out[3] == ["solo"]
+    # overlap: stride < size
+    ov = df.filter("doc_id = 1").select(
+        token_chunks("text", size=4, stride=2).alias("c")
+    ).first().c
+    assert ov[0] == "t0 t1 t2 t3" and ov[1] == "t2 t3 t4 t5"
+    # every token appears in some chunk
+    seen = {t for ch in out[1] for t in ch.split(" ")}
+    assert seen == {f"t{i}" for i in range(10)}
+
+
+def test_observation_metrics(spark, sf_dir):
+    # query-attached metrics: one pass computes the result AND the
+    # observability counters (no second scan)
+    obs = Observation("doc_stats")
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.size(tokens("text")).cast("long")).alias("tokens_seen"),
+    ).filter(F.col("lang") == "en")
+    n_en = out.count()
+    got = obs.get
+    assert got["rows_seen"] == docs.count()  # observed before the filter
+    assert got["tokens_seen"] > 0
+    assert 0 < n_en < got["rows_seen"]
