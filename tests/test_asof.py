@@ -83,3 +83,47 @@ def test_asof_forward(frames):
     assert got[1] == 11  # equal ts inclusive in forward too
     assert got[2] is None  # no quote after 10:05
     assert got[4] == 15
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Differential vs pandas.merge_asof on seeded random data — an
+    independent implementation of the same semantics."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(200),
+            "key": rng.randint(0, 5, 200),
+            "ts": base + pd.to_timedelta(rng.randint(0, 100_000, 200), unit="s"),
+        }
+    ).sort_values("ts").reset_index(drop=True)
+    right = pd.DataFrame(
+        {
+            "rid": np.arange(300),
+            "key": rng.randint(0, 5, 300),
+            "rts": base + pd.to_timedelta(rng.randint(0, 100_000, 300), unit="s"),
+            "px": rng.randn(300).round(6),
+        }
+    ).sort_values("rts").reset_index(drop=True)
+    # make (key, rts) unique so the match is unambiguous for both impls
+    right = right.drop_duplicates(["key", "rts"]).reset_index(drop=True)
+
+    expected = pd.merge_asof(
+        left, right, left_on="ts", right_on="rts", by="key", direction="backward"
+    )
+
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = {
+        r.lid: r.asof_rid
+        for r in asof_join(
+            ldf, rdf, on=["key"], left_ts="ts", right_ts="rts",
+            right_cols=["rid", "px"], tiebreak="rid",
+        ).collect()
+    }
+    for _, row in expected.iterrows():
+        exp = None if pd.isna(row["rid"]) else int(row["rid"])
+        assert got[int(row["lid"])] == exp
