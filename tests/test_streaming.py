@@ -187,3 +187,38 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     back = spark.read.parquet(str(tmp_path / "fb_out"))
     assert back.count() == load_table(spark, sf_dir, "events").count()
     assert len(seen) >= 1
+
+
+def test_streaming_knn_probes(spark, sf_dir):
+    """Streaming similarity search: a stream of probe vectors joined
+    against the static embeddings table via knn_join in foreachBatch —
+    results must equal the batch knn_join."""
+    from lightweight_vector_database_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch_probes = emb.filter("vec_id < 5").selectExpr(
+        "vec_id AS probe_id", "embedding AS probe_vec"
+    )
+    expected = {
+        (r.probe_id, r.rank, r.vec_id)
+        for r in knn_join(batch_probes, emb, k=3).collect()
+    }
+
+    # stream the same probes from a staged parquet dir
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="knn_probes_")
+    batch_probes.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "probe_id long, probe_vec array<float>"
+    ).parquet(d)
+
+    got = set()
+
+    def do_knn(batch_df, epoch_id):
+        for r in knn_join(batch_df, emb, k=3).collect():
+            got.add((r.probe_id, r.rank, r.vec_id))
+
+    q = stream.writeStream.foreachBatch(do_knn).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert got == expected

@@ -87,6 +87,28 @@ def main() -> int:
     else:
         print("No plan warnings: no row-at-a-time Python, no unexpected "
               "Arrow boundaries outside the documented paths.")
+
+    # column-pruning evidence: a 2-column projection must reach the scan
+    from lightweight_vector_database_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    scan = li._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: (struct<[^>]*>)", scan)
+    print("\n## Column pruning\n")
+    print(
+        f"2-column projection of 11-column lineitem -> parquet "
+        f"`{m.group(1) if m else 'NOT FOUND'}`"
+    )
+
+    print("\n## Flagship formatted plans\n")
+    for name in ("knn_euclidean_sq", "q1_pricing_summary", "q3_top_revenue_orders"):
+        df = QUERIES[name](spark, sf_dir)
+        formatted = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        # keep the operator tree, drop the verbose per-node details
+        tree = formatted.split("\n\n")[0]
+        print(f"### {name}\n\n```\n{tree}\n```\n")
     return 0
 
 
