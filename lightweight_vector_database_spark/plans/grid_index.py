@@ -269,6 +269,16 @@ def knn_indexed(
     lb = index.lower_bound_dists(probe, cells, metric)
     ub = index.upper_bound_dists(probe, cells, metric)
 
+    # pruning-futility check (driver-side, free): when most rows sit in
+    # cells whose lower bound is ~0, no bound can exclude them (e.g.
+    # structureless data under a partial index) — a single brute scan
+    # beats any multi-job plan. The reference's index/scan crossover
+    # (max_leaf_size, kd_tree_database.py:94-104) generalized.
+    if float(counts[lb <= 1e-12].sum()) >= 0.5 * total:
+        return knn(
+            assigned, probe, k, metric=metric, pred=pred, vec_col=vec_col, id_col=id_col
+        )
+
     # geometric bound: count-weighted kth-smallest corner distance
     order_ub = np.argsort(ub, kind="stable")
     cum_ub = counts[order_ub].cumsum()
