@@ -428,6 +428,87 @@ FROM orders GROUP BY o_orderpriority
 )
 
 
+# --- statistical aggregates: corr/covar from quantized component sums -------
+
+def _stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson corr + covariance of (quantity, discount) per returnflag,
+    assembled from floor-quantized integer component sums (sum x, sum y,
+    sum xy, sum x^2, sum y^2) so the float math happens once, on
+    identical inputs, in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = 1e4
+    qx = F.floor(F.col("l_quantity") * s).cast("long")
+    qy = F.floor(F.col("l_discount") * s).cast("long")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(qy).alias("sy"),
+        F.sum(qx * qy).alias("sxy"),
+        F.sum(qx * qx).alias("sxx"),
+        F.sum(qy * qy).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = (sxy - sx * sy / n) / n / F.lit(s * s)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 8).alias("cov_qty_disc"),
+        F.round(corr, 8).alias("corr_qty_disc"),
+    )
+
+
+register(
+    "agg_stats_corr",
+    _stats_agg,
+    """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 10000.0) AS BIGINT) AS qx,
+         CAST(floor(l_discount * 10000.0) AS BIGINT) AS qy
+  FROM lineitem
+), a AS (
+  SELECT l_returnflag, count(*) AS n,
+         SUM(qx) AS sx, SUM(qy) AS sy, SUM(qx * qy) AS sxy,
+         SUM(qx * qx) AS sxx, SUM(qy * qy) AS syy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 100000000.0, 8)
+         AS cov_qty_disc,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
+         AS corr_qty_disc
+FROM a
+""",
+)
+
+
+def _approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch) — engine-specific
+    algorithm, rows-only; exact twin is `percentiles_orders`."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(
+            F.expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2
+        ).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register("agg_approx_percentile", _approx_percentile)  # rows-only
+
+
 # --- nested struct / from_json ---------------------------------------------
 
 def _struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
