@@ -132,6 +132,7 @@ class GridIndex:
         probe: Sequence[float],
         cell_ids: Sequence[int],
         metric: str = "euclidean_sq",
+        inv_diag: Sequence[float] | None = None,
     ) -> np.ndarray:
         """Upper bound of metric(probe, x) over each cell's FINITE box
         (farthest corner). Valid for points inside the declared bounds;
@@ -166,15 +167,24 @@ class GridIndex:
         if metric == "chebyshev":
             base = far.max(axis=1) if far.shape[1] else np.zeros(len(cells))
             return np.maximum(base, extra.max() if len(extra) else 0.0)
+        if metric == "mahalanobis_diag":
+            w = np.asarray(list(inv_diag), dtype=np.float64)
+            return (w[used_dims] * far**2).sum(axis=1) + (w[unused] * extra**2).sum()
         raise KeyError(f"no closed-form cell bound for metric {metric!r}")
 
     def lower_bound_dists(
-        self, probe: Sequence[float], cell_ids: Sequence[int], metric: str = "euclidean_sq"
+        self,
+        probe: Sequence[float],
+        cell_ids: Sequence[int],
+        metric: str = "euclidean_sq",
+        inv_diag: Sequence[float] | None = None,
     ) -> np.ndarray:
         """Exact lower bound of metric(probe, x) over each cell's box —
         the reference's distance_to_partition (:164-181) in closed
         form, but using the full box (tighter than its single-plane
-        bound). Edge cells extend to +-inf (clamped points)."""
+        bound; the diagonal-Mahalanobis case mirrors the reference's
+        closed-form point2plane specialization, distance_metric.py
+        :84-92). Edge cells extend to +-inf (clamped points)."""
         p = np.asarray(list(probe), dtype=np.float64)
         cells = np.asarray(list(cell_ids), dtype=np.int64)
         digits = self._digits(cells)
@@ -202,6 +212,9 @@ class GridIndex:
             return gaps.sum(axis=1)
         if metric == "chebyshev":
             return gaps.max(axis=1)
+        if metric == "mahalanobis_diag":
+            w = np.asarray(list(inv_diag), dtype=np.float64)
+            return (w[used_dims] * gaps**2).sum(axis=1)
         raise KeyError(f"no closed-form cell bound for metric {metric!r}")
 
 
@@ -234,6 +247,7 @@ def knn_indexed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     pred: Column | None = None,
+    **metric_kwargs,
 ) -> DataFrame:
     """Exact kNN scanning only cells that can contain a top-k row.
 
@@ -259,15 +273,15 @@ def knn_indexed(
         stats = index_stats(assigned)
     if not stats:
         return knn(
-            assigned, probe, k, metric=metric, pred=pred, vec_col=vec_col, id_col=id_col
+            assigned, probe, k, metric=metric, pred=pred, vec_col=vec_col, id_col=id_col, **metric_kwargs
         )
 
     spark = assigned.sparkSession
     cells = np.array(sorted(stats), dtype=np.int64)
     counts = np.array([stats[c] for c in cells.tolist()], dtype=np.int64)
     total = int(counts.sum())
-    lb = index.lower_bound_dists(probe, cells, metric)
-    ub = index.upper_bound_dists(probe, cells, metric)
+    lb = index.lower_bound_dists(probe, cells, metric, **metric_kwargs)
+    ub = index.upper_bound_dists(probe, cells, metric, **metric_kwargs)
 
     # pruning-futility check (driver-side, free): when most rows sit in
     # cells whose lower bound is ~0, no bound can exclude them (e.g.
@@ -276,7 +290,7 @@ def knn_indexed(
     # (max_leaf_size, kd_tree_database.py:94-104) generalized.
     if float(counts[lb <= 1e-12].sum()) >= 0.5 * total:
         return knn(
-            assigned, probe, k, metric=metric, pred=pred, vec_col=vec_col, id_col=id_col
+            assigned, probe, k, metric=metric, pred=pred, vec_col=vec_col, id_col=id_col, **metric_kwargs
         )
 
     # geometric bound: count-weighted kth-smallest corner distance
@@ -299,6 +313,7 @@ def knn_indexed(
             pred=pred,
             vec_col=vec_col,
             id_col=id_col,
+            **metric_kwargs,
         )
         return out, out.collect()
 
@@ -313,7 +328,7 @@ def knn_indexed(
         if len(cand) < len(cells) and not ok:
             return knn(
                 assigned, probe, k, metric=metric, pred=pred,
-                vec_col=vec_col, id_col=id_col,
+                vec_col=vec_col, id_col=id_col, **metric_kwargs,
             )
         return spark.createDataFrame(rows, schema=result.schema)
 

@@ -111,3 +111,23 @@ def test_for_table_depth_sizing(spark):
     idx = GridIndex.for_table([0] * 4, [1] * 4, n_rows=100_000, target_cell_rows=256, num_splits=2)
     assert 3**idx.depth * 256 >= 100_000
     assert 3 ** (idx.depth - 1) * 256 < 100_000
+
+
+def test_indexed_mahalanobis_diag(indexed):
+    # metric-specific pruning bounds (reference's closed-form
+    # point2plane specialization, distance_metric.py:84-92)
+    emb, idx, assigned, stats = indexed
+    probe = probe_vector(seed=6)
+    w = [1.0 + (i % 4) * 0.5 for i in range(DIM)]
+    exact = [
+        (r.vec_id, round(r.dist, 9))
+        for r in knn(emb, probe, 10, metric="mahalanobis_diag", inv_diag=w).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.dist, 9))
+        for r in knn_indexed(
+            assigned, idx, probe, 10, metric="mahalanobis_diag",
+            stats=stats, inv_diag=w,
+        ).collect()
+    ]
+    assert got == exact
