@@ -428,6 +428,34 @@ FROM orders GROUP BY o_orderpriority
 )
 
 
+# --- unpivot (melt) ---------------------------------------------------------
+
+def _unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long: melt per-part numeric attributes into
+    (attribute, value) rows."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 60)
+    wide = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return wide.unpivot(
+        ["p_partkey"], ["size", "retailprice"], "attribute", "value"
+    )
+
+
+register(
+    "unpivot_part_attrs",
+    _unpivot,
+    """
+SELECT p_partkey, attribute, value FROM (
+  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS retailprice
+  FROM part WHERE p_partkey < 60
+) UNPIVOT (value FOR attribute IN (size, retailprice))
+""",
+)
+
+
 # --- statistical aggregates: corr/covar from quantized component sums -------
 
 def _stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
