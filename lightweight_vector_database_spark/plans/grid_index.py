@@ -8,20 +8,19 @@ to each partition (:164-181) with best-first traversal (:183-219).
 
 In Spark the index is a COLUMN, not a structure:
 
-- ``build_index`` adds ``cell_id`` = the base-(s+1) digit string of
-  the reference's child indices for a fixed depth D (one level per
-  dim, D <= dim). Empty cells simply have no rows (the reference's
-  sparse children, :40-41, for free).
-- ``knn_indexed`` replaces recursive best-first search with the batch
-  two-pass plan (SURVEY.md §4#1-2): (1) scan the minimal set of
-  cells (by lower-bound order) guaranteed to hold k rows -> a kth-
-  distance upper bound; (2) rescan the cells whose lower bound beats
-  it. Cell selection is driver-side numpy over index *metadata*
-  (per-cell counts — the analogue of the reference's node counts);
-  the data scans carry an IN-list filter on ``cell_id`` which prunes
-  parquet partitions/row-groups when the table is written
-  ``partitionBy('cell_id')``. Exact results, verified against brute
-  force.
+- ``build_index`` adds ``cell_id`` = the base-(s+1) digit packing of
+  the reference's child indices for a fixed depth D (round-robin dims;
+  D may exceed dim via nested refinement). Empty cells simply have no
+  rows (the reference's sparse children, :40-41, for free).
+- ``knn_indexed`` replaces recursive best-first search with batch
+  candidate selection from index metadata alone (per-cell counts —
+  the analogue of the reference's node counts): a geometric
+  single-pass when the corner bounds are selective, a scanned
+  two-pass otherwise, and a brute fallthrough when pruning is futile
+  (see the function docstring). The data scans carry an IN-list
+  filter on ``cell_id`` which prunes parquet partitions/row-groups
+  when the table is written ``partitionBy('cell_id')``. Exact
+  results, verified against brute force.
 
 Out-of-bounds handling differs deliberately: the reference asserts on
 insert (:84-85); we clamp into the edge cells and extend edge-cell
@@ -80,7 +79,6 @@ class GridIndex:
         """Pick depth so the expected non-empty cell holds about
         ``target_cell_rows`` rows — the reference's max_leaf_size knob
         (kd_tree_database.py:98) as a build-time sizing rule."""
-        import math
 
         bins = num_splits + 1
         depth = 1
