@@ -70,6 +70,30 @@ def knn(
     return scored.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(k)
 
 
+def radius_search(
+    df: DataFrame,
+    probe: Sequence[float],
+    radius: float,
+    metric: str = "euclidean_sq",
+    pred: Column | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    **metric_kwargs,
+) -> DataFrame:
+    """All rows within ``radius`` of ``probe`` (range query), sorted
+    ascending with id tie-break. Radius is in the metric's native
+    units (squared for euclidean_sq, like the reference's distances)."""
+    if pred is not None:
+        df = df.filter(pred)
+    dist = metric_expr(metric, vec_col, list(probe), **metric_kwargs)
+    return (
+        df.withColumn(dist_col, dist)
+        .filter(F.col(dist_col) <= radius)
+        .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+    )
+
+
 def knn_join(
     probes: DataFrame,
     base: DataFrame,

@@ -347,3 +347,68 @@ def knn_indexed(
         return spark.createDataFrame(rows, schema=first.schema)
     final, rows2 = scan(pass2)
     return spark.createDataFrame(rows2, schema=final.schema)
+
+
+def radius_search_indexed(
+    assigned: DataFrame,
+    index: GridIndex,
+    probe: Sequence[float],
+    radius: float,
+    metric: str = "euclidean_sq",
+    stats: dict[int, int] | None = None,
+    pred: Column | None = None,
+    **metric_kwargs,
+) -> DataFrame:
+    """Range query with cell pruning — the index's cleanest win: the
+    bound (radius) is known upfront, so candidates = cells whose lower
+    bound <= radius, in ONE pass, exactly (no verification needed:
+    lower bounds are valid for clamped points too, via the edge-cell
+    +-inf extension)."""
+    from ..operators.knn import radius_search
+
+    if stats is None:
+        stats = index_stats(assigned)
+    if not stats:
+        return radius_search(
+            assigned, probe, radius, metric=metric, pred=pred, **metric_kwargs
+        )
+    cells = np.array(sorted(stats), dtype=np.int64)
+    lb = index.lower_bound_dists(probe, cells, metric, **metric_kwargs)
+    cand = [int(c) for c, b in zip(cells.tolist(), lb.tolist()) if b <= radius]
+    return radius_search(
+        assigned.filter(F.col("cell_id").isin(cand)),
+        probe,
+        radius,
+        metric=metric,
+        pred=pred,
+        **metric_kwargs,
+    )
+
+
+def update_stats(
+    stats: dict[int, int],
+    index: GridIndex,
+    inserted: DataFrame | None = None,
+    deleted: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> dict[int, int]:
+    """Incrementally maintain per-cell counts across CRUD snapshots:
+    one small aggregation over just the delta rows instead of
+    recomputing stats over the whole table (the index-metadata
+    analogue of the reference updating its tree on insert/delete,
+    kd_tree_database.py:94-104, :127-144)."""
+    out = dict(stats)
+    for df, sign in ((inserted, 1), (deleted, -1)):
+        if df is None:
+            continue
+        deltas = (
+            build_index(df, index, vec_col)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in deltas:
+            out[r.cell_id] = out.get(r.cell_id, 0) + sign * r.n
+            if out[r.cell_id] <= 0:
+                del out[r.cell_id]  # empty cells vanish (reference :132-138)
+    return out

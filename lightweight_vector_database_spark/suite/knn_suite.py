@@ -135,3 +135,25 @@ SELECT probe_id, vec_id, round(dist, 6) AS dist, rank FROM (
 """
 
 register("knn_join_topk", _knn_join_query, _KNN_JOIN_ORACLE)
+
+
+def _radius_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import radius_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = radius_search(emb, PROBE, radius=4.2)
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
+register(
+    "radius_search",
+    _radius_query,
+    f"""
+WITH probe AS (SELECT {sql_array(PROBE)} AS p)
+SELECT vec_id, label, round(dist, 6) AS dist FROM (
+  SELECT vec_id, label, {_dist_sql('embedding', 'p', 'euclidean_sq')} AS dist
+  FROM embeddings CROSS JOIN probe
+) WHERE dist <= 4.2
+ORDER BY dist, vec_id
+""",
+)

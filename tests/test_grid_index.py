@@ -131,3 +131,41 @@ def test_indexed_mahalanobis_diag(indexed):
         ).collect()
     ]
     assert got == exact
+
+
+def test_radius_search_indexed_equals_plain(indexed):
+    from lightweight_vector_database_spark.operators.knn import radius_search
+    from lightweight_vector_database_spark.plans.grid_index import (
+        radius_search_indexed,
+    )
+
+    emb, idx, assigned, stats = indexed
+    probe = probe_vector(seed=8)
+    r = 4.2  # squared-euclidean radius catching a handful of rows
+    plain = [(x.vec_id, round(x.dist, 9)) for x in radius_search(emb, probe, r).collect()]
+    got = [
+        (x.vec_id, round(x.dist, 9))
+        for x in radius_search_indexed(assigned, idx, probe, r, stats=stats).collect()
+    ]
+    assert got == plain
+    assert len(plain) > 0
+
+
+def test_update_stats_incremental(spark, indexed):
+    from lightweight_vector_database_spark.plans.grid_index import (
+        build_index,
+        index_stats,
+        update_stats,
+    )
+
+    emb, idx, assigned, stats = indexed
+    ins = spark.createDataFrame(
+        [(90_001, [0.3] * DIM, 1), (90_002, [-0.3] * DIM, 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    dele = emb.filter("vec_id < 5")
+    new_stats = update_stats(stats, idx, inserted=ins, deleted=dele)
+    # ground truth: recompute from the mutated snapshot
+    mutated = emb.filter("vec_id >= 5").unionByName(ins)
+    truth = index_stats(build_index(mutated, idx))
+    assert new_stats == truth
