@@ -10,7 +10,9 @@ from __future__ import annotations
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # Python boundaries that are intentional (documented Arrow paths)
 EXPECTED_PYTHON = {

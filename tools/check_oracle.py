@@ -13,7 +13,9 @@ import math
 import sys
 from collections import Counter
 
-sys.path.insert(0, "/root/repo")
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def canon(v) -> str:

@@ -20,7 +20,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, "/root/reference")  # run the reference as published
 
 
