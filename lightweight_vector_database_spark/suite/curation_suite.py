@@ -109,6 +109,86 @@ FROM s GROUP BY source
 )
 
 
+def _e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE composed plan: quality
+    gate -> token-window chunking -> exact chunk dedup -> join back to
+    embeddings (multimodal) -> per-language corpus stats. Exercises
+    filter/explode/window/join/agg composition through Catalyst in a
+    single query."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    gated = docs.filter(
+        (T.token_count("text") >= 20) & (T.uniq_token_ratio("text") >= 0.2)
+    )
+    chunks = gated.select(
+        "doc_id",
+        "lang",
+        F.posexplode(T.token_chunks("text", CHUNK_SIZE, CHUNK_STRIDE)).alias(
+            "chunk_idx", "chunk"
+        ),
+    )
+    hashed = chunks.withColumn("h", T.content_sha256(F.col("chunk")))
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    deduped = hashed.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    norm_sq = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, v: acc + v * v,
+    )
+    joined = deduped.join(emb, deduped.doc_id == emb.vec_id).withColumn(
+        "norm_sq", norm_sq
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("chunk"))).cast("long")).alias("total_tokens"),
+        F.sum(F.floor(F.col("norm_sq") * 1e6).cast("long")).alias("qnorm_sum"),
+    )
+
+
+register(
+    "e2e_training_pipeline",
+    _e2e_pipeline,
+    f"""
+WITH gated AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+    AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+        / len(string_split(text, ' ')) >= 0.2
+), s AS (
+  SELECT doc_id, lang, w,
+         unnest(range(1, greatest(len(w), 1) + 1, {CHUNK_STRIDE})) AS start,
+         unnest(range(0, len(range(1, greatest(len(w), 1) + 1, {CHUNK_STRIDE})))) AS chunk_idx
+  FROM gated WHERE len(w) > 0
+), c AS (
+  SELECT doc_id, lang, chunk_idx,
+         array_to_string(w[start:start + {CHUNK_SIZE} - 1], ' ') AS chunk
+  FROM s
+), h AS (
+  SELECT doc_id, lang, chunk_idx, chunk,
+         sha256(regexp_replace(trim(lower(chunk)), '\\s+', ' ', 'g')) AS hsh
+  FROM c
+), d AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, chunk_idx, chunk,
+           row_number() OVER (PARTITION BY hsh ORDER BY doc_id, chunk_idx) AS rn
+    FROM h
+  ) WHERE rn = 1
+)
+SELECT lang, count(*) AS n_chunks, count(DISTINCT d.doc_id) AS n_docs,
+       SUM(CAST(len(string_split(chunk, ' ')) AS BIGINT)) AS total_tokens,
+       SUM(CAST(floor(list_sum(list_transform(range(1, 65),
+         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+         * 1000000.0) AS BIGINT)) AS qnorm_sum
+FROM d JOIN embeddings ON d.doc_id = vec_id
+GROUP BY lang
+""",
+)
+
+
 def _histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length histogram (width-10 buckets) across documents."""
     docs = load_table(spark, sf_dir, "documents")

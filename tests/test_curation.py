@@ -50,3 +50,35 @@ def test_observation_metrics(spark, sf_dir):
     assert got["rows_seen"] == docs.count()  # observed before the filter
     assert got["tokens_seen"] > 0
     assert 0 < n_en < got["rows_seen"]
+
+
+def test_unicode_text_robustness(spark):
+    """Tokenizers/hashes/chunking must not corrupt non-ASCII text."""
+    import hashlib
+
+    from lightweight_vector_database_spark.functions.text import (
+        content_md5,
+        norm_text,
+        token_count,
+    )
+
+    texts = ["héllo wörld", "日本語 テスト 文字", "emoji 🚀 test", "mixé 中文 tokens"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        norm_text("text").alias("norm"),
+        content_md5("text").alias("md5"),
+        token_chunks("text", 2).alias("chunks"),
+    ).collect()
+    got = {r.doc_id: r for r in rows}
+    assert got[0].n == 2 and got[1].n == 3 and got[2].n == 3
+    # md5 of normalized utf-8 matches python hashlib (byte-level parity)
+    for i, t in enumerate(texts):
+        norm = " ".join(t.lower().strip().split())
+        assert got[i].md5 == hashlib.md5(norm.encode("utf-8")).hexdigest()
+    # chunks reassemble to the original tokens
+    for i, t in enumerate(texts):
+        assert " ".join(got[i].chunks) == t
