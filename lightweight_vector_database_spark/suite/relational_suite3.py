@@ -428,6 +428,75 @@ FROM orders GROUP BY o_orderpriority
 )
 
 
+# --- Q6-style: forecast revenue change (filter -> single-row agg) -----------
+
+def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+register(
+    "q6_forecast_revenue",
+    _q6,
+    f"""
+SELECT {_dsum_sql('l_extendedprice * l_discount', 4)} AS revenue, count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+
+
+# --- Q4-style: order priority counts with EXISTS ----------------------------
+
+def _q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    late_lines = load_table(spark, sf_dir, "lineitem")
+    # semi join: orders having at least one lineitem shipped after the
+    # order date (the fixture's analogue of commit < receipt)
+    with_late = orders.join(
+        late_lines,
+        (orders.o_orderkey == late_lines.l_orderkey)
+        & (late_lines.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return with_late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+register(
+    "q4_priority_counts",
+    _q4,
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+
+
 # --- unpivot (melt) ---------------------------------------------------------
 
 def _unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
