@@ -1,0 +1,308 @@
+"""Engine surface, part 4: the remaining TPC-H-shaped queries that fit
+the driver's simplified star schema (no partsupp / shipmode / phone
+columns exist, so Q8/Q13/Q14/Q18/Q19/Q22 are adapted accordingly).
+
+Spark-first notes (100 TB story):
+- Dimension sides (part, customer, nation, region, the scalar
+  threshold row) are broadcast; only lineitem⋈orders shuffles, and AQE
+  picks the strategy at runtime.
+- All money sums use the exact quantized BIGINT sum (`_dsum`) so the
+  result is deterministic under any partitioning — including the Q22
+  threshold, which feeds a *filter* (a nondeterministic double avg
+  could flip borderline rows between runs/engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import register
+from .relational_suite import _dsum, _dsum_sql
+
+def _revenue():
+    # deferred: building a Column requires an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --- Q8: market share (adapted: PROMO parts, ASIA customer market) ----------
+
+def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation NATION_5's share of PROMO-part revenue sold to
+    ASIA customers, by order year. Reference capability: multi-way
+    join + conditional aggregation (SURVEY.md §2B joins/aggs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    cust_in_asia = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            cust.c_nationkey == nation.n_nationkey,
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    vol = _revenue()
+    nation5_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_asia), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            _dsum(nation5_vol, 4).alias("nation_vol"),
+            _dsum(vol, 4).alias("total_vol"),
+        )
+        .withColumn(
+            "mkt_share", F.round(F.col("nation_vol") / F.col("total_vol"), 6)
+        )
+    )
+
+
+register(
+    "q8_market_share",
+    _q8,
+    f"""
+WITH vols AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS vol,
+         CASE WHEN sn.n_name = 'NATION_5'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS nvol
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+)
+SELECT o_year, {_dsum_sql('nvol', 4)} AS nation_vol,
+       {_dsum_sql('vol', 4)} AS total_vol,
+       round({_dsum_sql('nvol', 4)} / {_dsum_sql('vol', 4)}, 6) AS mkt_share
+FROM vols GROUP BY o_year
+""",
+)
+
+
+# --- Q13: customer order-count distribution ---------------------------------
+
+def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed N orders (urgent-ish orders excluded,
+    standing in for TPC-H's comment filter). Left join keeps 0-order
+    customers — the distribution's head."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select("c_count", "custdist")
+    )
+
+
+register(
+    "q13_order_distribution",
+    _q13,
+    """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) GROUP BY c_count
+""",
+)
+
+
+# --- Q14: promotion effect --------------------------------------------------
+
+def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent of January-1997 revenue from PROMO parts. Single-row
+    conditional-aggregate ratio; part side broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    promo_rev = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            _dsum(promo_rev, 4).alias("promo_rev"),
+            _dsum(_revenue(), 4).alias("total_rev"),
+        )
+        .withColumn(
+            "promo_pct",
+            F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6),
+        )
+    )
+
+
+register(
+    "q14_promo_revenue",
+    _q14,
+    f"""
+SELECT {_dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)} AS promo_rev,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_rev,
+       round(100.0 * {_dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)}
+             / {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-02-01'
+""",
+)
+
+
+# --- Q18: large-volume customers --------------------------------------------
+
+def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 300, with their customer.
+    The HAVING runs on the lineitem agg BEFORE the joins, so only the
+    ~0.3% qualifying orders reach the join — at 100 TB the semi-join
+    side is tiny and both joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+register(
+    "q18_large_volume",
+    _q18,
+    f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, {_dsum_sql('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+)
+
+
+# --- Q19: discounted revenue (OR-of-ANDs join predicate) --------------------
+
+def _q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive brand/size/quantity predicate (container/shipmode
+    columns don't exist in this schema). The equi-join on partkey stays
+    a join key; the OR lands as a post-join filter Catalyst can't push,
+    which is exactly TPC-H Q19's planning challenge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#34") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(_dsum(_revenue(), 4).alias("revenue"))
+    )
+
+
+register(
+    "q19_discounted_revenue",
+    _q19,
+    f"""
+SELECT {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+
+
+# --- Q22: idle high-balance customers ---------------------------------------
+
+def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and no URGENT
+    orders, bucketed by custkey mod 7 (standing in for the phone
+    country code, which this schema lacks; TPC-H's "no orders at all"
+    is empty on this dense fixture). The scalar threshold uses the
+    exact quantized sum so the *filter* is deterministic; it
+    broadcasts, and the no-urgent-orders test is a left-anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+        )
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 7).alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+register(
+    "q22_idle_customers",
+    _q22,
+    f"""
+WITH thr AS (
+  SELECT {_dsum_sql('c_acctbal')} / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_custkey % 7 AS code, count(*) AS numcust,
+       {_dsum_sql('c_acctbal')} AS totacctbal
+FROM customer CROSS JOIN thr
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY code
+""",
+)
