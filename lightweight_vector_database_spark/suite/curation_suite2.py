@@ -1,0 +1,235 @@
+"""Training-data curation, part 2: PII redaction, deterministic
+weighted mixture sampling, benchmark-contamination detection, and
+corpus-level stopword discovery.
+
+These are the pipeline steps between "raw corpus" and "training set"
+that the north star calls for beyond dedup: scrub, mix, decontaminate,
+and derive corpus statistics. All four are pure built-in expressions
+(no Python UDFs) with exact DuckDB oracles.
+
+Scale notes (100 TB story):
+- PII redaction and hash sampling are embarrassingly parallel
+  map-only ops — no shuffle at all; the sampling decision is a pure
+  function of (salt, doc_id) so it is reproducible across reruns and
+  engines, unlike rand()-based sampling.
+- Contamination is an inverted-index join on distinct n-grams: the
+  shuffle key is the n-gram, test-side is tiny (the benchmark set) and
+  broadcastable at real scale; the HAVING >= 2 cut runs after a
+  per-pair count, which AQE handles with a partial aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources import load_table
+from . import register
+
+# --- PII redaction ----------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails/phone-shaped spans. The fixture text is synthetic
+    words, so each doc gets a deterministic synthetic contact line
+    appended first — the redaction path itself (regex count + global
+    replace) is the op under test."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    with_pii = docs.select("doc_id", contact.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return with_pii.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+register(
+    "curation_pii_redact",
+    _pii_redact,
+    f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+""",
+)
+
+
+# --- deterministic weighted mixture sampling --------------------------------
+
+# per-source sampling rate as a hex threshold on the first 4 md5 hex
+# digits of a salted doc key: '8000'/65536 = 50%, '4000' = 25%,
+# '0800' ~ 3%. Content-independent, seed-stable, engine-portable.
+_RATE_HIGH = "8000"  # sources src0..src4: oversample
+_RATE_MID = "4000"  # src5..src9
+_RATE_LOW = "0800"  # the long tail
+
+
+def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: each source keeps a deterministic
+    hash-fraction of its docs (the 'data mixture' step of a pretraining
+    recipe, reproducible across engines/reruns unlike rand())."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), "([0-9]+)$", 1).cast("long")
+    thr = (
+        F.when(src_num <= 4, F.lit(_RATE_HIGH))
+        .when(src_num <= 9, F.lit(_RATE_MID))
+        .otherwise(F.lit(_RATE_LOW))
+    )
+    key = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    return (
+        docs.filter(key < thr)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(T.token_count("text")).alias("sum_tokens"),
+        )
+    )
+
+
+register(
+    "curation_mixture_sample",
+    _mixture_sample,
+    f"""
+WITH rated AS (
+  SELECT *,
+         CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) <= 4
+                THEN '{_RATE_HIGH}'
+              WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) <= 9
+                THEN '{_RATE_MID}'
+              ELSE '{_RATE_LOW}' END AS thr
+  FROM documents
+)
+SELECT source, count(*) AS n_sampled,
+       sum(len(string_split(text, ' '))) AS sum_tokens
+FROM rated
+WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) < thr
+GROUP BY source
+""",
+)
+
+
+# --- benchmark contamination (train/test n-gram overlap) --------------------
+
+_NGRAM_N = 8
+_MIN_SHARED = 2
+_TEST_CUT = 50  # doc_id < 50 plays the held-out benchmark set
+
+
+def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: train docs sharing >= 2 distinct word
+    8-grams with any test doc. Inverted-index join on the n-gram;
+    distinct-per-doc first so a repeated phrase inside one doc doesn't
+    inflate the overlap count."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.word_ngrams("text", _NGRAM_N))).alias("ng"),
+    )
+    test = grams.filter(F.col("doc_id") < _TEST_CUT).select(
+        F.col("doc_id").alias("test_doc"), "ng"
+    )
+    train = grams.filter(F.col("doc_id") >= _TEST_CUT).select(
+        F.col("doc_id").alias("train_doc"), "ng"
+    )
+    return (
+        train.join(F.broadcast(test), "ng")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _MIN_SHARED)
+    )
+
+
+register(
+    "curation_contamination",
+    _contamination,
+    f"""
+WITH g AS (
+  SELECT doc_id, ng FROM (
+    SELECT doc_id,
+           unnest(list_distinct(
+             [array_to_string(w[i:i + {_NGRAM_N} - 1], ' ')
+              FOR i IN range(1, greatest(len(w) - {_NGRAM_N} + 1, 0) + 1)]
+           )) AS ng
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  )
+)
+SELECT a.doc_id AS train_doc, b.doc_id AS test_doc, count(*) AS shared
+FROM g a JOIN g b USING (ng)
+WHERE a.doc_id >= {_TEST_CUT} AND b.doc_id < {_TEST_CUT}
+GROUP BY 1, 2
+HAVING count(*) >= {_MIN_SHARED}
+""",
+)
+
+
+# --- corpus-level stopword discovery ----------------------------------------
+
+_DF_RATIO_CUT = 0.6
+
+
+def _stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms present in > 60% of documents — the corpus-derived
+    stopword list that feeds quality scoring. Distinct terms per doc,
+    then one count per term: a two-level aggregate with map-side
+    partials, no data ever leaves the JVM."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    df_counts = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        df_counts.join(F.broadcast(n_docs))
+        .withColumn("df_ratio", F.round(F.col("df") / F.col("n"), 6))
+        .filter(F.col("df_ratio") > _DF_RATIO_CUT)
+        .select("term", "df", "df_ratio")
+    )
+
+
+register(
+    "curation_stopword_discovery",
+    _stopwords,
+    f"""
+WITH dfc AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+  ) GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT term, df, round(df / n, 6) AS df_ratio
+FROM dfc CROSS JOIN n
+WHERE round(df / n, 6) > {_DF_RATIO_CUT}
+""",
+)

@@ -82,3 +82,61 @@ def test_unicode_text_robustness(spark):
     # chunks reassemble to the original tokens
     for i, t in enumerate(texts):
         assert " ".join(got[i].chunks) == t
+
+
+def test_pii_redact_scrubs_all_patterns(spark, sf_dir):
+    # after redaction, re-counting PII patterns must find zero
+    from lightweight_vector_database_spark.suite.curation_suite2 import (
+        _EMAIL_RE,
+        _PHONE_RE,
+        _pii_redact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(contact, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    leftover = docs.select(
+        (
+            F.regexp_count(redacted, F.lit(_EMAIL_RE))
+            + F.regexp_count(redacted, F.lit(_PHONE_RE))
+        ).alias("n")
+    ).agg(F.sum("n").alias("total")).first().total
+    assert leftover == 0
+    # every doc had exactly one email + one phone injected
+    out = _pii_redact(spark, sf_dir)
+    assert out.filter("n_emails != 1 OR n_phones != 1").count() == 0
+
+
+def test_mixture_sample_deterministic_and_weighted(spark, sf_dir):
+    from lightweight_vector_database_spark.suite.curation_suite2 import (
+        _mixture_sample,
+    )
+
+    a = {r.source: r.n_sampled for r in _mixture_sample(spark, sf_dir).collect()}
+    b = {r.source: r.n_sampled for r in _mixture_sample(spark, sf_dir).collect()}
+    assert a == b  # hash sampling is rerun-stable, unlike rand()
+    # oversampled sources keep more docs than the long tail on average
+    high = [n for s, n in a.items() if int(s.removeprefix("src")) <= 4]
+    low = [n for s, n in a.items() if int(s.removeprefix("src")) >= 10]
+    if high and low:
+        assert sum(high) / len(high) > sum(low) / len(low)
+
+
+def test_contamination_requires_min_overlap(spark, sf_dir):
+    from lightweight_vector_database_spark.suite.curation_suite2 import (
+        _MIN_SHARED,
+        _TEST_CUT,
+        _contamination,
+    )
+
+    rows = _contamination(spark, sf_dir).collect()
+    assert all(r.shared >= _MIN_SHARED for r in rows)
+    assert all(r.train_doc >= _TEST_CUT and r.test_doc < _TEST_CUT for r in rows)
