@@ -207,3 +207,146 @@ def cosine_lsh_buckets(
             F.when(dp > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         )
     return df.withColumn("bucket", bucket)
+
+
+# --- product quantization (the 100 TB memory-budget ANN tier) ---------------
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 8,
+    sample_rows: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace codebooks, shape (m, ksub, dim/m).
+
+    PQ stores each vector as m small codes (m bytes at ksub<=256)
+    instead of dim floats — a 32x compression at dim=64/m=8 — so a
+    100 TB float corpus fits a few TB of codes and distance evaluation
+    becomes m table lookups (ADC) instead of dim multiplies. Training
+    is Lloyd per subspace on a bounded driver-side sample, same
+    determinism contract as train_centroids."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        idx = rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)
+        cents = sub[idx].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j, : len(cents)] = cents
+        if len(cents) < ksub:  # degenerate tiny sample: pad by repeat
+            books[j, len(cents) :] = cents[-1]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    method: str = "arrow",
+) -> DataFrame:
+    """Add ``code_col``: array<int> of length m (argmin centroid per
+    subspace). method='arrow' is the bulk-build path (batched matmul
+    per subspace); method='expr' keeps the plan JVM-only for small or
+    streaming encodes — identical codes (tested)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+
+    if method == "arrow":
+        import pandas as pd
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        flats = [books[j].T.copy() for j in range(m)]  # (dsub, ksub)
+        sqs = [(books[j] ** 2).sum(axis=1) for j in range(m)]
+
+        @pandas_udf("array<int>", PandasUDFType.SCALAR)
+        def enc(vecs):
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d = -2.0 * (sub @ flats[j]) + sqs[j][None, :]
+                codes[:, j] = d.argmin(axis=1)
+            return pd.Series(list(codes))
+
+        return df.withColumn(code_col, enc(F.col(vec_col)))
+
+    v = F.col(vec_col).cast("array<double>")
+    code_parts = []
+    for j in range(m):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        pairs = []
+        for c in range(ksub):
+            cent = F.array(*[F.lit(float(x)) for x in books[j, c]])
+            d = F.aggregate(
+                F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            pairs.append(F.struct(F.lit(c).alias("c"), d.alias("d")))
+        best = F.aggregate(
+            F.array(*pairs[1:]),
+            pairs[0],
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )
+        code_parts.append(best["c"])
+    return df.withColumn(code_col, F.array(*code_parts))
+
+
+def pq_search(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    probe: Sequence[float],
+    k: int = 10,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: dist ~= sum_j LUT_j[code_j], where LUT_j holds the
+    probe-to-centroid distances of subspace j (m*ksub doubles, baked
+    into the plan as literals — pure codegen, no UDF, no shuffle).
+
+    ``refine`` > 0 re-ranks the top k*refine ADC candidates with the
+    exact distance on the raw vectors (asymmetric-then-exact, the
+    standard IVF-PQ serving shape). The candidate cut is a
+    TakeOrderedAndProject; the re-rank touches only k*refine rows."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    p = np.asarray(list(probe), dtype=np.float64)
+    luts = [
+        ((books[j] - p[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+        for j in range(m)
+    ]
+    adc = F.lit(0.0)
+    code = F.col(code_col)
+    for j in range(m):
+        lut = F.array(*[F.lit(float(x)) for x in luts[j]])
+        adc = adc + F.element_at(lut, F.element_at(code, j + 1) + 1)
+    scored = encoded.withColumn("adc_dist", adc)
+    if not refine:
+        return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
+    cand = scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(
+        k * refine
+    )
+    exact = cand.withColumn(
+        "dist", metric_expr("euclidean_sq", vec_col, list(probe))
+    )
+    return exact.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)

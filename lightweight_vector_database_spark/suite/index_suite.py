@@ -84,3 +84,24 @@ def warm_index(spark: SparkSession, sf_dir: str) -> None:
     if sf_dir not in _STATS_MEMO:
         emb = load_table(spark, sf_dir, "embeddings")
         _STATS_MEMO[sf_dir] = index_stats(build_index(emb, _INDEX))
+
+
+# --- product quantization (ANN tier; rows-only: k-means codebooks are
+# not SQL-expressible, correctness is pytest recall/argmin/parity) ----------
+
+_PQ_MEMO: dict[str, object] = {}
+
+
+def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_encode, pq_search, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_MEMO:
+        _PQ_MEMO[sf_dir] = train_pq_codebooks(emb, m=8, ksub=16, iters=4)
+    books = _PQ_MEMO[sf_dir]
+    encoded = pq_encode(emb, books, method="expr")
+    out = pq_search(encoded, books, _PROBE, k=10, refine=4)
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
+register("ann_pq_refined", _ann_pq)

@@ -97,3 +97,59 @@ def test_ivf_assign_arrow_matches_expr(emb, centroids):
     a = {r.vec_id: r.cell for r in S.ivf_assign(emb, centroids, method="expr").collect()}
     b = {r.vec_id: r.cell for r in S.ivf_assign(emb, centroids, method="arrow").collect()}
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def pq_books(emb):
+    return S.train_pq_codebooks(emb, m=8, ksub=16, iters=4)
+
+
+def test_pq_encode_arrow_matches_expr(emb, pq_books):
+    arrow = S.pq_encode(emb, pq_books, method="arrow")
+    expr = S.pq_encode(emb, pq_books, method="expr")
+    a = {r.vec_id: list(r.pq_code) for r in arrow.collect()}
+    e = {r.vec_id: list(r.pq_code) for r in expr.collect()}
+    assert a == e
+
+
+def test_pq_codes_are_argmin_per_subspace(emb, pq_books):
+    rows = S.pq_encode(emb, pq_books).collect()
+    m, ksub, dsub = pq_books.shape
+    for r in rows[:25]:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            expected = int(((pq_books[j] - sub) ** 2).sum(axis=1).argmin())
+            assert r.pq_code[j] == expected
+
+
+def test_pq_search_recall_and_refine(emb, pq_books):
+    probe = probe_vector(seed=5)
+    exact = [r.vec_id for r in knn(emb, probe, 10).collect()]
+    encoded = S.pq_encode(emb, pq_books).cache()
+    try:
+        # ADC-only is approximate; refined re-rank must recover most of
+        # the true top-10 even on near-uniform vectors (PQ's worst case)
+        adc = {r.vec_id for r in S.pq_search(encoded, pq_books, probe, k=10, refine=0).collect()}
+        refined = {r.vec_id for r in S.pq_search(encoded, pq_books, probe, k=10, refine=8).collect()}
+        assert len(refined & set(exact)) >= len(adc & set(exact))
+        assert len(refined & set(exact)) / 10 >= 0.5
+        # refine returns exact distances sorted ascending with id tiebreak
+        rows = S.pq_search(encoded, pq_books, probe, k=10, refine=8).collect()
+        dists = [r.dist for r in rows]
+        assert dists == sorted(dists)
+    finally:
+        encoded.unpersist()
+
+
+def test_pq_search_stays_jvm_side(emb, pq_books):
+    # the serving path must be UDF-free: encode once (arrow ok), then
+    # ADC + refine compile to pure Catalyst expressions
+    encoded = S.pq_encode(emb, pq_books, method="expr")
+    plan = (
+        S.pq_search(encoded, pq_books, probe_vector(seed=5), k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
