@@ -76,3 +76,63 @@ def test_text_lines_roundtrip(spark, sf_dir, tmp):
     back = spark.read.text(path)
     assert back.count() == docs.count()
     assert {r.value for r in back.collect()} == {r.text for r in docs.collect()}
+
+
+def test_zorder_layout_skips_files_on_both_dims(spark, sf_dir, tmp):
+    # three layouts of lineitem, 16 files each; parquet footer min/max
+    # per file decides whether a point predicate must read it. Z-order
+    # must skip on BOTH partkey and suppkey; a single-column sort only
+    # skips on its own column.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from lightweight_vector_database_spark.functions.zorder import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pk_max = li.agg(F.max("l_partkey")).first()[0]
+    sk_max = li.agg(F.max("l_suppkey")).first()[0]
+    zkey = zorder_key(
+        ["l_partkey", "l_suppkey"], [(0, pk_max + 1), (0, sk_max + 1)], bits=12
+    )
+
+    layouts = {
+        "natural": li.repartition(16),
+        "sort_pk": li.repartitionByRange(16, "l_partkey").sortWithinPartitions("l_partkey"),
+        "zorder": li.withColumn("zk", zkey)
+        .repartitionByRange(16, "zk")
+        .sortWithinPartitions("zk")
+        .drop("zk"),
+    }
+
+    def files_touched(path: str, col: str, value: int) -> float:
+        files = glob.glob(f"{path}/*.parquet")
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = md.schema.names
+            ci = names.index(col)
+            stats = [md.row_group(i).column(ci).statistics for i in range(md.num_row_groups)]
+            lo = min(s.min for s in stats)
+            hi = max(s.max for s in stats)
+            if lo <= value <= hi:
+                hit += 1
+        return hit / len(files)
+
+    frac = {}
+    for name, df in layouts.items():
+        path = f"{tmp}/zorder_{name}"
+        df.write.mode("overwrite").parquet(path)
+        frac[name] = {
+            "pk": files_touched(path, "l_partkey", int(pk_max // 3)),
+            "sk": files_touched(path, "l_suppkey", int(sk_max // 3)),
+        }
+
+    # natural layout: every file spans the full key range on both dims
+    assert frac["natural"]["pk"] == 1.0 and frac["natural"]["sk"] == 1.0
+    # single-column sort: perfect on its dim, useless on the other
+    assert frac["sort_pk"]["pk"] <= 2 / 16
+    assert frac["sort_pk"]["sk"] == 1.0
+    # z-order: substantial skipping on BOTH dims
+    assert frac["zorder"]["pk"] <= 0.5
+    assert frac["zorder"]["sk"] <= 0.5
