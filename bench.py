@@ -32,6 +32,10 @@ HEADLINE = [
     "stream_tumbling_1h",
     "stream_session_30m",
     "multimodal_features",
+    "q8_market_share",
+    "curation_pii_redact",
+    "curation_contamination",
+    "ann_pq_refined",
 ]
 
 

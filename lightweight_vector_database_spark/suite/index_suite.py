@@ -99,7 +99,9 @@ def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _PQ_MEMO:
         _PQ_MEMO[sf_dir] = train_pq_codebooks(emb, m=8, ksub=16, iters=4)
     books = _PQ_MEMO[sf_dir]
-    encoded = pq_encode(emb, books, method="expr")
+    # arrow = the bulk index-build path (batched matmul); the serving
+    # expressions (ADC + refine) downstream stay pure codegen
+    encoded = pq_encode(emb, books, method="arrow")
     out = pq_search(encoded, books, _PROBE, k=10, refine=4)
     return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
 
