@@ -111,3 +111,34 @@ def get_entry(snapshot: DataFrame, entry_id: int, id_col: str = "vec_id") -> Dat
 def count_rows(snapshot: DataFrame) -> DataFrame:
     """__len__ (kd_tree_database.py:307-308) as a 1-row DataFrame."""
     return snapshot.agg(F.count(F.lit(1)).alias("n"))
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+) -> DataFrame:
+    """MERGE semantics as one snapshot transform: rows matched by
+    ``key`` take the update's values, unmatched updates insert,
+    unmatched base rows carry over (SQL MERGE WHEN MATCHED THEN UPDATE
+    / WHEN NOT MATCHED THEN INSERT, expressed as a full outer join +
+    per-column coalesce — no mutable table needed).
+
+    Scale shape: one shuffle on ``key`` (or zero with co-bucketed
+    inputs); the update side is usually small → broadcast by AQE.
+    Reference correspondence: generalizes update_metadata /
+    update_position + insert (kd_tree_database.py:262-270, 310-316,
+    324-328) into one batch operation.
+    """
+    cols = base.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError("base and updates must share a schema")
+    b = base.alias("b")
+    u = updates.alias("u")
+    joined = b.join(u, F.col(f"b.{key}") == F.col(f"u.{key}"), "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+            for c in cols
+        ]
+    )

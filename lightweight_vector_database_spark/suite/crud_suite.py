@@ -152,3 +152,59 @@ SELECT (SELECT count(*) FROM embeddings WHERE NOT (label >= 5)) AS n,
        (SELECT count(*) FROM embeddings WHERE label >= 5) AS n_removed
 """,
 )
+
+
+def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert snapshot semantics (full-outer-join + coalesce):
+    every 100th customer gets a balance bump (WHEN MATCHED UPDATE),
+    every 250th spawns a new 'NEW'-segment customer (WHEN NOT MATCHED
+    INSERT); summarized per segment so the effect of both branches is
+    visible in one small result."""
+    from ..operators.crud import merge_upsert
+    from .relational_suite import _dsum
+
+    cust = load_table(spark, sf_dir, "customer")
+    updated = (
+        cust.filter(F.col("c_custkey") % 100 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("c_name", F.concat(F.lit("M-"), F.col("c_name")))
+    )
+    inserted = cust.filter(F.col("c_custkey") % 250 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("N-"), F.col("c_name")).alias("c_name"),
+        F.lit(0).cast("long").alias("c_nationkey"),
+        F.lit(500.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    merged = merge_upsert(cust, updated.unionByName(inserted), key="c_custkey")
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("c_acctbal")).alias("sum_bal"),
+    )
+
+
+from .relational_suite import _dsum_sql as _dsum_sql_  # noqa: E402
+
+register(
+    "crud_merge_upsert",
+    _merge_upsert,
+    f"""
+WITH upd AS (
+  SELECT c_custkey, 'M-' || c_name AS c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'N-' || c_name, CAST(0 AS BIGINT), 500.0, 'NEW'
+  FROM customer WHERE c_custkey % 250 = 0
+), merged AS (
+  SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+         coalesce(u.c_name, b.c_name) AS c_name,
+         coalesce(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+         coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+         coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+  FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+)
+SELECT c_mktsegment, count(*) AS n, {_dsum_sql_('c_acctbal')} AS sum_bal
+FROM merged GROUP BY c_mktsegment
+""",
+)

@@ -98,3 +98,26 @@ def test_get_entry_and_count(snap):
     assert crud.get_entry(snap, 123).count() == 1
     assert crud.get_entry(snap, -5).count() == 0
     assert crud.count_rows(snap).first().n == snap.count()
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    from lightweight_vector_database_spark.operators.crud import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, bal double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 25.0), (9, "new", 1.0)], "id long, name string, bal double"
+    )
+    got = {r.id: (r.name, r.bal) for r in merge_upsert(base, updates, "id").collect()}
+    assert got == {
+        1: ("a", 10.0),   # untouched carries over
+        2: ("b2", 25.0),  # matched -> update wins
+        3: ("c", 30.0),
+        9: ("new", 1.0),  # unmatched update -> insert
+    }
+    # schema mismatch is rejected early
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_upsert(base, updates.drop("bal"), "id")
