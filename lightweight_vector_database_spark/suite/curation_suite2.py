@@ -298,3 +298,99 @@ SELECT i, round(min(lo), 6) AS lo, round(max(hi), 6) AS hi,
 FROM coded GROUP BY i
 """,
 )
+
+
+# --- per-label embedding centroids (exact, element-wise) --------------------
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label — the centroid/pooling
+    primitive behind IVF training, class prototypes, and chunk→doc
+    mean pooling, computed EXACTLY: posexplode to (label, dim) cells,
+    quantized BIGINT sum per cell, divide by count. Map-side partial
+    aggregation shuffles one row per (label, dim), never the vectors.
+    """
+    from .relational_suite import _dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    return (
+        d.groupBy("label", F.col("i").cast("long").alias("i"))
+        .agg(
+            _dsum(F.col("x"), 9).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "i",
+            F.round(F.col("sx") / F.col("n"), 6).alias("centroid"),
+            "n",
+        )
+    )
+
+
+register(
+    "embedding_label_centroids",
+    _label_centroids,
+    """
+WITH d AS (
+  SELECT label, t.i, CAST(t.x AS DOUBLE) AS x FROM embeddings,
+  LATERAL (SELECT unnest(embedding) AS x,
+                  unnest(range(0, len(embedding))) AS i) t
+)
+SELECT label, i,
+       round((CAST(SUM(CAST(floor(x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+              / 1000000000.0) / count(*), 6) AS centroid,
+       count(*) AS n
+FROM d GROUP BY label, i
+""",
+)
+
+
+# --- event funnel (view -> click -> purchase) -------------------------------
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user the
+    earliest view/click/purchase, then how many users completed each
+    prefix IN ORDER. One shuffle on user_id (conditional min), then a
+    single-row reduce; timestamps compared as epoch micros on both
+    engines (events.parquet is nanos — see sources/tables.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_buy"),
+    )
+    return per_user.agg(
+        F.count(F.col("t_view")).alias("n_view"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_buy")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+register(
+    "event_funnel",
+    _funnel,
+    """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT count(t_view) AS n_view,
+       count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+       count(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 END)
+         AS n_full_funnel
+FROM per_user
+""",
+)

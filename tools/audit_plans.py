@@ -22,6 +22,7 @@ EXPECTED_PYTHON = {
     "multimodal_frame_sample",
     "udaf_grouped_events",  # grouped-agg pandas UDAF
     "grouped_map_zscore",  # applyInPandas grouped map
+    "ann_pq_refined",  # arrow bulk encode (build step); ADC serving is codegen
 }
 
 
