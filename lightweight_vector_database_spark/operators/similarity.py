@@ -319,6 +319,7 @@ def pq_search(
     vec_col: str = "embedding",
     code_col: str = "pq_code",
     id_col: str = "vec_id",
+    raw: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: dist ~= sum_j LUT_j[code_j], where LUT_j holds the
     probe-to-centroid distances of subspace j (m*ksub doubles, baked
@@ -340,12 +341,20 @@ def pq_search(
     for j in range(m):
         lut = F.array(*[F.lit(float(x)) for x in luts[j]])
         adc = adc + F.element_at(lut, F.element_at(code, j + 1) + 1)
-    scored = encoded.withColumn("adc_dist", adc)
+    # With ``raw`` given, the ADC phase scans ONLY (id, code) — at scale
+    # that is ~32x fewer bytes than the float vectors — and the refine
+    # joins the k*refine candidate ids back to the raw table (a
+    # broadcast join of a tiny id set). Without it, refine reads
+    # ``vec_col`` from ``encoded`` directly.
+    adc_input = encoded.select(id_col, code_col) if raw is not None else encoded
+    scored = adc_input.withColumn("adc_dist", adc)
     if not refine:
         return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
     cand = scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(
         k * refine
     )
+    if raw is not None:
+        cand = F.broadcast(cand.select(id_col, "adc_dist")).join(raw, id_col)
     exact = cand.withColumn(
         "dist", metric_expr("euclidean_sq", vec_col, list(probe))
     )

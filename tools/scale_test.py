@@ -129,6 +129,34 @@ def main() -> None:
             f"recall={len(got_ids & exact_ids)/10:.2f}"
         )
 
+    # PQ: encode once (arrow bulk path), then ADC + exact refine
+    from lightweight_vector_database_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        train_pq_codebooks,
+    )
+
+    t0 = time.time()
+    books = train_pq_codebooks(base, m=8, ksub=256, iters=4, sample_rows=8192)
+    codes_path = "/tmp/lvdb_scale_pq"
+    pq_encode(base, books, method="arrow").select("vec_id", "pq_code").write.mode(
+        "overwrite"
+    ).parquet(codes_path)
+    codes = spark.read.parquet(codes_path)
+    print(f"pq train+encode+write codes (arrow): {time.time()-t0:.1f}s")
+    for refine in (4, 16):
+        t0 = time.time()
+        got_ids = {
+            r.vec_id
+            for r in pq_search(
+                codes, books, probe, k=10, refine=refine, raw=base
+            ).collect()
+        }
+        print(
+            f"pq refine={refine} (code-only scan + join-back): {time.time()-t0:.2f}s "
+            f"recall={len(got_ids & exact_ids)/10:.2f}"
+        )
+
 
 if __name__ == "__main__":
     main()
