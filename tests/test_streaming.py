@@ -222,3 +222,98 @@ def test_streaming_knn_probes(spark, sf_dir):
     q = stream.writeStream.foreachBatch(do_knn).trigger(availableNow=True).start()
     q.awaitTermination(120)
     assert got == expected
+
+
+def test_transform_with_state_running_stats(spark, sf_dir):
+    # Spark 4's StatefulProcessor API (transformWithStateInPandas):
+    # per-user running event count + max value, verified against the
+    # batch aggregate. This is the modern custom-state surface (typed
+    # value state, explicit handle) vs applyInPandasWithState above.
+    # the TWS driver worker speaks protobuf to the JVM; this container
+    # ships a broken google.protobuf, so gate (runs where protobuf works)
+    pytest.importorskip("google.protobuf.descriptor")
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("mx", DoubleType())]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = 0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            if self._state.exists():
+                pn, pmx = self._state.get()
+                n, mx = n + pn, max(mx, pmx)
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = stream_events(spark, sf_dir).select("user_id", "value")
+        result = ev.groupBy("user_id").transformWithStateInPandas(
+            RunningStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            result.writeStream.format("memory")
+            .queryName("tws_stats")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
+
+    # last update per user must equal the batch aggregate
+    got = {
+        r.user_id: (r.n, r.max_value)
+        for r in spark.sql(
+            """SELECT user_id, n, max_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC) rk
+                 FROM tws_stats) WHERE rk = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.max_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_value"))
+        .collect()
+    }
+    assert got == batch
