@@ -53,3 +53,44 @@ FROM events e JOIN g USING (event_type)
 WHERE e.event_id < 500
 """,
 )
+
+
+# --- Python UDTF (Spark 4 user-defined TABLE function) ----------------------
+
+def _udtf_repeated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF in a LATERAL join: per document, emit tokens
+    appearing >= 3 times. The UDTF holds per-row state in plain Python
+    (a Counter) — the escape hatch for table-generating logic that
+    doesn't decompose into explode+groupBy — while the oracle shows the
+    relational equivalent for this particular function.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term: string, n: long")
+    class RepeatedTerms:
+        def eval(self, text: str):
+            from collections import Counter
+
+            for term, n in Counter((text or "").split(" ")).items():
+                if n >= 3:
+                    yield term, n
+
+    spark.udtf.register("repeated_terms", RepeatedTerms)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """SELECT d.doc_id, t.term, t.n
+           FROM _udtf_docs d, LATERAL repeated_terms(d.text) t"""
+    )
+
+
+register(
+    "udtf_repeated_terms",
+    _udtf_repeated_terms,
+    """
+SELECT doc_id, term, count(*) AS n FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 200
+) GROUP BY doc_id, term HAVING count(*) >= 3
+""",
+)
