@@ -22,10 +22,19 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.distance import euclidean_sq, metric_expr
+
+
+def _dbl_array_lit(values) -> Column:
+    """Literal array<double> via ONE SQL-parse call. py4j converts a
+    Python list to a JVM list element-by-element (8k reflection round
+    trips for the IVF-PQ LUTs — ~10s of plan build); a single F.expr
+    string parse is milliseconds."""
+    body = ",".join(repr(float(v)) + "D" for v in values)
+    return F.expr(f"array({body})")
 
 
 def _centroid_lits(centroids: np.ndarray):
@@ -339,7 +348,7 @@ def pq_search(
     adc = F.lit(0.0)
     code = F.col(code_col)
     for j in range(m):
-        lut = F.array(*[F.lit(float(x)) for x in luts[j]])
+        lut = _dbl_array_lit(luts[j])
         adc = adc + F.element_at(lut, F.element_at(code, j + 1) + 1)
     # With ``raw`` given, the ADC phase scans ONLY (id, code) — at scale
     # that is ~32x fewer bytes than the float vectors — and the refine
@@ -348,6 +357,164 @@ def pq_search(
     # ``vec_col`` from ``encoded`` directly.
     adc_input = encoded.select(id_col, code_col) if raw is not None else encoded
     scored = adc_input.withColumn("adc_dist", adc)
+    if not refine:
+        return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
+    cand = scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(
+        k * refine
+    )
+    if raw is not None:
+        cand = F.broadcast(cand.select(id_col, "adc_dist")).join(raw, id_col)
+    exact = cand.withColumn(
+        "dist", metric_expr("euclidean_sq", vec_col, list(probe))
+    )
+    return exact.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+# --- residual IVF-PQ (coarse cells + PQ over residuals) ---------------------
+
+def train_ivfpq(
+    df: DataFrame,
+    n_centroids: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample_rows: int = 8192,
+    seed: int = 42,
+):
+    """Train the coarse quantizer and residual codebooks.
+
+    Residual encoding (x - coarse_centroid[cell]) is what makes PQ
+    work on clustered data: raw-vector codebooks spend their 256 codes
+    spanning the whole space (whole clusters collapse to one code —
+    see BASELINE notes), while residuals are centered near zero in
+    every cell, so the same bits encode LOCAL geometry. This is the
+    standard IVF-PQ construction (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011).
+    """
+    cents = train_centroids(
+        df, n_centroids=n_centroids, vec_col=vec_col, iters=iters,
+        sample_rows=sample_rows, seed=seed,
+    )
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    assign = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    residuals = sample - cents[assign]
+    dim = sample.shape[1]
+    dsub = dim // m
+    rng = np.random.RandomState(seed + 1)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = residuals[:, j * dsub : (j + 1) * dsub]
+        idx = rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)
+        cb = sub[idx].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(len(cb)):
+                members = sub[a == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j, : len(cb)] = cb
+        if len(cb) < ksub:
+            books[j, len(cb) :] = cb[-1]
+    return cents, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``cell`` (coarse assignment) and ``pq_code`` (residual
+    codes) in ONE Arrow pass — the bulk index build. Write the result
+    partitioned by ``cell`` with only (id, cell, pq_code) and the
+    serving scan reads a few small code files per probe."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    c_t = cents.T.copy()
+    c_sq = (cents**2).sum(axis=1)
+    flats = [books[j].T.copy() for j in range(m)]
+    sqs = [(books[j] ** 2).sum(axis=1) for j in range(m)]
+
+    @pandas_udf(
+        "struct<cell:int, pq_code:array<int>>", PandasUDFType.SCALAR
+    )
+    def enc(vecs):
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = (mat**2).sum(axis=1)[:, None] - 2.0 * (mat @ c_t) + c_sq[None, :]
+        cell = d.argmin(axis=1)
+        res = mat - cents[cell]
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = res[:, j * dsub : (j + 1) * dsub]
+            dj = -2.0 * (sub @ flats[j]) + sqs[j][None, :]
+            codes[:, j] = dj.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "pq_code": list(codes)}
+        )
+
+    out = df.withColumn("__enc", enc(F.col(vec_col)))
+    return out.withColumn("cell", F.col("__enc.cell")).withColumn(
+        "pq_code", F.col("__enc.pq_code")
+    ).drop("__enc")
+
+
+def ivfpq_search(
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    probe: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    raw: DataFrame | None = None,
+) -> DataFrame:
+    """ADC search over the ``nprobe`` nearest cells with PER-CELL
+    lookup tables (each cell's LUT is built from the probe's residual
+    against THAT cell's centroid — exact IVF-PQ semantics). The LUTs
+    are literals in a chained CASE on ``cell``: nprobe * m * ksub
+    doubles baked into the plan, zero Python at serving time. The cell
+    IN-list prunes partitions/files when the codes table is written
+    partitioned by cell. Optional exact re-rank via ``raw`` join-back.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    p = np.asarray(list(probe), dtype=np.float64)
+    order = np.argsort(((cents - p) ** 2).sum(axis=1))
+    cells = [int(c) for c in order[:nprobe]]
+
+    def adc_for_cell(cell: int):
+        r = p - cents[cell]
+        expr = F.lit(0.0)
+        for j in range(m):
+            lut_np = ((books[j] - r[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+            lut = _dbl_array_lit(lut_np)
+            expr = expr + F.element_at(lut, F.element_at(F.col("pq_code"), j + 1) + 1)
+        return expr
+
+    # chained CASE on cell: each branch is that cell's own LUT sum
+    # (exact residual semantics); measured faster to analyze+execute
+    # than one flattened 8k-literal array with computed offsets
+    adc = F.when(F.col("cell") == cells[0], adc_for_cell(cells[0]))
+    for c in cells[1:]:
+        adc = adc.when(F.col("cell") == c, adc_for_cell(c))
+
+    cand_cols = [id_col, "cell", "pq_code"] if raw is not None else None
+    base = encoded.filter(F.col("cell").isin(cells))
+    if cand_cols is not None:
+        base = base.select(*cand_cols)
+    scored = base.withColumn("adc_dist", adc)
     if not refine:
         return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
     cand = scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(

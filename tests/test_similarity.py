@@ -153,3 +153,44 @@ def test_pq_search_stays_jvm_side(emb, pq_books):
         .toString()
     )
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_ivfpq_encode_semantics(emb):
+    cents, books = S.train_ivfpq(emb, n_centroids=8, m=8, ksub=16, iters=3)
+    rows = S.ivfpq_encode(emb, cents, books).collect()
+    m, ksub, dsub = books.shape
+    for r in rows[:20]:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        cell = int(((cents - v) ** 2).sum(axis=1).argmin())
+        assert r.cell == cell
+        res = v - cents[cell]
+        for j in range(m):
+            sub = res[j * dsub : (j + 1) * dsub]
+            assert r.pq_code[j] == int(((books[j] - sub) ** 2).sum(axis=1).argmin())
+
+
+def test_ivfpq_search_recall(emb):
+    from lightweight_vector_database_spark.operators.knn import knn as _knn
+
+    probe = probe_vector(seed=5)
+    exact = {r.vec_id for r in _knn(emb, probe, 10).collect()}
+    cents, books = S.train_ivfpq(emb, n_centroids=8, m=8, ksub=16, iters=3)
+    encoded = S.ivfpq_encode(emb, cents, books).cache()
+    try:
+        got = {
+            r.vec_id
+            for r in S.ivfpq_search(
+                encoded, cents, books, probe, k=10, nprobe=8, refine=16, raw=emb
+            ).collect()
+        }
+        # nprobe = all cells: candidate pool is the whole table; the
+        # refined top-10 must recover most of the true neighbors even
+        # on near-uniform vectors
+        assert len(got & exact) / 10 >= 0.5
+        rows = S.ivfpq_search(
+            encoded, cents, books, probe, k=10, nprobe=8, refine=16, raw=emb
+        ).collect()
+        dists = [r.dist for r in rows]
+        assert dists == sorted(dists)
+    finally:
+        encoded.unpersist()

@@ -157,6 +157,35 @@ def main() -> None:
             f"recall={len(got_ids & exact_ids)/10:.2f}"
         )
 
+    # residual IVF-PQ: coarse cells + PQ(residual), partitioned codes
+    from lightweight_vector_database_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_search,
+        train_ivfpq,
+    )
+
+    t0 = time.time()
+    cents2, books2 = train_ivfpq(base, n_centroids=N_CLUSTERS, m=8, ksub=256)
+    ivfpq_path = "/tmp/lvdb_scale_ivfpq"
+    ivfpq_encode(base, cents2, books2).select(
+        "vec_id", "cell", "pq_code"
+    ).write.mode("overwrite").partitionBy("cell").parquet(ivfpq_path)
+    ivfpq_codes = spark.read.parquet(ivfpq_path)
+    print(f"ivfpq train+encode+write (partitioned by cell): {time.time()-t0:.1f}s")
+    for nprobe, refine in ((2, 8), (4, 16)):
+        t0 = time.time()
+        got_ids = {
+            r.vec_id
+            for r in ivfpq_search(
+                ivfpq_codes, cents2, books2, probe,
+                k=10, nprobe=nprobe, refine=refine, raw=base,
+            ).collect()
+        }
+        print(
+            f"ivfpq nprobe={nprobe} refine={refine}: {time.time()-t0:.2f}s "
+            f"recall={len(got_ids & exact_ids)/10:.2f}"
+        )
+
 
 if __name__ == "__main__":
     main()
