@@ -306,3 +306,52 @@ WHERE c_acctbal > avg_bal
 GROUP BY code
 """,
 )
+
+
+# --- interval (temporal range) self-join ------------------------------------
+
+_ATTR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def _interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style temporal join: purchases within one hour
+    AFTER a click by the same user. Equi-key on user_id keeps the
+    join a hash join (the range lands as a post-join filter), so the
+    worst case is bounded per user — the standard shape for
+    time-interval joins at scale (vs an unbounded theta join)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("click_id"),
+        us.alias("t_click"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("t_buy"),
+    )
+    gap = F.col("t_buy") - F.col("t_click")
+    return (
+        clicks.join(buys, "u")
+        .filter((gap >= 0) & (gap <= _ATTR_WINDOW_US))
+        .select(
+            F.col("u").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            gap.alias("gap_us"),
+        )
+    )
+
+
+register(
+    "interval_join_attribution",
+    _interval_join,
+    f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND {_ATTR_WINDOW_US}
+""",
+)
