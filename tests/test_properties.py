@@ -87,3 +87,57 @@ def test_fingerprints_are_content_functional(sql, texts):
     # distinct normalized texts -> distinct sha (collision ~impossible)
     shas = [v[0] for v in by_norm.values()]
     assert len(set(shas)) == len(shas)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=999), min_size=2, max_size=12, unique=True
+    ),
+    y=st.integers(min_value=0, max_value=999),
+)
+def test_zorder_monotonic_per_axis(sql, xs, y):
+    # with the other coordinate fixed, the Morton key must order rows
+    # exactly like the raw coordinate (bit interleaving preserves
+    # per-axis order) — this is what makes min/max file stats usable
+    # for range predicates on each interleaved dimension
+    from lightweight_vector_database_spark.functions.zorder import zorder_key
+
+    df = sql.createDataFrame([(x, y) for x in xs], "x long, y long")
+    key = zorder_key(["x", "y"], [(0, 1000), (0, 1000)], bits=10)
+    rows = df.select("x", key.alias("zk")).collect()
+    by_x = sorted(rows, key=lambda r: r.x)
+    by_zk = sorted(rows, key=lambda r: r.zk)
+    assert [r.x for r in by_x] == [r.x for r in by_zk]
+    # keys stay in the n*bits-bit range
+    assert all(0 <= r.zk < (1 << 20) for r in rows)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),
+            st.integers(min_value=0, max_value=999),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_zorder_matches_numpy_interleave(sql, pts):
+    from lightweight_vector_database_spark.functions.zorder import zorder_key
+
+    def morton(x: int, y: int, bits: int = 10) -> int:
+        qx = min(max(int(x / 1000 * (1 << bits)), 0), (1 << bits) - 1)
+        qy = min(max(int(y / 1000 * (1 << bits)), 0), (1 << bits) - 1)
+        out = 0
+        for b in range(bits):
+            out |= ((qx >> b) & 1) << (2 * b)
+            out |= ((qy >> b) & 1) << (2 * b + 1)
+        return out
+
+    df = sql.createDataFrame(pts, "x long, y long")
+    key = zorder_key(["x", "y"], [(0, 1000), (0, 1000)], bits=10)
+    got = {(r.x, r.y): r.zk for r in df.select("x", "y", key.alias("zk")).collect()}
+    for (x, y), zk in got.items():
+        assert zk == morton(x, y)
