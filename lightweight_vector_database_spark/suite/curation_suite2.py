@@ -394,3 +394,43 @@ SELECT count(t_view) AS n_view,
 FROM per_user
 """,
 )
+
+
+# --- compression-ratio quality signal (rows-only: zlib not in SQL) ----------
+
+def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap
+    repetition/quality proxy for pretraining corpora (highly
+    repetitive or templated text compresses far below prose).
+    Arrow-batched scalar pandas_udf (zlib is per-row Python, but the
+    transfer is columnar); deterministic, so rows-only is backed by a
+    pytest invariant instead of a SQL oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def ratio(t: str) -> float:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(ratio)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            comp_ratio(F.col("text")).alias("comp_ratio"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .filter(F.col("doc_id") < 200)
+    )
+
+
+register("curation_compression_ratio", _compression_ratio)

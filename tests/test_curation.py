@@ -140,3 +140,39 @@ def test_contamination_requires_min_overlap(spark, sf_dir):
     rows = _contamination(spark, sf_dir).collect()
     assert all(r.shared >= _MIN_SHARED for r in rows)
     assert all(r.train_doc >= _TEST_CUT and r.test_doc < _TEST_CUT for r in rows)
+
+
+def test_compression_ratio_flags_repetition(spark):
+    from lightweight_vector_database_spark.suite.curation_suite2 import (
+        _compression_ratio,
+    )
+
+    # deterministic + bounded, and repetitive text compresses harder
+    import pandas as pd  # noqa: F401  (udf path needs pandas present)
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam " * 200, "a"),
+            (1, " ".join(f"w{i}x{i * 7 % 13}" for i in range(200)), "a"),
+        ],
+        "doc_id long, text string, source string",
+    ).withColumn("n_chars", F.length("text"))
+    df.createOrReplaceTempView("_cr_docs")
+
+    # reuse the suite function against a temp fixture via monkeypatched loader
+    from lightweight_vector_database_spark.suite import curation_suite2 as cs2
+
+    orig = cs2.load_table
+    cs2.load_table = lambda spark, sf_dir, name: df
+    try:
+        rows = {r.doc_id: r.comp_ratio for r in _compression_ratio(spark, "x").collect()}
+    finally:
+        cs2.load_table = orig
+    assert 0 < rows[0] < rows[1] <= 1.5
+    # rerun-stable
+    cs2.load_table = lambda spark, sf_dir, name: df
+    try:
+        again = {r.doc_id: r.comp_ratio for r in _compression_ratio(spark, "x").collect()}
+    finally:
+        cs2.load_table = orig
+    assert rows == again
