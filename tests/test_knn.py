@@ -111,3 +111,27 @@ def test_knn_wrong_dim_probe_raises(spark, sf_dir):
     df = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(Exception, match="probe dim"):
         knn(df, [0.0] * 32, 5).collect()
+
+
+def test_knn_join_matmul_matches_window(spark, sf_dir):
+    from lightweight_vector_database_spark.operators.knn import (
+        knn_join,
+        knn_join_matmul,
+    )
+    from lightweight_vector_database_spark.probes import probe_vector
+    from lightweight_vector_database_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = spark.createDataFrame(
+        [(i, [float(x) for x in probe_vector(seed=60 + i)]) for i in range(5)],
+        "probe_id long, probe_vec array<double>",
+    )
+    ref = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.dist, 9))
+        for r in knn_join(probes, emb, 4, strategy="window").collect()
+    }
+    mm = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.dist, 9))
+        for r in knn_join_matmul(probes, emb, 4).collect()
+    }
+    assert mm == ref  # exact distances recomputed -> bit-identical
