@@ -107,3 +107,33 @@ def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ann_pq_refined", _ann_pq)
+
+
+# --- batched kNN-join through the grid index (exact -> same oracle as
+# the brute-force join) ------------------------------------------------------
+
+def _knn_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.grid_index import index_stats, knn_join_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = build_index(emb, _INDEX)
+    if sf_dir not in _STATS_MEMO:
+        _STATS_MEMO[sf_dir] = index_stats(assigned)
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("probe_vec"),
+    )
+    out = knn_join_indexed(
+        assigned, _INDEX, probes, k=3, stats=_STATS_MEMO[sf_dir]
+    )
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round(F.col("dist"), 6).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+from .knn_suite import _KNN_JOIN_ORACLE  # noqa: E402
+
+register("knn_join_grid_indexed", _knn_join_grid, _KNN_JOIN_ORACLE)
