@@ -23,6 +23,8 @@ EXPECTED_PYTHON = {
     "udaf_grouped_events",  # grouped-agg pandas UDAF
     "grouped_map_zscore",  # applyInPandas grouped map
     "ann_pq_refined",  # arrow bulk encode (build step); ADC serving is codegen
+    "curation_compression_ratio",  # zlib is per-row Python by design (Arrow-batched)
+    "udtf_repeated_terms",  # true Python UDTF (the op under test IS the Python boundary)
 }
 
 
