@@ -137,3 +137,27 @@ def _knn_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .knn_suite import _KNN_JOIN_ORACLE  # noqa: E402
 
 register("knn_join_grid_indexed", _knn_join_grid, _KNN_JOIN_ORACLE)
+
+
+# --- residual IVF-PQ (rows-only like ann_pq_refined) ------------------------
+
+_IVFPQ_MEMO: dict[str, object] = {}
+
+
+def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_encode, ivfpq_search, train_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVFPQ_MEMO:
+        _IVFPQ_MEMO[sf_dir] = train_ivfpq(
+            emb, n_centroids=8, m=8, ksub=16, iters=3
+        )
+    cents, books = _IVFPQ_MEMO[sf_dir]
+    encoded = ivfpq_encode(emb, cents, books)
+    out = ivfpq_search(
+        encoded, cents, books, _PROBE, k=10, nprobe=8, refine=8, raw=emb
+    )
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
+register("ann_ivfpq_refined", _ann_ivfpq)

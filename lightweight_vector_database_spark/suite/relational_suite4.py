@@ -355,3 +355,86 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
   AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND {_ATTR_WINDOW_US}
 """,
 )
+
+
+# --- Q15: top supplier by quarterly revenue ---------------------------------
+
+def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers achieving the maximum Q1-1997 revenue (TPC-H Q15's
+    view + scalar-max pattern). The max is a broadcast single row; the
+    revenue agg shuffles once on suppkey."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(_revenue(), 4).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+register(
+    "q15_top_supplier",
+    _q15,
+    f"""
+WITH rev AS (
+  SELECT l_suppkey, {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+""",
+)
+
+
+# --- Q17: small-quantity-order revenue --------------------------------------
+
+def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if small orders (< 20% of a part's
+    average quantity) were not filled — Q17's correlated-average
+    pattern for Brand#11. Both the part filter and the per-part
+    averages broadcast; lineitem never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = li_b.groupBy("l_partkey").agg(
+        ((_dsum(F.col("l_quantity")) / F.count(F.lit(1))) * 0.2).alias("qty_cut")
+    )
+    return (
+        li_b.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(_dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly")
+        )
+    )
+
+
+register(
+    "q17_small_qty_revenue",
+    _q17,
+    f"""
+WITH li_b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11'
+), cuts AS (
+  SELECT l_partkey,
+         ({_dsum_sql('l_quantity')} / count(*)) * 0.2 AS qty_cut
+  FROM li_b GROUP BY l_partkey
+)
+SELECT round({_dsum_sql('l_extendedprice')} / 7.0, 6) AS avg_yearly
+FROM li_b JOIN cuts USING (l_partkey)
+WHERE l_quantity < qty_cut
+""",
+)
