@@ -438,3 +438,69 @@ FROM li_b JOIN cuts USING (l_partkey)
 WHERE l_quantity < qty_cut
 """,
 )
+
+
+# --- null semantics: null-safe equality, explicit null ordering -------------
+
+def _null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface in one query: a derived nullable key,
+    null-safe equality join (<=> / IS NOT DISTINCT FROM), nullif/
+    coalesce, and an explicit NULLS LAST rank (Spark defaults to nulls
+    first ascending, DuckDB to nulls last — portable queries must pin
+    it)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    # nullable key: NULL for negative balances
+    keyed = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") >= 0, (F.col("c_custkey") % 5)).alias("grp"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    # null-safe self-join counts: rows pair when grp <=> grp (NULL pairs NULL)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pair_counts = (
+        a.join(b, F.col("a.grp").eqNullSafe(F.col("b.grp")))
+        .groupBy(F.col("a.c_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_grp_peers"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("grp").asc_nulls_last(), F.col("c_custkey").asc())
+    ranked = keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(pair_counts, "c_custkey")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("grp"), F.lit(-1)).alias("grp_filled"),
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+            "n_grp_peers",
+            "rnk",
+        )
+    )
+
+
+register(
+    "null_semantics_customers",
+    _null_semantics,
+    """
+WITH keyed AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_acctbal >= 0 THEN c_custkey % 5 END AS grp,
+         c_acctbal AS bal
+  FROM customer WHERE c_custkey < 200
+), pair_counts AS (
+  SELECT a.c_custkey, count(*) AS n_grp_peers
+  FROM keyed a JOIN keyed b ON a.grp IS NOT DISTINCT FROM b.grp
+  GROUP BY a.c_custkey
+), ranked AS (
+  SELECT c_custkey, c_mktsegment, grp,
+         row_number() OVER (ORDER BY grp ASC NULLS LAST, c_custkey ASC) AS rnk
+  FROM keyed
+)
+SELECT r.c_custkey, coalesce(r.grp, -1) AS grp_filled,
+       nullif(r.c_mktsegment, 'BUILDING') AS seg_or_null,
+       p.n_grp_peers, r.rnk
+FROM ranked r JOIN pair_counts p ON r.c_custkey = p.c_custkey
+""",
+)
