@@ -25,6 +25,7 @@ EXPECTED_PYTHON = {
     "ann_pq_refined",  # arrow bulk encode (build step); ADC serving is codegen
     "curation_compression_ratio",  # zlib is per-row Python by design (Arrow-batched)
     "udtf_repeated_terms",  # true Python UDTF (the op under test IS the Python boundary)
+    "ann_ivfpq_refined",  # arrow cell+residual encode (build step); ADC serving is codegen
 }
 
 
