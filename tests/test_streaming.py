@@ -317,3 +317,66 @@ def test_transform_with_state_running_stats(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    # two files processed as separate micro-batches (maxFilesPerTrigger=1):
+    # batch 1 advances the watermark to ~12:00-10min; batch 2 contains one
+    # event INSIDE the horizon (kept) and one far behind it (dropped).
+    # Append-mode windowed counts must reflect exactly the kept rows.
+    import time as _time
+    from datetime import datetime as _dt
+
+    stage = str(tmp_path / "late_events")
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def t(s):
+        return _dt.fromisoformat(s)
+
+    # watermark computed at the end of batch N becomes effective in
+    # batch N+1, so a middle batch is needed between "watermark source"
+    # and "late arrival" for the eviction to be observable
+    early = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 10:05:00"), 1),
+            (2, t("2024-01-01 11:05:00"), 1),
+            (3, t("2024-01-01 12:00:00"), 1),  # -> watermark 11:50
+        ],
+        schema,
+    )
+    advance = spark.createDataFrame(
+        [(4, t("2024-01-01 12:05:00"), 1)], schema  # evicts the 10:00 window
+    )
+    late = spark.createDataFrame(
+        [(5, t("2024-01-01 10:10:00"), 1)], schema  # behind watermark: dropped
+    )
+    early.coalesce(1).write.mode("overwrite").parquet(stage)
+    _time.sleep(1.1)  # file mtime orders the micro-batches
+    advance.coalesce(1).write.mode("append").parquet(stage)
+    _time.sleep(1.1)
+    late.coalesce(1).write.mode("append").parquet(stage)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("start"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.start, r.n) for r in spark.sql("SELECT * FROM late_t").collect()
+    }
+    # the 10:00 window closed with ONLY event 1 — the late event 5 was
+    # discarded and did not resurrect (or duplicate) the emitted window;
+    # the 11:00/12:00 windows are still open (not emitted in append mode)
+    assert got == {("2024-01-01 10:00:00", 1)}
