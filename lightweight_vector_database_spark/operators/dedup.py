@@ -177,6 +177,38 @@ def minhash_signatures(
                 )
 
         return hashed.mapInPandas(sign, schema="id long, signature array<bigint>")
+    if method == "explode":
+        # explode token hashes to rows, then k codegen'd min-aggregates:
+        # no interpreted HOF anywhere — permutation arithmetic and min
+        # run inside whole-stage codegen with map-side partials, at the
+        # price of one shuffle on id. MEASURED: ~15% faster at 5k docs,
+        # ~17% SLOWER at 1M docs (48.7s vs 41.6s — shuffling 78M
+        # exploded rows costs more than the interpreted fold saves), so
+        # 'expr' stays the default. Identical signatures (tested);
+        # empty docs get the all-sentinel row via the left join back.
+        params = _perm_params(num_hashes, seed)
+        ids = df.select(F.col(id_col).alias("id"))
+        exploded = df.select(
+            F.col(id_col).alias("id"), F.explode(hashes).alias("h")
+        )
+        aggs = [
+            F.min(
+                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+        per_doc = exploded.groupBy("id").agg(*aggs)
+        sig_col = F.array(*[F.col(f"s{i}") for i in range(num_hashes)])
+        sentinel = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
+        return (
+            ids.join(per_doc, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("s0").isNull(), sentinel)
+                .otherwise(sig_col)
+                .alias("signature"),
+            )
+        )
     # ONE fold over the token hashes updating every signature slot per
     # element — k separate array_min(transform(...)) expressions would
     # re-evaluate the (expensive) shingle+hash array k times, since

@@ -117,3 +117,21 @@ def test_minhash_arrow_matches_expr(spark, docs):
     ta = D.minhash_signatures(tiny, ngram=3).first().signature
     tb = D.minhash_signatures(tiny, ngram=3, method="arrow").first().signature
     assert list(ta) == list(tb)
+
+
+def test_minhash_explode_matches_expr(spark, sf_dir):
+    from lightweight_vector_database_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from lightweight_vector_database_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = {
+        r.id: list(r.signature)
+        for r in minhash_signatures(docs, ngram=3, method="expr").collect()
+    }
+    b = {
+        r.id: list(r.signature)
+        for r in minhash_signatures(docs, ngram=3, method="explode").collect()
+    }
+    assert a == b
