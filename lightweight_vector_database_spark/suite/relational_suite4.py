@@ -504,3 +504,43 @@ SELECT r.c_custkey, coalesce(r.grp, -1) AS grp_filled,
 FROM ranked r JOIN pair_counts p ON r.c_custkey = p.c_custkey
 """,
 )
+
+
+# --- bitwise / base-conversion scalar surface --------------------------------
+
+def _bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise ops + hex/binary rendering over order keys — the last
+    scalar-function family not yet pinned by an oracle (hash
+    partitioners, bloom filters and bucket math all live on these)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    k = F.col("o_orderkey")
+    c = F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        (k.bitwiseAND(F.lit(255))).alias("and_255"),
+        (k.bitwiseOR(c)).alias("or_cust"),
+        (k.bitwiseXOR(c)).alias("xor_cust"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.hex(k).alias("hex_key"),
+        F.bin(k).alias("bin_key"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )
+
+
+register(
+    "scalar_bitwise_orders",
+    _bitwise,
+    """
+SELECT o_orderkey,
+       o_orderkey & 255 AS and_255,
+       o_orderkey | o_custkey AS or_cust,
+       xor(o_orderkey, o_custkey) AS xor_cust,
+       o_orderkey << 3 AS shl3,
+       o_orderkey >> 2 AS shr2,
+       to_hex(o_orderkey) AS hex_key,
+       bin(o_orderkey) AS bin_key,
+       bit_count(o_orderkey) AS popcount
+FROM orders WHERE o_orderkey < 500
+""",
+)
