@@ -544,3 +544,74 @@ SELECT o_orderkey,
 FROM orders WHERE o_orderkey < 500
 """,
 )
+
+
+# --- string similarity / manipulation, part 3 --------------------------------
+
+def _string3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance + the remaining string builtins not yet pinned
+    (translate/repeat/reverse/ascii/chr/locate/left/right).
+    Levenshtein against a fixed probe name is the fuzzy-matching
+    primitive for entity resolution over metadata columns."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.levenshtein(name, F.lit("Customer#000000042")).cast("long").alias("edit_dist"),
+        F.translate(name, "0#", "_@").alias("translated"),
+        F.reverse(F.substring(name, -4, 4)).alias("rev_tail"),
+        F.repeat(F.substring(name, 1, 2), 2).alias("rep2"),
+        F.ascii(name).cast("long").alias("first_ascii"),
+        F.chr(F.lit(65) + (F.col("c_custkey") % 26)).alias("bucket_chr"),
+        F.locate("0", name).cast("long").alias("first_zero_pos"),
+        F.concat(name.substr(F.lit(1), F.lit(3)), F.lit("..")).alias("prefix3"),
+    )
+
+
+register(
+    "scalar_string3_customers",
+    _string3,
+    """
+SELECT c_custkey,
+       levenshtein(c_name, 'Customer#000000042') AS edit_dist,
+       translate(c_name, '0#', '_@') AS translated,
+       reverse(right(c_name, 4)) AS rev_tail,
+       repeat(left(c_name, 2), 2) AS rep2,
+       ascii(c_name) AS first_ascii,
+       chr(CAST(65 + c_custkey % 26 AS INT)) AS bucket_chr,
+       strpos(c_name, '0') AS first_zero_pos,
+       left(c_name, 3) || '..' AS prefix3
+FROM customer WHERE c_custkey < 300
+""",
+)
+
+
+# --- conditional aggregates ---------------------------------------------------
+
+def _cond_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / filtered aggregates / exact median per priority —
+    the conditional-aggregation surface (FILTER clauses in SQL)."""
+    o = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 200000
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(big).alias("n_big"),
+        F.count_if(~big).alias("n_small"),
+        _dsum(F.when(big, F.col("o_totalprice")).otherwise(0.0)).alias("big_total"),
+        F.round(F.median("o_totalprice"), 6).alias("median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    "agg_conditional_orders",
+    _cond_aggs,
+    f"""
+SELECT o_orderpriority,
+       count_if(o_totalprice > 200000) AS n_big,
+       count_if(NOT (o_totalprice > 200000)) AS n_small,
+       {_dsum_sql("CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0.0 END")} AS big_total,
+       round(CAST(median(o_totalprice) AS DOUBLE), 6) AS median_price,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
