@@ -34,6 +34,7 @@ from . import relational_suite  # noqa: E402,F401
 from . import relational_suite2  # noqa: E402,F401
 from . import relational_suite3  # noqa: E402,F401
 from . import relational_suite4  # noqa: E402,F401
+from . import relational_suite5  # noqa: E402,F401
 from . import text_suite  # noqa: E402,F401
 from . import dedup_suite  # noqa: E402,F401
 from . import streaming_suite  # noqa: E402,F401

@@ -1,0 +1,429 @@
+"""Engine surface, part 5: the last seven TPC-H-shaped queries
+(Q2/Q9/Q11/Q12/Q16/Q20/Q21), completing all 22 on the driver's
+simplified schema. There is no partsupp table, so supplier-part
+relationships derive from `SELECT DISTINCT l_partkey, l_suppkey FROM
+lineitem`, supply cost proxies use `s_acctbal` / `p_retailprice`, and
+Q12's ship modes become line statuses.
+
+New capability shapes pinned here (beyond earlier suites):
+- Q2: per-group argmin via window-min + filter (all ties kept).
+- Q11: scalar-subquery threshold — a global aggregate feeding a
+  HAVING-style filter over a grouped aggregate.
+- Q16: NOT IN subquery + multi-key count-distinct grouping.
+- Q20: nested aggregate comparison (pair-level sum vs per-part mean).
+- Q21: double-correlated EXISTS / NOT EXISTS via semi + anti self-join.
+
+Spark-first notes (100 TB story):
+- part / supplier / nation / region and every derived scalar are
+  broadcast; the only shuffles are on lineitem keys (orderkey /
+  partkey / suppkey), which AQE re-plans at runtime.
+- Q21's EXISTS/NOT EXISTS become left-semi / left-anti joins on the
+  *deduplicated* (orderkey, suppkey) pair sets — the dedup happens
+  before the self-join so the shuffle carries pairs, not raw lines.
+- Determinism: every money/quantity mean or threshold is computed in
+  quantized-BIGINT space (`_dsum` / raw floor-sums) before any double
+  division, so group filters cannot flip between runs or engines
+  (see relational_suite._dsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import register
+from .relational_suite import _dsum, _dsum_sql
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partsupp surrogate: distinct (partkey, suppkey) from lineitem."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+
+
+# --- Q2: min-cost supplier per part (argmin with ties) -----------------------
+
+def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For STANDARD size-15 parts, the EUROPE supplier(s) with minimum
+    account balance (supply-cost proxy) among suppliers that shipped
+    the part. Window-min + equality filter keeps all ties, matching
+    TPC-H Q2's correlated-min semantics."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") == 15))
+        .select("p_partkey", "p_name")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        _pairs(spark, sf_dir)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
+    )
+
+
+register(
+    "q2_min_cost_supplier",
+    _q2,
+    """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+es AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, p_name, s_name, n_name, s_acctbal
+FROM (
+  SELECT p.p_partkey, p.p_name, es.s_name, es.n_name, es.s_acctbal,
+         min(es.s_acctbal) OVER (PARTITION BY p.p_partkey) AS min_bal
+  FROM pairs
+  JOIN part p ON pairs.l_partkey = p.p_partkey
+  JOIN es ON pairs.l_suppkey = es.s_suppkey
+  WHERE p.p_type = 'STANDARD' AND p.p_size = 15
+)
+WHERE s_acctbal = min_bal
+""",
+)
+
+
+# --- Q9: product-type profit by nation and year ------------------------------
+
+def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on widget parts by supplier nation and order year;
+    supply cost proxied as 0.5 * p_retailprice per unit (no partsupp).
+    lineitem⋈orders shuffles; part/supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_dsum(profit, 4).alias("sum_profit"))
+    )
+
+
+register(
+    "q9_product_profit",
+    _q9,
+    f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_dsum_sql('l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity', 4)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+""",
+)
+
+
+# --- Q11: important parts (scalar-subquery threshold) ------------------------
+
+def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue through NATION_7 suppliers exceeds 0.1% of
+    the nation's total — a grouped aggregate filtered by a broadcast
+    global aggregate. Both sums are quantized-exact so the threshold
+    comparison is deterministic under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    src = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+        )
+    )
+    per_part = src.groupBy("l_partkey").agg(_dsum(F.col("v")).alias("part_value"))
+    total = src.agg(_dsum(F.col("v")).alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > 0.001 * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+register(
+    "q11_important_parts",
+    _q11,
+    f"""
+WITH src AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+pp AS (SELECT l_partkey, {_dsum_sql('v')} AS part_value FROM src GROUP BY l_partkey),
+tot AS (SELECT {_dsum_sql('v')} AS total_value FROM src)
+SELECT l_partkey, part_value
+FROM pp, tot
+WHERE part_value > 0.001 * total_value
+""",
+)
+
+
+# --- Q12: late shipments by line status (shipmode adaptation) ----------------
+
+def _q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1997 lines shipped more than 90 days after the order date,
+    split per line status into urgent/high-priority vs other orders —
+    TPC-H Q12 with l_linestatus standing in for l_shipmode."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.year("l_shipdate") == 1997)
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+    )
+
+
+register(
+    "q12_late_shipments",
+    _q12,
+    """
+SELECT l_linestatus,
+       count_if(o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+       count_if(o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = 1997
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+""",
+)
+
+
+# --- Q16: supplier count by part attributes (NOT IN subquery) ----------------
+
+def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) for selected sizes,
+    excluding Brand#1 and excluding negative-balance suppliers (the
+    'customer complaints' NOT IN subquery of TPC-H Q16)."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        _pairs(spark, sf_dir)
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+register(
+    "q16_supplier_part_counts",
+    _q16,
+    """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+
+
+# --- Q20: heavy shippers of gear parts (nested aggregate comparison) ---------
+
+def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose 1996 shipped quantity of some gear part exceeds
+    1.5x the mean per-supplier quantity for that part. Pair sums stay
+    in quantized-BIGINT space; the per-part mean divides an exact
+    BIGINT sum by a count, so the 1.5x filter is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    gear = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    pair_qty = (
+        li.join(F.broadcast(gear), li.l_partkey == gear.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("q"))
+    )
+    part_avg = pair_qty.groupBy("l_partkey").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1))).alias("avg_q")
+    )
+    winners = (
+        pair_qty.join(part_avg, "l_partkey")
+        .filter(F.col("q") > 1.5 * F.col("avg_q"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(F.broadcast(winners), supp.s_suppkey == winners.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+register(
+    "q20_heavy_gear_shippers",
+    _q20,
+    """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS q
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%gear%' AND year(l_shipdate) = 1996
+  GROUP BY l_partkey, l_suppkey
+),
+pa AS (
+  SELECT l_partkey, CAST(SUM(q) AS DOUBLE) / count(*) AS avg_q
+  FROM pq GROUP BY l_partkey
+),
+winners AS (
+  SELECT DISTINCT l_suppkey FROM pq JOIN pa USING (l_partkey) WHERE q > 1.5 * avg_q
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM winners)
+""",
+)
+
+
+# --- Q21: suppliers who kept finished orders waiting -------------------------
+
+def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: finished ('F') orders where this supplier shipped
+    >60 days after the order date, another supplier is on the order
+    (EXISTS -> left-semi), and no other supplier was late (NOT EXISTS
+    -> left-anti). Self-joins run on deduplicated (orderkey, suppkey)
+    pairs so the shuffle carries pairs, not raw lineitems."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    all_pairs = joined.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        joined.filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = all_pairs.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    waiting = (
+        late.join(
+            other,
+            (late.l_orderkey == other.o_key) & (late.l_suppkey != other.o_supp),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (late.l_orderkey == other_late.o_key) & (late.l_suppkey != other_late.o_supp),
+            "left_anti",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )
+
+
+register(
+    "q21_waiting_suppliers",
+    _q21,
+    """
+WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+lp AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+        SELECT 1 FROM lp
+        WHERE lp.l_orderkey = l1.l_orderkey AND lp.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM late l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+""",
+)
