@@ -146,19 +146,14 @@ register("ann_pq_refined", _ann_pq)
 # the brute-force join) ------------------------------------------------------
 
 def _knn_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.grid_index import index_stats, knn_join_indexed
+    from ..plans.grid_index import knn_join_indexed
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned = build_index(emb, _INDEX)
-    if sf_dir not in _STATS_MEMO:
-        _STATS_MEMO[sf_dir] = index_stats(assigned)
-    probes = emb.filter(F.col("vec_id") < 10).select(
+    assigned, stats = _indexed_snapshot(spark, sf_dir)
+    probes = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").cast("array<double>").alias("probe_vec"),
     )
-    out = knn_join_indexed(
-        assigned, _INDEX, probes, k=3, stats=_STATS_MEMO[sf_dir]
-    )
+    out = knn_join_indexed(assigned, _INDEX, probes, k=3, stats=stats)
     return out.select(
         "probe_id",
         "vec_id",
