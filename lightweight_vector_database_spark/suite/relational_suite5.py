@@ -427,3 +427,100 @@ WHERE EXISTS (
 GROUP BY s_name
 """,
 )
+
+
+# --- remaining aggregate surface: boolean, bitwise, argmin/argmax, moments --
+
+def _stats2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or, bit_and/bit_or/bit_xor, min_by/max_by, and
+    skewness/kurtosis per order priority. Moments come from exact
+    BIGINT power sums of a coarsely quantized price (kept small enough
+    that the 4th-power sum stays below 2^63), with the float math done
+    once on identical inputs in both engines (agg_stats_corr pattern).
+    min_by/max_by are tie-proofed by ranking on a strictly unique
+    BIGINT key (quantized price * 2^33 + orderkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    qx = F.floor(F.col("o_totalprice") / 1000).cast("long")  # <= ~500
+    ukey = F.floor(F.col("o_totalprice") * 100).cast("long") * F.lit(
+        1 << 33
+    ) + F.col("o_orderkey")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bit_and(F.col("o_orderkey") % 4096).alias("key_bits_and"),
+        F.bit_or(F.col("o_orderkey") % 4096).alias("key_bits_or"),
+        F.bit_xor(F.col("o_orderkey") % 4096).alias("key_bits_xor"),
+        F.min_by(F.col("o_orderkey"), ukey).alias("cheapest_order"),
+        F.max_by(F.col("o_orderkey"), ukey).alias("priciest_order"),
+        F.sum(qx).alias("s1"),
+        F.sum(qx * qx).alias("s2"),
+        F.sum(qx * qx * qx).alias("s3"),
+        F.sum(qx * qx * qx * qx).alias("s4"),
+    )
+    # identical operation ORDER to the oracle SQL below (raw moments
+    # r_i = s_i/n, then pow()-based central moments) so the one-shot
+    # scalar float math agrees bit-for-bit on the exact integer sums
+    n = F.col("n").cast("double")
+    r1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    var = r2 - F.pow(r1, 2)
+    m3 = r3 - 3 * r1 * r2 + 2 * F.pow(r1, 3)
+    m4 = r4 - 4 * r1 * r3 + 6 * F.pow(r1, 2) * r2 - 3 * F.pow(r1, 4)
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        "all_over_1k",
+        "any_finished",
+        "key_bits_and",
+        "key_bits_or",
+        "key_bits_xor",
+        "cheapest_order",
+        "priciest_order",
+        F.round(m3 / F.pow(var, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(var, 2), 6).alias("kurtosis"),
+    )
+
+
+register(
+    "agg_stats2_orders",
+    _stats2,
+    """
+WITH q AS (
+  SELECT o_orderpriority, o_orderkey, o_orderstatus, o_totalprice,
+         CAST(floor(o_totalprice / 1000) AS BIGINT) AS qx,
+         CAST(floor(o_totalprice * 100) AS BIGINT) * 8589934592 + o_orderkey AS ukey
+  FROM orders
+), a AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         bool_and(o_totalprice > 1000) AS all_over_1k,
+         bool_or(o_orderstatus = 'F') AS any_finished,
+         bit_and(o_orderkey % 4096) AS key_bits_and,
+         bit_or(o_orderkey % 4096) AS key_bits_or,
+         bit_xor(o_orderkey % 4096) AS key_bits_xor,
+         min_by(o_orderkey, ukey) AS cheapest_order,
+         max_by(o_orderkey, ukey) AS priciest_order,
+         SUM(qx) AS s1, SUM(qx * qx) AS s2,
+         SUM(qx * qx * qx) AS s3, SUM(qx * qx * qx * qx) AS s4
+  FROM q GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, all_over_1k, any_finished,
+       key_bits_and, key_bits_or, key_bits_xor,
+       cheapest_order, priciest_order,
+       round((CAST(s3 AS DOUBLE) / n
+              - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+              + 2 * pow(CAST(s1 AS DOUBLE) / n, 3))
+             / pow(CAST(s2 AS DOUBLE) / n
+                   - pow(CAST(s1 AS DOUBLE) / n, 2), 1.5), 6) AS skewness,
+       round((CAST(s4 AS DOUBLE) / n
+              - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+              + 6 * pow(CAST(s1 AS DOUBLE) / n, 2) * (CAST(s2 AS DOUBLE) / n)
+              - 3 * pow(CAST(s1 AS DOUBLE) / n, 4))
+             / pow(CAST(s2 AS DOUBLE) / n
+                   - pow(CAST(s1 AS DOUBLE) / n, 2), 2), 6) AS kurtosis
+FROM a
+""",
+)
