@@ -434,3 +434,66 @@ def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("curation_compression_ratio", _compression_ratio)
+
+
+# --- unigram LM quality score (perplexity-style filtering) ------------------
+
+def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bits-per-token under the corpus's own unigram LM — the
+    perplexity-style quality signal of CCNet/Gopher-type pipelines
+    (docs full of rare junk score high, fluent-but-generic docs low).
+
+    score(doc) = mean over tokens of -log2 p(tok),
+    p(tok) = corpus_count(tok) / corpus_total.
+
+    Determinism: each token's log2(count) is floor-quantized to a 1e-6
+    grid and summed as BIGINT, so the cross-row accumulation is exact;
+    the only float ops are one log2 per distinct count and the final
+    rescale (agg_stats_corr pattern).
+
+    Scale notes: the vocab aggregate and the join back both shuffle on
+    the token — at 100 TB you broadcast the top-K vocabulary (covers
+    ~all mass) and map the tail to a floor count, turning the join
+    map-only. Kept as the exact formulation here because the driver
+    oracle demands exactness."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_rows = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    vocab = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = tok_rows.agg(F.count(F.lit(1)).alias("total"))
+    q = F.floor(F.log2(F.col("cnt")) * 1e6).cast("long")
+    per_doc = (
+        tok_rows.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(F.sum(q).alias("sq"), F.count(F.lit(1)).alias("n_tokens"))
+    )
+    score = (
+        F.log2(F.col("total").cast("double"))
+        - (F.col("sq").cast("double") / F.col("n_tokens")) / 1e6
+    )
+    return per_doc.join(F.broadcast(totals)).select(
+        "doc_id", "n_tokens", F.round(score, 4).alias("bits_per_token")
+    )
+
+
+register(
+    "curation_unigram_logprob",
+    _unigram_logprob,
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT count(*) AS total FROM tok),
+pd AS (
+  SELECT doc_id,
+         SUM(CAST(floor(log2(cnt) * 1000000.0) AS BIGINT)) AS sq,
+         count(*) AS n_tokens
+  FROM tok JOIN vocab USING (token)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(log2(CAST(total AS DOUBLE))
+             - (CAST(sq AS DOUBLE) / n_tokens) / 1000000.0, 4) AS bits_per_token
+FROM pd, tot
+""",
+)
