@@ -497,3 +497,71 @@ SELECT doc_id, n_tokens,
 FROM pd, tot
 """,
 )
+
+
+# --- random projection (Johnson-Lindenstrauss dimensionality reduction) -----
+
+_RP_OUT = 8
+
+
+def _rp_signs(out_dim: int, in_dim: int) -> list[list[float]]:
+    """Deterministic +-1 sign matrix (out_dim x in_dim) from a fixed
+    LCG — the Achlioptas sign variant of the JL projection. Baked as
+    literals into BOTH the Spark expressions and the oracle SQL, so no
+    hash function needs to agree across engines."""
+    state = 20260813
+    rows = []
+    for _ in range(out_dim):
+        row = []
+        for _ in range(in_dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            row.append(1.0 if (state >> 16) & 1 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def _random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-dim float32 embeddings -> 8-dim via a literal +-1 sign matrix
+    scaled by 1/sqrt(64) = 1/8 (exact in binary, so the scale step adds
+    no float divergence). Each output component is a literal-folded
+    zip_with/aggregate sum — unrolled into whole-stage codegen, no
+    Python, no shuffle: the op is map-only at any scale."""
+    from ..functions.distance import _fold_sum, vec_lit
+    from ..sources import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    signs = _rp_signs(_RP_OUT, 64)
+    comps = [
+        F.round(
+            _fold_sum(F.zip_with(v, vec_lit(signs[j]), lambda x, s: x * s))
+            / F.lit(8.0),
+            6,
+        ).alias(f"rp_{j}")
+        for j in range(_RP_OUT)
+    ]
+    return emb.select("vec_id", *comps)
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs(_RP_OUT, 64)
+    cols = []
+    for j in range(_RP_OUT):
+        terms = " ".join(
+            ("+ " if s > 0 else "- ") + f"vd[{i + 1}]"
+            for i, s in enumerate(signs[j])
+        ).lstrip("+ ")
+        cols.append(f"round(({terms}) / 8.0, 6) AS rp_{j}")
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+)
+SELECT vec_id,
+       {sel}
+FROM v
+"""
+
+
+register("embedding_random_projection", _random_projection, _rp_oracle())
