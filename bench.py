@@ -33,6 +33,8 @@ HEADLINE = [
     "stream_session_30m",
     "multimodal_features",
     "q8_market_share",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
     "curation_pii_redact",
     "curation_contamination",
     "ann_pq_refined",
