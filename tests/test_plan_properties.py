@@ -60,3 +60,59 @@ def test_scan_reads_only_needed_columns(spark, sf_dir):
         assert unused not in read_schema
     for used in ("l_quantity", "l_extendedprice", "l_discount"):
         assert used in read_schema
+
+
+def test_q9_broadcasts_all_dimensions(spark, sf_dir):
+    # part / supplier / nation are broadcast; only lineitem-keyed joins
+    # may shuffle — no cartesian anywhere
+    plan = _plan(spark, sf_dir, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_q21_exists_becomes_semi_and_anti_join(spark, sf_dir):
+    # the double-correlated EXISTS / NOT EXISTS must plan as one semi
+    # and one anti join over the deduped pair sets, never a cartesian
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
+    # the negative-balance supplier exclusion is a tiny broadcast anti
+    # join, not a shuffle
+    plan = _plan(spark, sf_dir, "q16_supplier_part_counts")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_random_projection_is_map_only(spark, sf_dir):
+    # the JL projection must not shuffle and must stay JVM-side: it is
+    # a pure per-row expression over the embedding column
+    plan = _plan(spark, sf_dir, "embedding_random_projection")
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_grid_serving_scan_prunes_on_partition_column(spark, sf_dir):
+    # the indexed snapshot is partitioned by cell_id, so the serving
+    # scan must carry a partition filter (candidate IN-list), and the
+    # depth-6 quantization expression must not appear in the plan
+    from lightweight_vector_database_spark.suite.index_suite import (
+        _indexed_snapshot,
+        _INDEX,
+        _PROBE,
+    )
+    from lightweight_vector_database_spark.plans.grid_index import knn_indexed
+
+    snap, stats = _indexed_snapshot(spark, sf_dir)
+    out = knn_indexed(snap, _INDEX, _PROBE, k=10, stats=stats)
+    # serving collects eagerly and returns a local DataFrame; assert on
+    # the scan it performed instead: candidate filter prunes partitions
+    cand_scan = snap.filter(F.col("cell_id").isin(list(stats)[:3]))
+    plan = cand_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    assert "floor" not in plan  # no quantization expression at serving
