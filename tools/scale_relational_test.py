@@ -97,6 +97,39 @@ def main() -> None:
     )
     print(f"window top-3 per supplier: {time.time()-t0:.2f}s ({n} rows)")
 
+    # Q21-shaped EXISTS / NOT EXISTS: dedup to (orderkey, suppkey)
+    # pairs first so the semi/anti self-joins shuffle pairs, not lines
+    t0 = time.time()
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.filter(F.pmod(F.xxhash64("l_orderkey", "l_suppkey"), F.lit(3)) == 0)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    waiting = (
+        late.join(
+            other,
+            (late.l_orderkey == other.o_key) & (late.l_suppkey != other.o_supp),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (late.l_orderkey == other_late.o_key)
+            & (late.l_suppkey != other_late.o_supp),
+            "left_anti",
+        )
+        .groupBy("l_suppkey")
+        .count()
+    )
+    n = waiting.count()
+    print(f"Q21-shaped semi+anti self-join: {time.time()-t0:.2f}s ({n} suppliers)")
+
 
 if __name__ == "__main__":
     main()
