@@ -565,3 +565,84 @@ FROM v
 
 
 register("embedding_random_projection", _random_projection, _rp_oracle())
+
+
+# --- temperature-scaled mixture rebalancing (alpha-sampling) ----------------
+
+_ALPHA_BUDGET = 1000  # total docs to draw across sources
+
+
+def _alpha_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual-style alpha-sampling (alpha = 0.5): per-source
+    quotas proportional to sqrt(source size), flattening the source
+    distribution, then a deterministic hash-rank draw inside each
+    source. IEEE sqrt is correctly rounded, and the quota math runs on
+    floor-quantized BIGINTs (floor(B * q_s / sum q_t)), so quotas are
+    engine-exact; the draw ranks on md5(doc_id) — reproducible and
+    shuffle-friendly (one window per source, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    q = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1e6).cast("long")
+    weighted = counts.withColumn("q", q)
+    total = weighted.agg(F.sum("q").alias("sum_q"))
+    quota = (
+        weighted.join(F.broadcast(total))
+        .withColumn(
+            "target",
+            F.floor(F.lit(_ALPHA_BUDGET) * F.col("q") / F.col("sum_q")).cast("long"),
+        )
+        .select("source", "n_docs", "target")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("draw:"), F.col("doc_id").cast("string"))),
+            F.col("doc_id"),
+        )
+    )
+    picked = (
+        docs.join(F.broadcast(quota), "source")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= F.col("target"))
+    )
+    return (
+        picked.groupBy("source", "n_docs", "target")
+        .agg(
+            F.count(F.lit(1)).alias("n_drawn"),
+            F.sum(T.token_count("text")).alias("sum_tokens"),
+        )
+    )
+
+
+register(
+    "curation_alpha_rebalance",
+    _alpha_rebalance,
+    f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(q) AS sum_q FROM counts),
+quota AS (
+  SELECT source, n_docs,
+         CAST(floor({_ALPHA_BUDGET} * q / sum_q) AS BIGINT) AS target
+  FROM counts, tot
+),
+ranked AS (
+  SELECT d.source, d.doc_id, d.text, quota.n_docs, quota.target,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5('draw:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rn
+  FROM documents d JOIN quota USING (source)
+)
+SELECT source, n_docs, target,
+       count(*) AS n_drawn,
+       SUM(len(string_split(text, ' '))) AS sum_tokens
+FROM ranked
+WHERE rn <= target
+GROUP BY source, n_docs, target
+""",
+)
