@@ -524,3 +524,49 @@ SELECT o_orderpriority, n, all_over_1k, any_finished,
 FROM a
 """,
 )
+
+
+# --- cohort retention over events -------------------------------------------
+
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-activity
+    week, counted as active N weeks later. Week indices are integer
+    day-diffs from a fixed anchor (no engine-specific week-truncation
+    semantics), so the whole query is exact integer math. Two
+    aggregations on user_id + one join — the per-user cohort side is an
+    aggregate of the same scan, broadcastable at real scale."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")) / 7
+    )
+    act = ev.select(
+        "user_id", F.floor(week).cast("long").alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+register(
+    "cohort_retention_events",
+    _cohort_retention,
+    """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) / 7.0)
+              AS BIGINT) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS weeks_since,
+       count(DISTINCT user_id) AS n_users
+FROM act JOIN cohort USING (user_id)
+GROUP BY 1, 2
+""",
+)
