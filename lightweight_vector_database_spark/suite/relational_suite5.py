@@ -69,9 +69,16 @@ def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # part filter BEFORE the pair-distinct: Catalyst won't push a join
+    # through an aggregate, so ordering it by hand shrinks the distinct
+    # input from every (partkey, suppkey) pair to just the matching
+    # parts' lines — at 100 TB that is the difference between
+    # deduplicating the whole fact table and a ~0.3% slice of it
     cand = (
-        _pairs(spark, sf_dir)
+        load_table(spark, sf_dir, "lineitem")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "p_partkey", "p_name")
+        .distinct()
         .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
     w = Window.partitionBy("p_partkey")
