@@ -274,12 +274,17 @@ def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
+    # both broadcast filters run BEFORE the distinct (same rationale as
+    # Q2: hand-ordered because Catalyst won't push joins through it)
     return (
-        _pairs(spark, sf_dir)
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
         .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
     )
 
 
