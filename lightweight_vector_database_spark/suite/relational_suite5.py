@@ -36,14 +36,10 @@ from . import register
 from .relational_suite import _dsum, _dsum_sql
 
 
-def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The partsupp surrogate: distinct (partkey, suppkey) from lineitem."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-
+# The partsupp surrogate everywhere below: distinct (l_partkey,
+# l_suppkey) pairs from lineitem — always deduplicated AFTER the
+# per-query part/supplier filters so the distinct runs on the smallest
+# possible slice (Catalyst will not push a join through an aggregate).
 
 # --- Q2: min-cost supplier per part (argmin with ties) -----------------------
 
