@@ -142,6 +142,48 @@ def metric_expr(
     return METRICS[name](a, b, **kwargs)
 
 
+def mahalanobis_factor(
+    a: Column | str,
+    b: Column | str | Sequence[float],
+    factor: Sequence[Sequence[float]],
+) -> Column:
+    """Full-matrix Mahalanobis distance d^T S^-1 d via a triangular
+    factor L with S^-1 = L^T L, so dist = ||L d||^2.
+
+    The reference solves ``np.linalg.solve(S, d)`` per call
+    (distance_metric.py:78-80); here the factorization happens ONCE on
+    the driver (numpy Cholesky, or any exact L you choose) and the
+    per-row work is an unrolled dense matrix-vector product that stays
+    entirely inside whole-stage codegen — the same "closed form over
+    blackbox" preference the reference documents for point2plane
+    (distance_metric.py:39-45). For high dimensionality where the
+    unrolled expression would blow past codegen method limits, use
+    ``mahalanobis_full_udf`` (Arrow escape hatch) instead.
+
+    Zero coefficients are skipped identically on the oracle side, and
+    both inner and outer sums are left folds, so results hash-match
+    DuckDB bit-for-bit.
+    """
+    a, b = _as_double(a), _coerce(b)
+    rows: list[Column] = []
+    for row in factor:
+        term: Column | None = None
+        for i, c in enumerate(row):
+            if float(c) == 0.0:
+                continue
+            d = F.element_at(a, i + 1) - F.element_at(b, i + 1)
+            t = F.lit(float(c)) * d
+            term = t if term is None else term + t
+        rows.append(term if term is not None else F.lit(0.0))
+    dist = F.lit(0.0)
+    for r in rows:
+        dist = dist + r * r
+    return dist
+
+
+METRICS["mahalanobis_factor"] = mahalanobis_factor
+
+
 def mahalanobis_full_udf(inv_cov) -> Callable[[Column, Sequence[float]], Column]:
     """Full-matrix Mahalanobis via an Arrow-batched pandas UDF — the
     slow-path escape hatch for metrics with no Catalyst closed form

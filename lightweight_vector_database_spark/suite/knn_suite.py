@@ -104,6 +104,56 @@ register(
 )
 
 
+# Full-matrix Mahalanobis over the first 8 dims: S^-1 = L^T L with a
+# dense lower-triangular L (off-diagonal entries exact multiples of
+# 1/4 so the literal text round-trips identically in both engines).
+# The implied inverse covariance has non-zero off-diagonals — the case
+# the reference handles with np.linalg.solve per call
+# (distance_metric.py:78-80); we factor once and unroll into codegen.
+MAHAL_DIMS = 8
+MAHAL_L = [
+    [((i + 2 * j) % 5 - 2) / 4.0 if i < j else (1.0 if i == j else 0.0)
+     for i in range(MAHAL_DIMS)]
+    for j in range(MAHAL_DIMS)
+]
+PROBE_M = probe_vector(seed=5)[:MAHAL_DIMS]
+
+
+def _mahal_factor_sql(vec: str, probe_name: str) -> str:
+    """Unrolled ||L(x-p)||^2 with the same term order and zero-skip as
+    functions/distance.mahalanobis_factor."""
+    rows = []
+    for row in MAHAL_L:
+        terms = [
+            f"{c!r} * (CAST({vec}[{i + 1}] AS DOUBLE) - {probe_name}[{i + 1}])"
+            for i, c in enumerate(row)
+            if c != 0.0
+        ]
+        rows.append("(" + " + ".join(terms) + ")")
+    return "(" + " + ".join(f"{r} * {r}" for r in rows) + ")"
+
+
+def _knn_mahal_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.slice("embedding", 1, MAHAL_DIMS)
+    )
+    out = knn(emb, PROBE_M, K, metric="mahalanobis_factor", factor=MAHAL_L)
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
+register(
+    "knn_mahalanobis_full",
+    _knn_mahal_full,
+    f"""
+WITH probe AS (SELECT {sql_array(PROBE_M)} AS p)
+SELECT vec_id, label, round(dist, 6) AS dist FROM (
+  SELECT vec_id, label, {_mahal_factor_sql('embedding', 'p')} AS dist
+  FROM embeddings CROSS JOIN probe
+) ORDER BY dist, vec_id LIMIT {K}
+""",
+)
+
+
 def _knn_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10).select(

@@ -83,6 +83,30 @@ def test_mahalanobis_full_udf(vec_df):
         np.testing.assert_allclose(out[i], d @ inv @ d, rtol=1e-6)
 
 
+def test_mahalanobis_factor_expr(vec_df):
+    # codegen factor path == numpy d^T S^-1 d for an arbitrary dense
+    # inverse covariance, factored once on the driver: inv = C C^T
+    # (numpy Cholesky) and dist = ||C^T d||^2
+    df, rows = vec_df
+    rng = np.random.RandomState(3)
+    a = rng.uniform(-1, 1, (16, 16))
+    cov = a @ a.T + 16 * np.eye(16)
+    inv = np.linalg.inv(cov)
+    factor = np.linalg.cholesky(inv).T.tolist()
+    out = {
+        r.vec_id: r.d
+        for r in df.select(
+            "vec_id",
+            dist.mahalanobis_factor("embedding", PROBE16, factor).alias("d"),
+        ).collect()
+    }
+    p = np.asarray(PROBE16)
+    for i, emb in rows[:10]:
+        v = np.asarray(emb, dtype=np.float64)
+        d = v - p
+        np.testing.assert_allclose(out[i], d @ inv @ d, rtol=1e-6)
+
+
 def test_custom_metric_registration(vec_df):
     df, rows = vec_df
 
