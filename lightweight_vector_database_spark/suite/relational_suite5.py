@@ -578,3 +578,56 @@ FROM act JOIN cohort USING (user_id)
 GROUP BY 1, 2
 """,
 )
+
+
+# --- recursive CTE: month-over-month backlog carryover ----------------
+# First genuinely ITERATIVE SQL query in the suite (Spark 4 WITH
+# RECURSIVE, UNION ALL form): carry(m) = rev(m) + carry(m-1) DIV 2 is
+# not window-expressible because of the per-step integer floor. All
+# arithmetic stays in BIGINT cents (floor-quantized once at the scan),
+# so the 12-step recursion is bit-identical across engines. The
+# recursion depth is the month ladder (12), independent of data size:
+# at 100 TB the per-month aggregate is the only distributed work and
+# each recursive step joins against that 12-row result (broadcast).
+def _recursive_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lvdb_orders_rec")
+    return spark.sql("""
+WITH RECURSIVE rev AS (
+  SELECT month(o_orderdate) AS m,
+         sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS rev_cents
+  FROM __lvdb_orders_rec WHERE year(o_orderdate) = 1995
+  GROUP BY month(o_orderdate)
+),
+t(m, rev_cents, carry_cents) AS (
+  SELECT m, rev_cents, rev_cents FROM rev WHERE m = 1
+  UNION ALL
+  SELECT t.m + 1, coalesce(r.rev_cents, CAST(0 AS BIGINT)),
+         coalesce(r.rev_cents, CAST(0 AS BIGINT)) + t.carry_cents DIV 2
+  FROM t LEFT JOIN rev r ON r.m = t.m + 1
+  WHERE t.m < 12
+)
+SELECT m AS month, rev_cents, carry_cents FROM t
+""")
+
+
+register(
+    "recursive_backlog_carryover",
+    _recursive_backlog,
+    """
+WITH RECURSIVE rev AS (
+  SELECT month(o_orderdate) AS m,
+         sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS rev_cents
+  FROM orders WHERE year(o_orderdate) = 1995
+  GROUP BY month(o_orderdate)
+),
+t(m, rev_cents, carry_cents) AS (
+  SELECT m, rev_cents, rev_cents FROM rev WHERE m = 1
+  UNION ALL
+  SELECT t.m + 1, coalesce(r.rev_cents, CAST(0 AS BIGINT)),
+         coalesce(r.rev_cents, CAST(0 AS BIGINT)) + t.carry_cents // 2
+  FROM t LEFT JOIN rev r ON r.m = t.m + 1
+  WHERE t.m < 12
+)
+SELECT m AS month, rev_cents, carry_cents FROM t
+""",
+)
