@@ -107,6 +107,19 @@ def test_mahalanobis_factor_expr(vec_df):
         np.testing.assert_allclose(out[i], d @ inv @ d, rtol=1e-6)
 
 
+def test_mahalanobis_factor_diag_reduction(vec_df):
+    # L = diag(sqrt(w))  =>  factor metric == diagonal metric exactly
+    df, _ = vec_df
+    w = [1.0 + (i % 4) * 0.5 for i in range(16)]
+    factor = np.diag(np.sqrt(w)).tolist()
+    out = df.select(
+        dist.mahalanobis_factor("embedding", PROBE16, factor).alias("f"),
+        dist.mahalanobis_diag("embedding", PROBE16, w).alias("d"),
+    ).collect()
+    for r in out:
+        np.testing.assert_allclose(r.f, r.d, rtol=1e-12)
+
+
 def test_custom_metric_registration(vec_df):
     df, rows = vec_df
 
