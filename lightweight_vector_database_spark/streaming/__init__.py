@@ -1,3 +1,4 @@
+from .ingest import VectorIngest
 from .windows import (
     first_event_per_key,
     session_agg,
@@ -7,6 +8,7 @@ from .windows import (
 )
 
 __all__ = [
+    "VectorIngest",
     "first_event_per_key",
     "session_agg",
     "sliding_agg",

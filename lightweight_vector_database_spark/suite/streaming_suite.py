@@ -101,3 +101,38 @@ SELECT event_id, user_id, event_type FROM (
 ) WHERE rn = 1
 """,
 )
+
+
+def _vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector ingestion (streaming/ingest.py): the embeddings
+    table arrives in two micro-batches; result is the per-cell count
+    profile of the final cell-partitioned snapshot plus the total-id
+    invariant columns. Rows-only: the ingest pipeline (id minting,
+    epoch replay protection, incremental stats) is what's under test —
+    pytest holds the invariants (tests/test_streaming_ingest.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..plans.grid_index import GridIndex
+    from ..sources.snapshots import SnapshotStore
+    from ..streaming.ingest import VectorIngest
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding", "label")
+    index = GridIndex([-1.0] * 64, [1.0] * 64, num_splits=2, depth=4)
+    with tempfile.TemporaryDirectory() as tmp:
+        store = SnapshotStore(spark, f"{tmp}/snap")
+        ingest = VectorIngest(store, index)
+        ingest.apply_batch(emb.filter(F.col("label") < 5), 0)
+        ingest.apply_batch(emb.filter(F.col("label") >= 5), 1)
+        snap = store.read()
+        out = (
+            snap.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("vec_id").alias("n_ids"))
+            .orderBy("cell_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+
+
+register("stream_vector_ingest", _vector_ingest)  # rows-only

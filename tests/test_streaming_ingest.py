@@ -1,0 +1,114 @@
+"""Streaming vector ingestion: the reference's insert path
+(kd_tree_database.py:262-270) run as a Structured Streaming sink —
+micro-batches land in the versioned, cell-partitioned snapshot with
+monotonic ids and incrementally maintained index stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lightweight_vector_database_spark.operators.knn import knn
+from lightweight_vector_database_spark.plans.grid_index import (
+    GridIndex,
+    index_stats,
+    knn_indexed,
+)
+from lightweight_vector_database_spark.sources.snapshots import SnapshotStore
+from lightweight_vector_database_spark.streaming.ingest import VectorIngest
+
+DIM = 4
+
+
+def _batch(spark, seed: int, n: int):
+    rng = np.random.RandomState(seed)
+    rows = [
+        (rng.uniform(0, 1, DIM).astype(np.float32).tolist(), int(seed))
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(rows, "embedding array<float>, label int")
+
+
+@pytest.fixture()
+def index():
+    return GridIndex([0.0] * DIM, [1.0] * DIM, num_splits=2, depth=4)
+
+
+def test_ingest_batches_maintain_invariants(spark, tmp_path, index):
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    ingest = VectorIngest(store, index)
+
+    sizes = [30, 20, 25]
+    for epoch, (seed, n) in enumerate(zip([1, 2, 3], sizes)):
+        ingest.apply_batch(_batch(spark, seed, n), epoch)
+        snap = store.read()
+        total = sum(sizes[: epoch + 1])
+        # count invariant and cross-structure invariant (reference
+        # tests:20-28: len(db) == index-derived count)
+        assert snap.count() == total
+        assert sum(ingest.stats.values()) == total
+        assert ingest.stats == index_stats(snap)
+        # ids unique and monotonic across batches, never reused
+        ids = [r.vec_id for r in snap.select("vec_id").collect()]
+        assert sorted(ids) == list(range(total))
+
+    assert store.versions() == [0, 1, 2]
+
+
+def test_ingest_replayed_epoch_is_idempotent(spark, tmp_path, index):
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    ingest = VectorIngest(store, index)
+    b = _batch(spark, 7, 15)
+    ingest.apply_batch(b, 0)
+    v = store.latest_version()
+    ingest.apply_batch(b, 0)  # foreachBatch failure replay
+    assert store.latest_version() == v
+    assert store.read().count() == 15
+    assert sum(ingest.stats.values()) == 15
+
+
+def test_ingest_then_knn_indexed_equals_brute(spark, tmp_path, index):
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    ingest = VectorIngest(store, index)
+    for epoch, seed in enumerate([11, 12]):
+        ingest.apply_batch(_batch(spark, seed, 40), epoch)
+
+    snap = store.read()
+    probe = [0.31, 0.62, 0.18, 0.77]
+    brute = knn(snap, probe, 5).select("vec_id", "dist").collect()
+    indexed = (
+        knn_indexed(snap, index, probe, 5, stats=ingest.stats)
+        .select("vec_id", "dist")
+        .collect()
+    )
+    assert [(r.vec_id, round(r.dist, 9)) for r in brute] == [
+        (r.vec_id, round(r.dist, 9)) for r in indexed
+    ]
+
+
+def test_ingest_through_real_stream(spark, tmp_path, index):
+    """End-to-end through readStream: parquet file source, one file
+    per micro-batch, availableNow."""
+    src = tmp_path / "incoming"
+    for seed in (21, 22, 23):
+        _batch(spark, seed, 10).coalesce(1).write.mode("append").parquet(str(src))
+
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    ingest = VectorIngest(store, index)
+    stream = (
+        spark.readStream.schema("embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = ingest.start(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    snap = store.read()
+    assert snap.count() == 30
+    assert sum(ingest.stats.values()) == 30
+    assert ingest.stats == index_stats(snap)
+    ids = sorted(r.vec_id for r in snap.select("vec_id").collect())
+    assert ids == list(range(30))
+    # landed data is cell-partitioned: the serving filter prunes files
+    assert "cell_id" in snap.columns
