@@ -631,3 +631,41 @@ t(m, rev_cents, carry_cents) AS (
 SELECT m AS month, rev_cents, carry_cents FROM t
 """,
 )
+
+
+# --- LATERAL correlated subquery: per-supplier top-2 parts ------------
+# The SQL-surface twin of the window-function top-k family
+# (topk_per_supplier): a correlated LATERAL derived table with its own
+# aggregate + ORDER BY + LIMIT. Catalyst decorrelates this into a
+# join + per-key ranking, so the physical plan matches the window
+# formulation — no nested-loop per supplier at scale. Quantities are
+# floor-quantized BIGINTs; (qty DESC, partkey) is a total order.
+def _lateral_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("__lvdb_supp_lat")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__lvdb_line_lat")
+    return spark.sql("""
+SELECT s.s_suppkey, t.l_partkey, t.qty
+FROM __lvdb_supp_lat s,
+LATERAL (
+  SELECT l_partkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS qty
+  FROM __lvdb_line_lat WHERE l_suppkey = s.s_suppkey
+  GROUP BY l_partkey
+  ORDER BY qty DESC, l_partkey LIMIT 2
+) t
+""")
+
+
+register(
+    "lateral_top_parts_per_supplier",
+    _lateral_top_parts,
+    """
+SELECT s.s_suppkey, t.l_partkey, t.qty
+FROM supplier s,
+LATERAL (
+  SELECT l_partkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS qty
+  FROM lineitem WHERE l_suppkey = s.s_suppkey
+  GROUP BY l_partkey
+  ORDER BY qty DESC, l_partkey LIMIT 2
+) t
+""",
+)
