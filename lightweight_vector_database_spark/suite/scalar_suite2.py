@@ -116,3 +116,38 @@ SELECT event_id,
 FROM events WHERE event_id < 150
 """,
 )
+
+
+# --- Spark 4 VARIANT: semi-structured props without a schema ----------
+# The modern twin of scalar_json_events (get_json_object on strings):
+# parse once to VARIANT, extract typed fields with variant_get. At
+# scale VARIANT beats per-access string re-parsing (binary encoding,
+# shreddable); integer-only extraction keeps the oracle exact.
+def _variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__lvdb_events_var")
+    return spark.sql("""
+SELECT event_type,
+       count(*) AS n,
+       sum(variant_get(v, '$.k', 'bigint')) AS sum_k,
+       min(variant_get(v, '$.k', 'bigint')) AS min_k,
+       max(variant_get(v, '$.k', 'bigint')) AS max_k,
+       count(CASE WHEN variant_get(v, '$.k', 'bigint') % 2 = 0 THEN 1 END) AS n_even
+FROM (SELECT event_type, parse_json(props) AS v FROM __lvdb_events_var)
+GROUP BY event_type
+""")
+
+
+register(
+    "variant_props_events",
+    _variant_events,
+    """
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       min(CAST(props->>'k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'k' AS BIGINT)) AS max_k,
+       count(CASE WHEN CAST(props->>'k' AS BIGINT) % 2 = 0 THEN 1 END) AS n_even
+FROM events
+GROUP BY event_type
+""",
+)
