@@ -1,3 +1,10 @@
+from .synthetic import SyntheticVectorsDataSource
 from .tables import TABLES, load_table, load_all, register_views
 
-__all__ = ["TABLES", "load_table", "load_all", "register_views"]
+__all__ = [
+    "TABLES",
+    "SyntheticVectorsDataSource",
+    "load_table",
+    "load_all",
+    "register_views",
+]
