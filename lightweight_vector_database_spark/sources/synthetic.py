@@ -24,7 +24,12 @@ return identical rows.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _Split(InputPartition):
@@ -81,6 +86,41 @@ class SyntheticVectorsReader(DataSourceReader):
         )
 
 
+class SyntheticVectorsStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming over the same deterministic row space:
+    offsets are row indices; each trigger advances by
+    ``rows_per_batch`` until ``n`` rows have been emitted (a finite
+    stream, so availableNow drains it). Row ``i`` is bit-identical to
+    the batch reader's row ``i`` — stream ingest == batch load."""
+
+    def __init__(self, options):
+        self.total = int(options.get("n", 1000))
+        self.per_batch = int(options.get("rows_per_batch", 100))
+        self.dim = int(options.get("dim", 64))
+        self.seed = int(options.get("seed", 42))
+        self.n_labels = int(options.get("n_labels", 10))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        return {"row": self.total}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], min(end["row"], self.total)
+        step = self.per_batch
+        return [
+            _Split(a, min(a + step, hi), self.seed, self.dim, self.n_labels)
+            for a in range(lo, hi, step)
+        ] or [_Split(lo, lo, self.seed, self.dim, self.n_labels)]
+
+    def read(self, partition: _Split):
+        yield from SyntheticVectorsReader.read(self, partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticVectorsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -91,3 +131,6 @@ class SyntheticVectorsDataSource(DataSource):
 
     def reader(self, schema):
         return SyntheticVectorsReader(self.options)
+
+    def streamReader(self, schema):
+        return SyntheticVectorsStreamReader(self.options)

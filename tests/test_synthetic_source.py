@@ -56,3 +56,34 @@ def test_feeds_engine_operators(spark):
     out = knn(df, [0.0] * 8, 5).collect()
     assert len(out) == 5
     assert out == sorted(out, key=lambda r: (r.dist, r.vec_id))
+
+
+def test_stream_reader_feeds_vector_ingest(spark, tmp_path):
+    """Custom streaming source -> ingestion sink, end-to-end: the
+    drained stream's snapshot holds exactly the batch reader's rows."""
+    from lightweight_vector_database_spark.plans.grid_index import GridIndex
+    from lightweight_vector_database_spark.sources.snapshots import SnapshotStore
+    from lightweight_vector_database_spark.streaming.ingest import VectorIngest
+
+    opts = dict(n=240, dim=8, seed=13, rows_per_batch=80)
+    stream = spark.readStream.format("synthetic_vectors")
+    for k, v in opts.items():
+        stream = stream.option(k, v)
+
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    index = GridIndex([-1.0] * 8, [1.0] * 8, num_splits=2, depth=4)
+    ingest = VectorIngest(store, index)
+    q = ingest.start(
+        stream.load().drop("vec_id"), checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    snap = store.read()
+    assert snap.count() == 240
+    assert sum(ingest.stats.values()) == 240
+    batch = {
+        tuple(r.embedding)
+        for r in _read(spark, n=240, dim=8, seed=13).collect()
+    }
+    streamed = {tuple(r.embedding) for r in snap.collect()}
+    assert streamed == batch
