@@ -346,6 +346,67 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """EXACT near-dup pairs at hamming <= ``max_hamming`` without an
+    all-pairs join: band the 64-bit simhash into ``bands`` equal bit
+    slices and self-join on (band, slice). Pigeonhole guarantees
+    exactness when ``max_hamming <= bands - 1``: a pair differing in
+    at most bands-1 bits must agree on at least one full band, so the
+    banded join loses nothing; the exact hamming filter then removes
+    false candidates. (The classic SimHash trick — Manku et al.,
+    WWW'07 — as a pure dataflow join.)
+
+    The join shuffles on the band key: at 100 TB the pair space is
+    bounded by per-bucket collisions, not n^2. Raise ``bands`` to
+    widen the guaranteed radius at the cost of more candidates.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"exactness needs max_hamming <= bands-1 (got {max_hamming} > {bands - 1})"
+        )
+    width = 64 // bands
+    sh = simhash64(df, id_col, text_col)
+    mask = (1 << width) - 1
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("id").alias("id1"), F.col("simhash").alias("__h1"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("id2"), F.col("simhash").alias("__h2"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "__h1", "__h2")
+        .distinct()  # a pair may share several bands
+        .withColumn("hamming", hamming64(F.col("__h1"), F.col("__h2")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 # --- embedding near-dup -----------------------------------------------------
 
 def embedding_topk_pairs(

@@ -143,6 +143,18 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("dedup_simhash_docs", _simhash)  # rows-only
 
 
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hamming<=3 near-dup pairs via 4-band simhash join (no
+    all-pairs scan; exactness by pigeonhole — operators/dedup.py).
+    Rows-only: simhash values come from Spark's xxhash64; pytest
+    proves operator == brute-force hamming over all pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_candidate_pairs(docs, "doc_id", "text").orderBy("id1", "id2")
+
+
+register("dedup_simhash_pairs", _simhash_pairs)  # rows-only
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS via iterative connected components over the
     jaccard>=0.95 pair graph (operators/graph.py driver-loop joins);

@@ -135,3 +135,42 @@ def test_minhash_explode_matches_expr(spark, sf_dir):
         for r in minhash_signatures(docs, ngram=3, method="explode").collect()
     }
     assert a == b
+
+
+def test_simhash_candidate_pairs_exact(spark, sf_dir):
+    """Banded simhash pairs == brute-force hamming<=3 over ALL pairs
+    (pigeonhole exactness: 4 bands cover any 3-bit difference)."""
+    from itertools import combinations
+
+    from lightweight_vector_database_spark.operators.dedup import (
+        simhash64,
+        simhash_candidate_pairs,
+    )
+    from lightweight_vector_database_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    hashes = {r.id: r.simhash for r in simhash64(docs, "doc_id", "text").collect()}
+    brute = {
+        (i, j, bin((hashes[i] ^ hashes[j]) & (2**64 - 1)).count("1"))
+        for i, j in combinations(sorted(hashes), 2)
+        if bin((hashes[i] ^ hashes[j]) & (2**64 - 1)).count("1") <= 3
+    }
+    banded = {
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    assert banded == brute
+    assert len(brute) > 0  # corpus has planted near-dups
+
+
+def test_simhash_candidate_pairs_radius_guard(spark, sf_dir):
+    import pytest as _pytest
+
+    from lightweight_vector_database_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+    from lightweight_vector_database_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    with _pytest.raises(ValueError):
+        simhash_candidate_pairs(docs, max_hamming=4, bands=4)
