@@ -103,6 +103,65 @@ class VectorIngest:
                                   vec_col=self.vec_col)
         self._record_epoch(epoch_id)
 
+    def apply_cdc_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Change-data-capture sink: a batch of (op, vec_id, <data>)
+        rows with op in {'I','U','D'} — the reference's full mutation
+        surface (insert :262-270, update_position :310-316 modeled as
+        delete+insert, delete :278-283) in continuous form.
+
+        Within a batch: deletes first, then upserts (replace the row
+        wholesale, keeping the given id; an unmatched U inserts with
+        that id — MERGE semantics), then inserts (id minted). Stats
+        stay incremental: one small aggregation over the affected old
+        rows + new rows, never a table rescan.
+        """
+        if epoch_id <= self._last_epoch():
+            return
+        if batch_df.isEmpty():
+            self._record_epoch(epoch_id)
+            return
+        from pyspark.sql import functions as F
+
+        data_cols = [c for c in batch_df.columns if c != "op"]
+        d_ids = batch_df.filter(F.col("op") == "D").select(self.id_col)
+        u_rows = batch_df.filter(F.col("op") == "U").select(*data_cols)
+        i_rows = batch_df.filter(F.col("op") == "I").select(
+            *[c for c in data_cols if c != self.id_col]
+        )
+
+        try:
+            snap = self.store.read()
+        except KeyError:
+            # first batch: an empty snapshot with the full schema; the
+            # normal path below then treats U as insert-with-given-id
+            # and D as a no-op
+            snap = build_index(u_rows, self.index, self.vec_col).limit(0)
+
+        touched = d_ids.unionByName(u_rows.select(self.id_col))
+        affected_old = snap.join(touched, self.id_col, "left_semi")
+        remaining = snap.join(touched, self.id_col, "left_anti")
+        u_assigned = build_index(u_rows, self.index, self.vec_col).select(
+            snap.columns
+        )
+        merged = crud_insert(
+            remaining.unionByName(u_assigned),
+            build_index(i_rows, self.index, self.vec_col),
+            id_col=self.id_col,
+        )
+        self.store.commit(merged, partition_by=["cell_id"])
+        # U rows keep their id, I rows have none — run each delta
+        # through the same incremental path
+        self.stats = update_stats(
+            self.stats, self.index, deleted=affected_old, vec_col=self.vec_col
+        )
+        self.stats = update_stats(
+            self.stats, self.index, inserted=u_rows, vec_col=self.vec_col
+        )
+        self.stats = update_stats(
+            self.stats, self.index, inserted=i_rows, vec_col=self.vec_col
+        )
+        self._record_epoch(epoch_id)
+
     def start(self, stream_df: DataFrame, checkpoint: str, **trigger):
         """Attach to a streaming DataFrame of raw vector rows and run
         with the given trigger (default availableNow)."""

@@ -112,3 +112,52 @@ def test_ingest_through_real_stream(spark, tmp_path, index):
     assert ids == list(range(30))
     # landed data is cell-partitioned: the serving filter prunes files
     assert "cell_id" in snap.columns
+
+
+def test_cdc_batches_full_mutation_surface(spark, tmp_path, index):
+    """CDC sink: insert / update (delete+insert keeping id) / delete,
+    with incremental stats staying consistent throughout."""
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    ingest = VectorIngest(store, index)
+
+    def cdc(rows):
+        return spark.createDataFrame(
+            rows, "op string, vec_id long, embedding array<float>, label int"
+        )
+
+    # epoch 0: 4 inserts (ids minted 0..3)
+    v = lambda x: [float(x)] * DIM
+    ingest.apply_cdc_batch(
+        cdc([("I", None, v(0.1), 0), ("I", None, v(0.2), 1),
+             ("I", None, v(0.3), 2), ("I", None, v(0.4), 3)]),
+        0,
+    )
+    snap = store.read()
+    assert sorted(r.vec_id for r in snap.collect()) == [0, 1, 2, 3]
+    assert sum(ingest.stats.values()) == 4
+
+    # epoch 1: delete id 1, move id 2 (update keeps the id), insert one
+    ingest.apply_cdc_batch(
+        cdc([("D", 1, None, None), ("U", 2, v(0.9), 2), ("I", None, v(0.5), 4)]),
+        1,
+    )
+    snap = store.read()
+    rows = {r.vec_id: (list(r.embedding), r.label) for r in snap.collect()}
+    assert sorted(rows) == [0, 2, 3, 4]  # 1 gone; new row minted id 4 (max+1)
+    assert rows[2][0] == [np.float32(0.9)] * DIM  # moved, id preserved
+    assert sum(ingest.stats.values()) == 4
+    from lightweight_vector_database_spark.plans.grid_index import index_stats as istats
+    assert ingest.stats == istats(snap)
+
+    # epoch 1 replayed: idempotent
+    ingest.apply_cdc_batch(cdc([("D", 0, None, None)]), 1)
+    assert store.read().count() == 4
+
+    # epoch 2: unmatched U inserts with the given id (MERGE semantics)
+    ingest.apply_cdc_batch(cdc([("U", 77, v(0.6), 5)]), 2)
+    snap = store.read()
+    assert 77 in {r.vec_id for r in snap.collect()}
+    assert ingest.stats == istats(snap)
+    # kNN still exact against the final snapshot
+    got = knn_indexed(snap, index, [0.9] * DIM, 1, stats=ingest.stats).collect()
+    assert got[0].vec_id == 2
