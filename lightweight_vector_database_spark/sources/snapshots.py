@@ -77,3 +77,32 @@ class SnapshotStore:
 
     def latest_version(self) -> int:
         return self._load_manifest()["latest"]
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions (continuous
+        ingestion commits one version per micro-batch — without
+        retention the store grows without bound). The manifest pointer
+        is swapped atomically BEFORE directories are removed, so a
+        concurrent reader either sees a retained version or a clean
+        KeyError, never a half-deleted directory. Returns the dropped
+        version ids."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        m = self._load_manifest()
+        keep = sorted(int(v) for v in m["versions"])[-keep_last:]
+        dropped = [int(v) for v in m["versions"] if int(v) not in keep]
+        if not dropped:
+            return []
+        dirs = [m["versions"][str(v)]["dir"] for v in dropped]
+        m["versions"] = {
+            str(v): m["versions"][str(v)] for v in keep
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path())
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return sorted(dropped)

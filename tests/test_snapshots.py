@@ -53,3 +53,25 @@ def test_partitioned_commit(spark, sf_dir, tmp_path):
     back = store.read()
     plan = back.filter(F.col("cell_id") == 0)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_vacuum_retention(spark, tmp_path):
+    import os
+
+    store = SnapshotStore(spark, str(tmp_path / "s"))
+    df = spark.range(5).withColumnRenamed("id", "vec_id")
+    for _ in range(4):
+        store.commit(df)
+    assert store.versions() == [0, 1, 2, 3]
+
+    dropped = store.vacuum(keep_last=2)
+    assert dropped == [0, 1]
+    assert store.versions() == [2, 3]
+    assert store.read().count() == 5  # latest still readable
+    assert store.read(2).count() == 5  # retained history readable
+    with pytest.raises(KeyError):
+        store.read(0)
+    assert not os.path.exists(str(tmp_path / "s" / "v0"))
+    assert store.vacuum(keep_last=2) == []  # idempotent
+    with pytest.raises(ValueError):
+        store.vacuum(keep_last=0)
