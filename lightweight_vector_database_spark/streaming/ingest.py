@@ -48,11 +48,15 @@ class VectorIngest:
         index: GridIndex,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        retain_versions: int | None = None,
     ):
         self.store = store
         self.index = index
         self.vec_col = vec_col
         self.id_col = id_col
+        # continuous ingestion commits one version per micro-batch;
+        # retention bounds the store (None = keep full history)
+        self.retain_versions = retain_versions
         try:
             snap = store.read()
             self.stats = index_stats(snap)
@@ -101,6 +105,8 @@ class VectorIngest:
         self.store.commit(merged, partition_by=["cell_id"])
         self.stats = update_stats(self.stats, self.index, inserted=batch_df,
                                   vec_col=self.vec_col)
+        if self.retain_versions is not None:
+            self.store.vacuum(keep_last=self.retain_versions)
         self._record_epoch(epoch_id)
 
     def apply_cdc_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -160,6 +166,8 @@ class VectorIngest:
         self.stats = update_stats(
             self.stats, self.index, inserted=i_rows, vec_col=self.vec_col
         )
+        if self.retain_versions is not None:
+            self.store.vacuum(keep_last=self.retain_versions)
         self._record_epoch(epoch_id)
 
     def start(self, stream_df: DataFrame, checkpoint: str, **trigger):

@@ -161,3 +161,13 @@ def test_cdc_batches_full_mutation_surface(spark, tmp_path, index):
     # kNN still exact against the final snapshot
     got = knn_indexed(snap, index, [0.9] * DIM, 1, stats=ingest.stats).collect()
     assert got[0].vec_id == 2
+
+
+def test_ingest_retention_bounds_store(spark, tmp_path, index):
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    ingest = VectorIngest(store, index, retain_versions=2)
+    for epoch, seed in enumerate([31, 32, 33, 34]):
+        ingest.apply_batch(_batch(spark, seed, 10), epoch)
+    assert len(store.versions()) == 2
+    assert store.read().count() == 40
+    assert sum(ingest.stats.values()) == 40
