@@ -1,0 +1,43 @@
+"""The driver-facing contract (__spark_entry__.py): entry() smoke,
+registry/oracle key integrity, callable signatures."""
+
+from __future__ import annotations
+
+import inspect
+
+import __spark_entry__ as se
+
+
+def test_registry_and_oracle_keys_consistent():
+    q = se.queries()
+    o = se.oracle_sql()
+    assert len(q) >= 137
+    assert set(o) <= set(q), "oracle entries must match a registered query"
+    assert all(isinstance(k, str) and k for k in q)
+    assert all(isinstance(v, str) and v.strip() for v in o.values())
+
+
+def test_query_callables_take_spark_and_sf_dir():
+    for name, fn in se.queries().items():
+        params = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            )
+        ]
+        assert len(params) == 2, f"{name} must take (spark, sf_dir)"
+
+
+def test_entry_smoke(spark):
+    df = se.entry(spark)
+    assert df.schema.simpleString() == (
+        "struct<vec_id:bigint,label:int,dist:double>"
+    )
+    rows = df.collect()
+    assert len(rows) == 10
+    dists = [r.dist for r in rows]
+    assert dists == sorted(dists)
