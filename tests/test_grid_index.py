@@ -195,3 +195,25 @@ def test_knn_join_indexed_matches_brute(spark, sf_dir):
         for r in knn_join_indexed(assigned, idx, probes, 5).collect()
     }
     assert idx == brute
+
+
+def test_upper_bounds_are_valid_for_inbounds_rows(indexed):
+    # farthest-corner bound must dominate the true max distance of a
+    # cell's IN-BOUNDS rows (clamped rows are documented exceptions —
+    # knn_indexed verifies-and-falls-back for those)
+    emb, idx, assigned, stats = indexed
+    probe = probe_vector(seed=8)
+    rows = assigned.select("cell_id", "embedding").collect()
+    p = np.asarray(probe)
+    true_max: dict[int, float] = {}
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        if (v < -0.5).any() or (v > 0.5).any():
+            continue
+        d = float(((v - p) ** 2).sum())
+        true_max[r.cell_id] = max(true_max.get(r.cell_id, -np.inf), d)
+    assert true_max  # fixture has in-bounds rows
+    cells = sorted(true_max)
+    bounds = idx.upper_bound_dists(probe, cells)
+    for c, b in zip(cells, bounds):
+        assert true_max[c] <= b + 1e-9
