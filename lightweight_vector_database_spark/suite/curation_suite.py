@@ -102,8 +102,8 @@ WITH s AS (
   FROM documents
 )
 SELECT source, count(*) AS n_docs,
-       SUM(CAST(kept AS BIGINT)) AS n_kept,
-       SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS kept_tokens
+       CAST(SUM(CAST(kept AS BIGINT)) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM s GROUP BY source
 """,
 )
@@ -179,10 +179,10 @@ WITH gated AS (
   ) WHERE rn = 1
 )
 SELECT lang, count(*) AS n_chunks, count(DISTINCT d.doc_id) AS n_docs,
-       SUM(CAST(len(string_split(chunk, ' ')) AS BIGINT)) AS total_tokens,
-       SUM(CAST(floor(list_sum(list_transform(range(1, 65),
+       CAST(SUM(CAST(len(string_split(chunk, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(floor(list_sum(list_transform(range(1, 65),
          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
-         * 1000000.0) AS BIGINT)) AS qnorm_sum
+         * 1000000.0) AS BIGINT)) AS BIGINT) AS qnorm_sum
 FROM d JOIN embeddings ON d.doc_id = vec_id
 GROUP BY lang
 """,

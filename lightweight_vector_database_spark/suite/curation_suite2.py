@@ -129,7 +129,7 @@ WITH rated AS (
   FROM documents
 )
 SELECT source, count(*) AS n_sampled,
-       sum(len(string_split(text, ' '))) AS sum_tokens
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
 FROM rated
 WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) < thr
 GROUP BY source
@@ -640,7 +640,7 @@ ranked AS (
 )
 SELECT source, n_docs, target,
        count(*) AS n_drawn,
-       SUM(len(string_split(text, ' '))) AS sum_tokens
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
 FROM ranked
 WHERE rn <= target
 GROUP BY source, n_docs, target

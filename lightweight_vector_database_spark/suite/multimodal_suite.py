@@ -34,7 +34,7 @@ register(
 SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
        count(*) AS n,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        MAX(CAST((doc_id % 4) * 64 + 64 AS INTEGER)) AS max_w,
        MAX(CAST((doc_id % 3) * 64 + 64 AS INTEGER)) AS max_h
 FROM documents GROUP BY 1

@@ -561,6 +561,10 @@ FROM embeddings WHERE vec_id < 50
 
 
 def _json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hash-canonical formulation: nullable integer aggregates are
+    # coalesced to -1 on BOTH engines (a NULL bigint turns the whole
+    # pandas column into float64 NaN on one side but not the other),
+    # and n_with_k carries the null count explicitly.
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
@@ -568,9 +572,10 @@ def _json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("k").alias("sum_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+            F.coalesce(F.sum("k"), F.lit(-1)).cast("long").alias("sum_k"),
+            F.coalesce(F.min("k"), F.lit(-1)).cast("long").alias("min_k"),
+            F.coalesce(F.max("k"), F.lit(-1)).cast("long").alias("max_k"),
         )
     )
 
@@ -580,9 +585,10 @@ register(
     _json_funcs,
     """
 SELECT event_type, count(*) AS n,
-       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
-       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
-       MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+       COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+       CAST(COALESCE(SUM(CAST(props->>'k' AS BIGINT)), -1) AS BIGINT) AS sum_k,
+       CAST(COALESCE(MIN(CAST(props->>'k' AS BIGINT)), -1) AS BIGINT) AS min_k,
+       CAST(COALESCE(MAX(CAST(props->>'k' AS BIGINT)), -1) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """,
 )
@@ -673,19 +679,26 @@ def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = docs.join(emb, docs.doc_id == emb.vec_id).withColumn(
         "norm_sq", norm_sq
     )
+    # total_chars: DuckDB SUM(BIGINT) yields HUGEINT (float64 in
+    # pandas) — outer CAST AS BIGINT on the oracle side keeps both
+    # engines on int64 so the driver hash is canonical. sum_norm is
+    # emitted as integer micro-units (BIGINT) for the same reason.
     return joined.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("n_chars").alias("total_chars"),
-        _dsum(F.col("norm_sq"), 6).alias("sum_norm"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("total_chars"),
+        F.coalesce(
+            F.sum(F.floor(F.col("norm_sq") * F.lit(1e6)).cast("long")), F.lit(0)
+        ).cast("long").alias("sum_norm_micro"),
     )
 
 
 register(
     "multimodal_docs_embeddings",
     _multimodal,
-    f"""
-SELECT lang, count(*) AS n, SUM(n_chars) AS total_chars,
-       {_dsum_sql("list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))", 6)} AS sum_norm
+    """
+SELECT lang, count(*) AS n,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS total_chars,
+       CAST(COALESCE(SUM(CAST(floor(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS sum_norm_micro
 FROM documents JOIN embeddings ON doc_id = vec_id
 GROUP BY lang
 """,

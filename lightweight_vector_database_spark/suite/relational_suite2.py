@@ -242,14 +242,22 @@ def _udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # annotations for locally-imported pandas under postponed evaluation
     @pandas_udf("long", PandasUDFType.GROUPED_AGG)
     def qsum_vk(v, k):
-        return int((np.floor(v.to_numpy() * 1e6).astype("int64") * k.to_numpy()).sum())
+        # SQL-SUM null semantics: rows where either operand is NULL
+        # contribute nothing; an all-NULL group yields the -1 sentinel
+        # (SUM -> NULL -> COALESCE(-1) on the oracle side).
+        mask = v.notna().to_numpy() & k.notna().to_numpy()
+        if not mask.any():
+            return -1
+        vi = np.floor(v.to_numpy()[mask] * 1e6).astype("int64")
+        ki = k.to_numpy()[mask].astype("int64")
+        return int((vi * ki).sum())
 
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
-        .agg(qsum_vk(F.col("value"), F.col("k")).alias("qsum"))
+        .agg(qsum_vk(F.col("value"), F.col("k")).cast("long").alias("qsum"))
     )
 
 
@@ -258,8 +266,8 @@ register(
     _udaf_grouped,
     """
 SELECT event_type,
-       SUM(CAST(floor(value * 1000000.0) AS BIGINT)
-           * CAST(props->>'k' AS BIGINT)) AS qsum
+       CAST(COALESCE(SUM(CAST(floor(value * 1000000.0) AS BIGINT)
+                         * CAST(props->>'k' AS BIGINT)), -1) AS BIGINT) AS qsum
 FROM events GROUP BY event_type
 """,
 )
@@ -296,11 +304,35 @@ FROM (
 # --- approximate aggregates (engine-specific -> rows-only) ------------------
 
 def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimates are engine-specific, so the oracle can't reproduce
+    them — instead the query emits a boolean ``within_tol`` computed
+    from Spark's own estimate vs the exact count, and the oracle emits
+    literal TRUE.  The driver hash then goes green exactly when the
+    HLL estimate is within the documented 5% relative error, turning
+    the old permanent ``no_oracle`` row into a real correctness gate."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    within = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= F.col("exact_parts") * F.lit(0.05)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        within.alias("within_tol"),
     )
 
 
-register("agg_approx_distinct", _approx_distinct)  # rows-only (HLL differs per engine)
+register(
+    "agg_approx_distinct",
+    _approx_distinct,
+    """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_tol
+FROM lineitem GROUP BY l_returnflag
+""",
+)

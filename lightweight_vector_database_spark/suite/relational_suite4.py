@@ -540,7 +540,7 @@ SELECT o_orderkey,
        o_orderkey >> 2 AS shr2,
        to_hex(o_orderkey) AS hex_key,
        bin(o_orderkey) AS bin_key,
-       bit_count(o_orderkey) AS popcount
+       CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
 FROM orders WHERE o_orderkey < 500
 """,
 )
@@ -577,7 +577,7 @@ SELECT c_custkey,
        translate(c_name, '0#', '_@') AS translated,
        reverse(right(c_name, 4)) AS rev_tail,
        repeat(left(c_name, 2), 2) AS rep2,
-       ascii(c_name) AS first_ascii,
+       CAST(ascii(c_name) AS BIGINT) AS first_ascii,
        chr(CAST(65 + c_custkey % 26 AS INT)) AS bucket_chr,
        strpos(c_name, '0') AS first_zero_pos,
        left(c_name, 3) || '..' AS prefix3
@@ -607,8 +607,8 @@ register(
     _cond_aggs,
     f"""
 SELECT o_orderpriority,
-       count_if(o_totalprice > 200000) AS n_big,
-       count_if(NOT (o_totalprice > 200000)) AS n_small,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+       CAST(count_if(NOT (o_totalprice > 200000)) AS BIGINT) AS n_small,
        {_dsum_sql("CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0.0 END")} AS big_total,
        round(CAST(median(o_totalprice) AS DOUBLE), 6) AS median_price,
        count(*) AS n

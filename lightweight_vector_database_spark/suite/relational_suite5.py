@@ -240,8 +240,8 @@ register(
     _q12,
     """
 SELECT l_linestatus,
-       count_if(o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
-       count_if(o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+       CAST(count_if(o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+       CAST(count_if(o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE year(l_shipdate) = 1997
@@ -606,7 +606,9 @@ t(m, rev_cents, carry_cents) AS (
   FROM t LEFT JOIN rev r ON r.m = t.m + 1
   WHERE t.m < 12
 )
-SELECT m AS month, rev_cents, carry_cents FROM t
+SELECT CAST(m AS BIGINT) AS month, CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(carry_cents AS BIGINT) AS carry_cents
+FROM t
 """)
 
 
@@ -628,7 +630,9 @@ t(m, rev_cents, carry_cents) AS (
   FROM t LEFT JOIN rev r ON r.m = t.m + 1
   WHERE t.m < 12
 )
-SELECT m AS month, rev_cents, carry_cents FROM t
+SELECT CAST(m AS BIGINT) AS month, CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(carry_cents AS BIGINT) AS carry_cents
+FROM t
 """,
 )
 
@@ -659,7 +663,7 @@ register(
     "lateral_top_parts_per_supplier",
     _lateral_top_parts,
     """
-SELECT s.s_suppkey, t.l_partkey, t.qty
+SELECT s.s_suppkey, t.l_partkey, CAST(t.qty AS BIGINT) AS qty
 FROM supplier s,
 LATERAL (
   SELECT l_partkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS qty

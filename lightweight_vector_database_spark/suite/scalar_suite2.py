@@ -143,7 +143,7 @@ register(
     """
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(props->>'k' AS BIGINT)) AS min_k,
        max(CAST(props->>'k' AS BIGINT)) AS max_k,
        count(CASE WHEN CAST(props->>'k' AS BIGINT) % 2 = 0 THEN 1 END) AS n_even

@@ -96,8 +96,8 @@ register(
     "lang_stats",
     _lang_stats,
     f"""
-SELECT lang, count(*) AS n_docs, SUM(n_chars) AS total_chars,
-       SUM(CAST({_NTOK} AS BIGINT)) AS total_tokens,
+SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST({_NTOK} AS BIGINT)) AS BIGINT) AS total_tokens,
        round(SUM(CAST({_NTOK} AS BIGINT)) / count(*), 6) AS avg_tokens
 FROM documents GROUP BY lang
 """,
