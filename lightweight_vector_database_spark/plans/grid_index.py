@@ -41,6 +41,18 @@ from ..functions.distance import metric_expr
 from ..operators.knn import knn
 
 
+# Metrics with a closed-form cell bound (lower_bound_dists /
+# upper_bound_dists). Any other metric — including user metrics added
+# via register_metric — is still answerable through the indexed entry
+# points: they detect the missing bound and serve the exact brute
+# scan instead, mirroring the reference's always-answerable contract
+# (its scipy point2plane blackbox, distance_metric.py:7-19, prunes
+# ANY metric; our analogue of "no pruning available" is "no pruning").
+BOUNDED_METRICS = frozenset(
+    {"euclidean_sq", "manhattan", "chebyshev", "mahalanobis_diag"}
+)
+
+
 class GridIndex:
     """Index geometry: bounds, splits per level, depth.
 
@@ -66,6 +78,12 @@ class GridIndex:
         # depth > dim revisits dims round-robin (reference :19-22) with
         # nested equal-width refinement; the j-th visit of dim d is the
         # j-th bins-ary digit of the normalized coordinate.
+
+    @staticmethod
+    def supports(metric: str) -> bool:
+        """True when the metric has closed-form cell bounds; indexed
+        entry points fall back to the exact brute scan otherwise."""
+        return metric in BOUNDED_METRICS
 
     @classmethod
     def for_table(
@@ -268,6 +286,12 @@ def knn_indexed(
     rows; metadata ``pred`` thinning the counted cells below k). The
     pred applies before top-k (reference leaf filter, :186-190).
     """
+    if not GridIndex.supports(metric):
+        # custom / full-matrix metric without a closed-form cell bound:
+        # serve the exact brute scan (still answerable, never raises)
+        return knn(
+            assigned, probe, k, metric=metric, pred=pred, vec_col=vec_col, id_col=id_col, **metric_kwargs
+        )
     if stats is None:
         stats = index_stats(assigned)
     if not stats:
@@ -367,6 +391,10 @@ def radius_search_indexed(
     +-inf extension)."""
     from ..operators.knn import radius_search
 
+    if not GridIndex.supports(metric):
+        return radius_search(
+            assigned, probe, radius, metric=metric, pred=pred, **metric_kwargs
+        )
     if stats is None:
         stats = index_stats(assigned)
     if not stats:
@@ -452,6 +480,10 @@ def knn_join_indexed(
     from pyspark.sql import Window
 
     spark = assigned.sparkSession
+    if not GridIndex.supports(metric):
+        return knn_join(probes, assigned, k, metric=metric,
+                        probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+                        vec_col=vec_col, id_col=id_col)
     probe_rows = probes.select(probe_id_col, probe_vec_col).collect()
     if not probe_rows:
         empty = knn_join(probes, assigned, k, metric=metric,

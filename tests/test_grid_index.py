@@ -217,3 +217,40 @@ def test_upper_bounds_are_valid_for_inbounds_rows(indexed):
     bounds = idx.upper_bound_dists(probe, cells)
     for c, b in zip(cells, bounds):
         assert true_max[c] <= b + 1e-9
+
+
+def test_custom_metric_falls_back(indexed):
+    # A register_metric'd metric has no closed-form cell bound; the
+    # indexed path must serve the exact brute answer instead of
+    # raising (the reference's always-answerable contract — its scipy
+    # blackbox prunes any metric, distance_metric.py:7-19).
+    from lightweight_vector_database_spark.functions.distance import (
+        METRICS,
+        _as_double,
+        _coerce,
+        _fold_sum,
+        register_metric,
+    )
+
+    def weighted_l1(a, b):
+        a, b = _as_double(a), _coerce(b)
+        return _fold_sum(F.zip_with(a, b, lambda x, y: 2.0 * F.abs(x - y)))
+
+    register_metric("weighted_l1_test", weighted_l1)
+    try:
+        emb, idx, assigned, stats = indexed
+        probe = probe_vector(seed=11)
+        exact = [
+            (r.vec_id, round(r.dist, 9))
+            for r in knn(emb, probe, 10, metric="weighted_l1_test").collect()
+        ]
+        got = [
+            (r.vec_id, round(r.dist, 9))
+            for r in knn_indexed(
+                assigned, idx, probe, 10, metric="weighted_l1_test", stats=stats
+            ).collect()
+        ]
+        assert got == exact
+        assert not GridIndex.supports("weighted_l1_test")
+    finally:
+        METRICS.pop("weighted_l1_test", None)
