@@ -359,6 +359,24 @@ def knn_indexed(
     order_lb = np.argsort(lb, kind="stable")
     cum_lb = counts[order_lb].cumsum()
     n_pass1 = int(np.searchsorted(cum_lb, k) + 1) if cum_lb[-1] >= k else len(cells)
+
+    # driver-side pass-2 size estimate (free, from index metadata
+    # alone): after pass1 the data-driven bound cannot exceed the
+    # farthest corner of any pass1 cell (those >= k rows all lie
+    # within it), so every cell with lb <= that stays a candidate.
+    # When the estimate says the rescan would cover most of the table
+    # anyway, the two sequential jobs can't beat ONE exact full scan —
+    # serve brute directly (the small-table / loose-bound regime; the
+    # two-pass continues to win when the lb distribution actually
+    # prunes, e.g. clustered data at >= 500k rows, tools/scale_test.py).
+    bound_est = min(kth_ub, float(ub[order_lb[:n_pass1]].max()))
+    est_rows = int(counts[lb <= bound_est].sum())
+    if pred is None and est_rows >= 0.5 * total:
+        return knn(
+            assigned, probe, k, metric=metric, pred=pred,
+            vec_col=vec_col, id_col=id_col, **metric_kwargs,
+        )
+
     pass1 = set(cells[order_lb[:n_pass1]].tolist())
     first, rows = scan(pass1)
     if len(rows) < k and len(pass1) < len(cells):

@@ -59,6 +59,10 @@ FROM embeddings GROUP BY 1
 # dirs are read-only, so a snapshot is immutable per sf_dir; the
 # per-cell counts (index metadata) ship with it.
 _SNAPSHOT_MEMO: dict[str, tuple[str, dict[int, int]]] = {}
+# the loaded DataFrame is memoized per live session too: re-reading a
+# cell-partitioned dir re-lists every partition directory, a fixed
+# per-call cost the serving path shouldn't pay twice
+_SNAPSHOT_DF_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _indexed_snapshot(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[int, int]]:
@@ -90,10 +94,12 @@ def _indexed_snapshot(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict
         )
         _SNAPSHOT_MEMO[sf_dir] = (path, index_stats(snap))
     path, stats = _SNAPSHOT_MEMO[sf_dir]
-    snap = spark.read.parquet(path).withColumn(
-        "cell_id", F.col("cell_id").cast("long")
-    )
-    return snap, stats
+    df_key = (id(spark), sf_dir)
+    if df_key not in _SNAPSHOT_DF_MEMO:
+        _SNAPSHOT_DF_MEMO[df_key] = spark.read.parquet(path).withColumn(
+            "cell_id", F.col("cell_id").cast("long")
+        )
+    return _SNAPSHOT_DF_MEMO[df_key], stats
 
 
 def _knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
