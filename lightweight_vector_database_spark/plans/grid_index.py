@@ -235,6 +235,141 @@ class GridIndex:
         raise KeyError(f"no closed-form cell bound for metric {metric!r}")
 
 
+class AdaptiveGridIndex(GridIndex):
+    """Variable-depth grid: the reference's leaf-split rule
+    (kd_tree_database.py:94-104 — a leaf holding more than
+    max_leaf_size vectors splits into children) as a BUILD-time
+    refinement instead of per-insert mutation.
+
+    Leaves are prefixes of the max-depth cell id, chosen per region:
+    starting at depth 1, any prefix holding more than ``max_leaf_size``
+    rows deepens one level, down to ``max_depth``.  Hot (skewed)
+    regions get deep, tight cells; sparse regions stay shallow — the
+    adaptive behavior a fixed ``GridIndex.for_table`` depth cannot give
+    on skewed data, where one global depth leaves hot cells unprunable.
+
+    A leaf is encoded as one long ``prefix_id * 16 + depth`` (depth
+    <= 15), so the adaptive cell column is still a single partition
+    key and ``knn_indexed`` / ``radius_search_indexed`` work unchanged:
+    the bound methods decode the depth and delegate to the fixed-depth
+    geometry per depth group.
+
+    Build cost is ONE count-by-cell job at max depth; the prefix-tree
+    refinement runs driver-side over non-empty cells only (bounded by
+    min(n_rows, bins**max_depth) entries — at most ~531k for the
+    default bins=3, max_depth=12, fine at any table size).
+    """
+
+    def __init__(
+        self,
+        lower: Sequence[float],
+        upper: Sequence[float],
+        num_splits: int = 2,
+        max_depth: int = 12,
+        max_leaf_size: int = 256,
+    ):
+        if max_depth > 15:
+            raise ValueError("max_depth > 15 does not fit the leaf encoding")
+        super().__init__(lower, upper, num_splits=num_splits, depth=max_depth)
+        self.max_leaf_size = max_leaf_size
+        # full-depth cell id -> encoded leaf (prefix_id * 16 + depth)
+        self.leaf_of_full: dict[int, int] = {}
+
+    # --- build ----------------------------------------------------------
+
+    def fit(self, df: DataFrame, vec_col: str = "embedding") -> "AdaptiveGridIndex":
+        """One Spark job: per-cell counts at max depth; then the
+        driver walks each non-empty cell's prefix chain and stops at
+        the first depth whose subtree fits max_leaf_size (the
+        reference's split condition, inverted into a sizing rule)."""
+        full_counts = {
+            r.c: r.n
+            for r in df.select(self.cell_expr(vec_col).alias("c"))
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        counts_at: list[dict[int, int]] = [dict() for _ in range(self.depth + 1)]
+        for c, n in full_counts.items():
+            for d in range(1, self.depth + 1):
+                p = c // self.bins ** (self.depth - d)
+                counts_at[d][p] = counts_at[d].get(p, 0) + n
+        self.leaf_of_full = {}
+        self.leaf_counts: dict[int, int] = {}
+        for c, n in full_counts.items():
+            for d in range(1, self.depth + 1):
+                p = c // self.bins ** (self.depth - d)
+                if counts_at[d][p] <= self.max_leaf_size or d == self.depth:
+                    leaf = p * 16 + d
+                    self.leaf_of_full[c] = leaf
+                    self.leaf_counts[leaf] = self.leaf_counts.get(leaf, 0) + n
+                    break
+        return self
+
+    def assign(
+        self, df: DataFrame, vec_col: str = "embedding"
+    ) -> tuple[DataFrame, dict[int, int]]:
+        """Attach the adaptive ``cell_id`` (encoded leaf) column via a
+        broadcast join on the full-depth cell id (mapping size = number
+        of non-empty max-depth cells), and return (assigned, stats).
+        The stats dict comes straight from the fit — no extra job.
+
+        At scale, follow with ``.write.partitionBy('cell_id')`` exactly
+        as with the fixed-depth index."""
+        if not self.leaf_of_full:
+            self.fit(df, vec_col)
+        spark = df.sparkSession
+        mapping = spark.createDataFrame(
+            list(self.leaf_of_full.items()), "__full_cell long, cell_id long"
+        )
+        assigned = (
+            df.withColumn("__full_cell", self.cell_expr(vec_col))
+            .join(F.broadcast(mapping), "__full_cell", "left")
+            # rows outside every fitted cell (e.g. inserted after fit)
+            # land in their max-depth cell as a fresh leaf; callers
+            # that mutate after fit should refresh stats via
+            # index_stats / update_stats
+            .withColumn(
+                "cell_id",
+                F.coalesce(
+                    F.col("cell_id"),
+                    F.col("__full_cell") * 16 + F.lit(self.depth),
+                ),
+            )
+            .drop("__full_cell")
+        )
+        return assigned, dict(self.leaf_counts)
+
+    # --- query-side geometry -------------------------------------------
+
+    def _per_depth(self, cell_ids: Sequence[int]):
+        codes = np.asarray(list(cell_ids), dtype=np.int64)
+        for d in sorted(set((codes % 16).tolist())):
+            mask = codes % 16 == d
+            geo = GridIndex(
+                self.lower, self.upper, num_splits=self.bins - 1, depth=int(d)
+            )
+            yield mask, geo, codes[mask] // 16
+
+    def lower_bound_dists(
+        self, probe, cell_ids, metric: str = "euclidean_sq", **kwargs
+    ) -> np.ndarray:
+        codes = np.asarray(list(cell_ids), dtype=np.int64)
+        out = np.empty(len(codes), dtype=np.float64)
+        for mask, geo, ids in self._per_depth(codes):
+            out[mask] = geo.lower_bound_dists(probe, ids, metric, **kwargs)
+        return out
+
+    def upper_bound_dists(
+        self, probe, cell_ids, metric: str = "euclidean_sq", **kwargs
+    ) -> np.ndarray:
+        codes = np.asarray(list(cell_ids), dtype=np.int64)
+        out = np.empty(len(codes), dtype=np.float64)
+        for mask, geo, ids in self._per_depth(codes):
+            out[mask] = geo.upper_bound_dists(probe, ids, metric, **kwargs)
+        return out
+
+
 def build_index(
     df: DataFrame, index: GridIndex, vec_col: str = "embedding"
 ) -> DataFrame:

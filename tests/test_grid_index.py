@@ -254,3 +254,93 @@ def test_custom_metric_falls_back(indexed):
         assert not GridIndex.supports("weighted_l1_test")
     finally:
         METRICS.pop("weighted_l1_test", None)
+
+
+class TestAdaptiveIndex:
+    """Reference leaf-split semantics (kd_tree_database.py:94-104):
+    overfull regions deepen, sparse regions stay shallow."""
+
+    DIM4 = 4
+    N = 20_000
+    MAX_LEAF = 256
+
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # 80% of rows in a tight blob around 0.31..0.34, 20% spread
+        # uniformly — a fixed-depth grid leaves the blob cell hot
+        from lightweight_vector_database_spark.plans.grid_index import (
+            AdaptiveGridIndex,
+        )
+
+        rng = np.random.RandomState(17)
+        hot = 0.32 + 0.01 * rng.standard_normal((int(self.N * 0.8), self.DIM4))
+        cold = rng.uniform(-0.5, 0.5, (self.N - len(hot), self.DIM4))
+        pts = np.clip(np.vstack([hot, cold]), -0.499, 0.499)
+        df = spark.createDataFrame(
+            [(i, pts[i].tolist()) for i in range(self.N)],
+            "vec_id long, embedding array<double>",
+        )
+        aidx = AdaptiveGridIndex(
+            [-0.5] * self.DIM4, [0.5] * self.DIM4,
+            num_splits=2, max_depth=10, max_leaf_size=self.MAX_LEAF,
+        )
+        assigned, stats = aidx.assign(df)
+        assigned = assigned.cache()
+        return df, aidx, assigned, stats, pts
+
+    def test_leaf_bound_and_consistency(self, skewed):
+        df, aidx, assigned, stats, pts = skewed
+        assert sum(stats.values()) == self.N
+        # every non-max-depth leaf respects the split threshold
+        for leaf, n in stats.items():
+            if leaf % 16 < aidx.depth:
+                assert n <= self.MAX_LEAF, (leaf, n)
+        # skew forced refinement: leaves live at several depths, and
+        # the hot region went deeper than the cold one
+        depths = {leaf % 16 for leaf in stats}
+        assert len(depths) > 1, depths
+
+    def test_adaptive_beats_fixed_on_hot_cells(self, skewed):
+        from lightweight_vector_database_spark.plans.grid_index import (
+            build_index, index_stats,
+        )
+
+        df, aidx, assigned, stats, pts = skewed
+        fixed = GridIndex.for_table(
+            [-0.5] * self.DIM4, [0.5] * self.DIM4, self.N,
+            target_cell_rows=self.MAX_LEAF, num_splits=2,
+        )
+        fixed_stats = index_stats(build_index(df, fixed))
+        # the fixed depth chosen for the AVERAGE density leaves the
+        # blob cell far above the leaf target; the adaptive index
+        # bounds every splittable leaf
+        assert max(fixed_stats.values()) > 4 * self.MAX_LEAF
+        splittable = [n for c, n in stats.items() if c % 16 < aidx.depth]
+        assert max(splittable) <= self.MAX_LEAF
+
+    @pytest.mark.parametrize("seed,metric", [(1, "euclidean_sq"), (9, "manhattan")])
+    def test_adaptive_indexed_equals_bruteforce(self, skewed, seed, metric):
+        df, aidx, assigned, stats, pts = skewed
+        rng = np.random.RandomState(seed)
+        probe = [float(x) for x in rng.uniform(-0.4, 0.4, self.DIM4)]
+        exact = [
+            (r.vec_id, round(r.dist, 9))
+            for r in knn(df, probe, 10, metric=metric).collect()
+        ]
+        got = [
+            (r.vec_id, round(r.dist, 9))
+            for r in knn_indexed(
+                assigned, aidx, probe, 10, metric=metric, stats=stats
+            ).collect()
+        ]
+        assert got == exact
+
+    def test_adaptive_probe_in_hot_region(self, skewed):
+        df, aidx, assigned, stats, pts = skewed
+        probe = [0.32] * self.DIM4
+        exact = [(r.vec_id, round(r.dist, 9)) for r in knn(df, probe, 10).collect()]
+        got = [
+            (r.vec_id, round(r.dist, 9))
+            for r in knn_indexed(assigned, aidx, probe, 10, stats=stats).collect()
+        ]
+        assert got == exact
