@@ -127,11 +127,33 @@ METRICS: dict[str, MetricBuilder] = {
 }
 
 
-def register_metric(name: str, builder: MetricBuilder) -> None:
+# Optional per-metric cell-bound builders: the Spark analogue of the
+# reference's scipy point2plane blackbox (distance_metric.py:7-19),
+# which lets ANY metric prune the index, not just the closed-form ones.
+# A bound callable has signature
+#     fn(probe: np.ndarray(dim,), box_lo: np.ndarray(n, dim),
+#        box_hi: np.ndarray(n, dim), **metric_kwargs)
+#         -> (lower: np.ndarray(n,), upper: np.ndarray(n,))
+# where lower = inf of metric(probe, x) over the box and upper = sup.
+# Boxes may carry +-inf edges (clamped cells / unsplit dims): return
+# inf for the sup of an infinite box. Metrics without a registered
+# bound still work — the index serves the exact brute scan.
+METRIC_CELL_BOUNDS: dict[str, Callable] = {}
+
+
+def register_metric(
+    name: str, builder: MetricBuilder, cell_bounds: Callable | None = None
+) -> None:
     """Register a custom metric (the reference's DistanceMetric plug
     point). Builders returning Catalyst expressions stay on the fast
-    path; a pandas_udf-based builder is the escape hatch."""
+    path; a pandas_udf-based builder is the escape hatch.
+
+    ``cell_bounds`` (optional) lets the metric prune the grid index —
+    see METRIC_CELL_BOUNDS for the contract. Without it, indexed entry
+    points fall back to the exact brute scan for this metric."""
     METRICS[name] = builder
+    if cell_bounds is not None:
+        METRIC_CELL_BOUNDS[name] = cell_bounds
 
 
 def metric_expr(

@@ -134,11 +134,18 @@ def merge_upsert(
     if set(cols) != set(updates.columns):
         raise ValueError("base and updates must share a schema")
     b = base.alias("b")
-    u = updates.alias("u")
+    # update is WHOLESALE replacement (the reference's update swaps the
+    # entire entry, kd_tree_database.py:310-316): an update row carrying
+    # an explicit NULL must write that NULL, so a per-column coalesce is
+    # wrong — branch on a matched flag instead.
+    u = updates.withColumn("__matched", F.lit(True)).alias("u")
     joined = b.join(u, F.col(f"b.{key}") == F.col(f"u.{key}"), "full_outer")
+    from_update = F.col("u.__matched").isNotNull()
     return joined.select(
         *[
-            F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+            F.when(from_update, F.col(f"u.{c}"))
+            .otherwise(F.col(f"b.{c}"))
+            .alias(c)
             for c in cols
         ]
     )

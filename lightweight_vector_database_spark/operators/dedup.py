@@ -75,6 +75,13 @@ def jaccard_pairs(
             .filter(F.col("__df") <= max_df)
             .drop("__df")
         )
+        # jaccard is now over the FILTERED token sets, so set sizes must
+        # come from the filtered index too — carrying the pre-filter
+        # sizes would mix filtered/unfiltered worlds in the denominator.
+        filtered_sizes = inv.groupBy("id").agg(
+            F.count(F.lit(1)).alias("set_size")
+        )
+        inv = inv.drop("set_size").join(filtered_sizes, "id")
     a = inv.select(
         F.col("tok"), F.col("id").alias("id1"), F.col("set_size").alias("n1")
     )

@@ -21,7 +21,8 @@ Edges are kept oriented (larger id -> smaller id) between rounds:
 
 Both emit only (bigger, smaller) pairs, so orientation is an
 invariant and convergence can be detected by an edge-set fingerprint
-(count + sum of hashes — one cheap agg job per round).
+(count + xor of hashes — one cheap agg job per round), confirmed
+exactly with ``exceptAll`` before terminating.
 ``localCheckpoint`` truncates the growing lineage so round N doesn't
 replay rounds 1..N-1 (the classic iterative-Spark trap).
 
@@ -39,10 +40,18 @@ from pyspark.sql import functions as F
 
 
 def _fingerprint(e: DataFrame) -> tuple[int, int]:
-    """Cheap order-independent edge-set fingerprint: (count, sum(hash))."""
+    """Cheap order-independent edge-set fingerprint: (count, xor(hash)).
+
+    XOR-fold instead of sum: order-independent like sum, but cannot
+    overflow — Spark 4 runs ANSI mode by default, where summing raw
+    64-bit xxhash64 values raises ARITHMETIC_OVERFLOW. Edges are
+    distinct sets, so XOR cancellation of repeated rows cannot occur.
+    A hash collision between consecutive rounds is guarded by the
+    exact exceptAll confirmation in the convergence loop.
+    """
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
     ).collect()[0]
     return int(row.n), int(row.h)
 
@@ -58,7 +67,7 @@ def _large_star(e: DataFrame) -> DataFrame:
         sym.join(mins, "a")
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        # no self-loop filter needed: m = least(a, min_neighbor) <= a < b
         .distinct()
     )
 
@@ -114,12 +123,16 @@ def connected_components(
     converged = False
     prev = _fingerprint(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _fingerprint(e)
-        if cur == prev:
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _fingerprint(new_e)
+        # fingerprint match is a cheap pre-filter; confirm the fixpoint
+        # EXACTLY (counts equal + one-sided containment => set equality)
+        # so a hash collision can never terminate the loop early.
+        if cur == prev and new_e.exceptAll(e).isEmpty():
+            e = new_e
             converged = True
             break
-        prev = cur
+        e, prev = new_e, cur
     if not converged:
         msg = (
             f"connected_components did not converge in {max_iter} "

@@ -64,7 +64,20 @@ def salted_join(
 
     Right-side cost is x``salt_buckets`` rows — use when right is
     mid-sized (too big to broadcast, small enough to replicate N ways).
+
+    ``how`` is restricted to left-preserving joins: under "right"/
+    "full" an UNMATCHED right row would surface once per salt bucket
+    (it was exploded x``salt_buckets``), silently duplicating output —
+    raise instead of returning wrong rows.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} — "
+            "right/full would duplicate unmatched right rows "
+            "salt_buckets times"
+        )
     on = list(on)
     l2 = left.withColumn(
         "__salt", F.floor(F.rand(seed=42) * salt_buckets).cast("int")

@@ -37,17 +37,18 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.distance import metric_expr
+from ..functions.distance import METRIC_CELL_BOUNDS, metric_expr
 from ..operators.knn import knn
 
 
 # Metrics with a closed-form cell bound (lower_bound_dists /
-# upper_bound_dists). Any other metric — including user metrics added
-# via register_metric — is still answerable through the indexed entry
-# points: they detect the missing bound and serve the exact brute
-# scan instead, mirroring the reference's always-answerable contract
-# (its scipy point2plane blackbox, distance_metric.py:7-19, prunes
-# ANY metric; our analogue of "no pruning available" is "no pruning").
+# upper_bound_dists). User metrics registered with a ``cell_bounds``
+# callable (register_metric, the analogue of the reference's scipy
+# point2plane blackbox, distance_metric.py:7-19, which prunes ANY
+# metric) also prune, via the box-based dispatch below. Any other
+# metric is still answerable through the indexed entry points: they
+# detect the missing bound and serve the exact brute scan instead —
+# "no pruning available" degrades to "no pruning", never to an error.
 BOUNDED_METRICS = frozenset(
     {"euclidean_sq", "manhattan", "chebyshev", "mahalanobis_diag"}
 )
@@ -81,9 +82,10 @@ class GridIndex:
 
     @staticmethod
     def supports(metric: str) -> bool:
-        """True when the metric has closed-form cell bounds; indexed
-        entry points fall back to the exact brute scan otherwise."""
-        return metric in BOUNDED_METRICS
+        """True when the metric can prune: closed-form cell bounds or
+        a registered custom ``cell_bounds`` callable; indexed entry
+        points fall back to the exact brute scan otherwise."""
+        return metric in BOUNDED_METRICS or metric in METRIC_CELL_BOUNDS
 
     @classmethod
     def for_table(
@@ -144,18 +146,85 @@ class GridIndex:
             rem //= self.bins
         return out
 
+    def cell_boxes(
+        self, cell_ids: Sequence[int], extended: bool
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-cell axis-aligned boxes, (n_cells, dim) lo/hi arrays.
+
+        ``extended=True`` is the pruning-valid geometry: edge cells
+        stretch to +-inf along their all-low/all-high split dims
+        (clamped out-of-bounds points live there) and dims the index
+        never splits are unconstrained (-inf, +inf). ``extended=False``
+        is the finite box (unsplit dims span the declared range) used
+        for farthest-corner upper bounds."""
+        cells = np.asarray(list(cell_ids), dtype=np.int64)
+        digits = self._digits(cells)
+        n = len(cells)
+        lo_out = np.empty((n, self.dim), dtype=np.float64)
+        hi_out = np.empty((n, self.dim), dtype=np.float64)
+        for d in range(self.dim):
+            levels = [l for l in range(self.depth) if l % self.dim == d]
+            if not levels:
+                if extended:
+                    lo_out[:, d], hi_out[:, d] = -np.inf, np.inf
+                else:
+                    lo_out[:, d], hi_out[:, d] = self.lower[d], self.upper[d]
+                continue
+            span = self.upper[d] - self.lower[d]
+            frac_lo = np.zeros(n, dtype=np.float64)
+            for j, level in enumerate(levels):
+                frac_lo += digits[:, level] * float(self.bins) ** -(j + 1)
+            width = float(self.bins) ** -len(levels)
+            lo = self.lower[d] + frac_lo * span
+            hi = lo + width * span
+            if extended:
+                all_low = np.all(digits[:, levels] == 0, axis=1)
+                all_high = np.all(digits[:, levels] == self.bins - 1, axis=1)
+                lo = np.where(all_low, -np.inf, lo)
+                hi = np.where(all_high, np.inf, hi)
+            lo_out[:, d] = lo
+            hi_out[:, d] = hi
+        return lo_out, hi_out
+
+    def _custom_bounds(
+        self,
+        probe: Sequence[float],
+        cell_ids: Sequence[int],
+        metric: str,
+        which: int,
+        **kwargs,
+    ) -> np.ndarray:
+        """Dispatch to a register_metric cell_bounds callable.
+        which=0 -> lower (inf over the extended box), 1 -> upper (sup
+        over the finite box)."""
+        fn = METRIC_CELL_BOUNDS[metric]
+        p = np.asarray(list(probe), dtype=np.float64)
+        lo, hi = self.cell_boxes(cell_ids, extended=(which == 0))
+        out = np.asarray(fn(p, lo, hi, **kwargs)[which], dtype=np.float64)
+        if out.shape != (len(lo),):
+            raise ValueError(
+                f"cell_bounds for {metric!r} returned shape {out.shape}; "
+                f"expected ({len(lo)},)"
+            )
+        return out
+
     def upper_bound_dists(
         self,
         probe: Sequence[float],
         cell_ids: Sequence[int],
         metric: str = "euclidean_sq",
         inv_diag: Sequence[float] | None = None,
+        **kwargs,
     ) -> np.ndarray:
         """Upper bound of metric(probe, x) over each cell's FINITE box
         (farthest corner). Valid for points inside the declared bounds;
         clamped out-of-bounds points may exceed it — callers that use
         this for pruning must verify and fall back (see knn_indexed).
         """
+        if metric not in BOUNDED_METRICS and metric in METRIC_CELL_BOUNDS:
+            if inv_diag is not None:
+                kwargs["inv_diag"] = inv_diag
+            return self._custom_bounds(probe, cell_ids, metric, 1, **kwargs)
         p = np.asarray(list(probe), dtype=np.float64)
         cells = np.asarray(list(cell_ids), dtype=np.int64)
         digits = self._digits(cells)
@@ -195,6 +264,7 @@ class GridIndex:
         cell_ids: Sequence[int],
         metric: str = "euclidean_sq",
         inv_diag: Sequence[float] | None = None,
+        **kwargs,
     ) -> np.ndarray:
         """Exact lower bound of metric(probe, x) over each cell's box —
         the reference's distance_to_partition (:164-181) in closed
@@ -202,6 +272,10 @@ class GridIndex:
         bound; the diagonal-Mahalanobis case mirrors the reference's
         closed-form point2plane specialization, distance_metric.py
         :84-92). Edge cells extend to +-inf (clamped points)."""
+        if metric not in BOUNDED_METRICS and metric in METRIC_CELL_BOUNDS:
+            if inv_diag is not None:
+                kwargs["inv_diag"] = inv_diag
+            return self._custom_bounds(probe, cell_ids, metric, 0, **kwargs)
         p = np.asarray(list(probe), dtype=np.float64)
         cells = np.asarray(list(cell_ids), dtype=np.int64)
         digits = self._digits(cells)
@@ -578,21 +652,37 @@ def update_stats(
     one small aggregation over just the delta rows instead of
     recomputing stats over the whole table (the index-metadata
     analogue of the reference updating its tree on insert/delete,
-    kd_tree_database.py:94-104, :127-144)."""
+    kd_tree_database.py:94-104, :127-144).
+
+    For an ``AdaptiveGridIndex`` the stats are keyed by ENCODED leaves
+    (prefix_id * 16 + depth), not full-depth cell ids, so the deltas
+    are mapped through the fitted leaf table — with the same
+    fresh-max-depth-leaf fallback ``assign`` applies to rows outside
+    every fitted cell, keeping the two views consistent."""
+    adaptive = isinstance(index, AdaptiveGridIndex)
+    if adaptive and not index.leaf_of_full:
+        raise ValueError(
+            "AdaptiveGridIndex must be fitted (fit/assign) before "
+            "update_stats — unfitted deltas cannot be mapped to leaves"
+        )
     out = dict(stats)
     for df, sign in ((inserted, 1), (deleted, -1)):
         if df is None:
             continue
         deltas = (
-            build_index(df, index, vec_col)
+            df.select(index.cell_expr(vec_col).alias("cell_id"))
             .groupBy("cell_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
         for r in deltas:
-            out[r.cell_id] = out.get(r.cell_id, 0) + sign * r.n
-            if out[r.cell_id] <= 0:
-                del out[r.cell_id]  # empty cells vanish (reference :132-138)
+            cid = r.cell_id
+            if adaptive:
+                # cell_expr gives the FULL-depth id; map to the leaf
+                cid = index.leaf_of_full.get(cid, cid * 16 + index.depth)
+            out[cid] = out.get(cid, 0) + sign * r.n
+            if out[cid] <= 0:
+                del out[cid]  # empty cells vanish (reference :132-138)
     return out
 
 

@@ -27,15 +27,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros (same
-        # truncation DuckDB applies converting TIMESTAMP_NS -> TIMESTAMP).
+        # events.ts drifts across environments: parquet TIMESTAMP(NANOS) may
+        # surface as bigint (with nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP.
+        # Normalize to TIMESTAMP here — the single choke point — so every
+        # downstream call site (unix_micros, window(), session_window()) sees
+        # one type. Session TZ is UTC (session.py), so NTZ -> TIMESTAMP is
+        # value-identical to DuckDB's naive-timestamp interpretation.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

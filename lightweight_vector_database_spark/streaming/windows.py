@@ -36,8 +36,11 @@ def stream_events(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -
 
     Spark's file source requires a *directory*; the fixture is a single
     parquet file, so we stage a symlink directory under /tmp (per
-    sf_dir, idempotent). The fixture stores ts as TIMESTAMP(NANOS);
-    like the batch loader we read nanos-as-long and convert.
+    sf_dir, idempotent). The fixture's ts physical type drifts across
+    environments (TIMESTAMP(NANOS) -> bigint under nanosAsLong,
+    TIMESTAMP(MICROS) NTZ, or plain TIMESTAMP); probe the batch reader
+    once to pick the matching stream schema, then normalize to
+    TIMESTAMP — same choke-point policy as sources/tables.load_table.
     """
     import hashlib
     import os
@@ -50,15 +53,22 @@ def stream_events(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -
         os.symlink(f"{sf_dir}/events.parquet", link)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    df = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stage)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    ts_type = dict(spark.read.parquet(link).dtypes).get("ts")
+    raw = "event_id long, ts {}, user_id long, event_type string, value double, props string"
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long -> truncate to micros
+        df = (
+            spark.readStream.schema(raw.format("long"))
+            .parquet(stage)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+    elif ts_type == "timestamp_ntz":  # naive micros; session TZ is UTC
+        df = (
+            spark.readStream.schema(raw.format("timestamp_ntz"))
+            .parquet(stage)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+    else:
+        df = spark.readStream.schema(raw.format("timestamp")).parquet(stage)
     return df.withWatermark("ts", watermark)
 
 

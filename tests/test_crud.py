@@ -121,3 +121,19 @@ def test_merge_upsert_updates_and_inserts(spark):
 
     with _pytest.raises(ValueError):
         merge_upsert(base, updates.drop("bal"), "id")
+
+
+def test_merge_upsert_writes_explicit_null(spark):
+    # update is wholesale replacement (kd_tree_database.py:310-316): an
+    # update row carrying NULL must overwrite the old value with NULL,
+    # not silently keep it (the coalesce trap).
+    from lightweight_vector_database_spark.operators.crud import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, bal double"
+    )
+    updates = spark.createDataFrame(
+        [(2, None, None)], "id long, name string, bal double"
+    )
+    got = {r.id: (r.name, r.bal) for r in merge_upsert(base, updates, "id").collect()}
+    assert got == {1: ("a", 10.0), 2: (None, None)}

@@ -174,3 +174,19 @@ def test_simhash_candidate_pairs_radius_guard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(10)
     with _pytest.raises(ValueError):
         simhash_candidate_pairs(docs, max_hamming=4, bands=4)
+
+
+def test_jaccard_pairs_max_df_uses_filtered_set_sizes(spark):
+    # 'a' appears in all 3 docs -> dropped at max_df=2; jaccard must be
+    # computed over the FILTERED sets, i.e. {b,c}/{b,c,e} etc., exactly
+    # what a brute-force jaccard on the pre-filtered token sets gives.
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "a x y")], SCHEMA
+    )
+    out = {
+        (r.id1, r.id2): r.jaccard
+        for r in D.jaccard_pairs(df, max_df=2).collect()
+    }
+    # filtered sets: 1->{b,c,d}, 2->{b,c,e}, 3->{x,y}
+    assert out[(1, 2)] == pytest.approx(2 / 4)
+    assert (1, 3) not in out and (2, 3) not in out

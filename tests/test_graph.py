@@ -23,13 +23,28 @@ def test_components_known_graph(spark):
 
 
 def test_components_long_chain_converges(spark):
-    # a 30-node chain needs label propagation across the diameter
+    # a 50-hop chain: naive min-label propagation needs 50 rounds, the
+    # large/small-star pair must converge within the DEFAULT max_iter
+    # (logarithmic in diameter) and produce a single cluster.
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(30)], "id1 long, id2 long"
+        [(i, i + 1) for i in range(50)], "id1 long, id2 long"
     )
-    got = {r.node: r.component for r in connected_components(edges, max_iter=40).collect()}
+    got = {r.node: r.component for r in connected_components(edges).collect()}
     assert set(got.values()) == {0}
-    assert len(got) == 31
+    assert len(got) == 51
+
+
+def test_components_chain_mixed_with_clusters(spark):
+    # chain (100..140) + triangle + pair + shuffled ids — stresses the
+    # oriented-edge invariant with input given in arbitrary direction
+    chain = [(i + 1, i) for i in range(100, 140)]  # reversed orientation
+    tri = [(7, 3), (3, 5), (5, 7)]
+    pair = [(901, 900)]
+    edges = spark.createDataFrame(chain + tri + pair, "id1 long, id2 long")
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert all(got[n] == 100 for n in range(100, 141))
+    assert got[3] == got[5] == got[7] == 3
+    assert got[900] == got[901] == 900
 
 
 def test_dedup_clusters_on_documents(spark, sf_dir):

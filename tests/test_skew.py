@@ -69,3 +69,27 @@ def test_top_frequent_keys_finds_hot_key(skewed):
 
     hot = top_frequent_keys(skewed, "k", min_share=0.5, sample_fraction=0.2)
     assert hot == [0]
+
+
+def test_salted_join_rejects_right_and_full(spark, skewed):
+    # right/full would surface unmatched right rows once per salt bucket
+    from lightweight_vector_database_spark.operators.skew import salted_join
+
+    dims = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(skewed, dims, ["k"], how=how)
+
+
+def test_salted_join_left_preserves_unmatched_left(spark, skewed):
+    from lightweight_vector_database_spark.operators.skew import salted_join
+
+    dims = spark.range(3).select(
+        F.col("id").alias("k"), F.lit("d").alias("name")
+    )
+    plain = {(r.k, r.v, r.name) for r in skewed.join(dims, "k", "left").collect()}
+    salted = {
+        (r.k, r.v, r.name)
+        for r in salted_join(skewed, dims, ["k"], salt_buckets=4, how="left").collect()
+    }
+    assert plain == salted
