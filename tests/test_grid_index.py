@@ -344,3 +344,135 @@ class TestAdaptiveIndex:
             for r in knn_indexed(assigned, aidx, probe, 10, stats=stats).collect()
         ]
         assert got == exact
+
+
+def test_custom_metric_with_cell_bounds_prunes(spark, monkeypatch):
+    # reference #14: the scipy point2plane blackbox lets ANY metric
+    # prune the tree (distance_metric.py:7-19). Our analogue: a
+    # register_metric'd metric carrying a cell_bounds callable must
+    # (a) return the exact brute answer and (b) scan FEWER cells.
+    import lightweight_vector_database_spark.plans.grid_index as GI
+    from lightweight_vector_database_spark.functions.distance import (
+        METRIC_CELL_BOUNDS,
+        METRICS,
+        _as_double,
+        _coerce,
+        _fold_sum,
+        register_metric,
+    )
+
+    def weighted_l1(a, b):
+        a, b = _as_double(a), _coerce(b)
+        return _fold_sum(F.zip_with(a, b, lambda x, y: 2.0 * F.abs(x - y)))
+
+    def wl1_cell_bounds(p, lo, hi):
+        gaps = np.maximum(0.0, np.maximum(lo - p, p - hi))
+        far = np.maximum(np.abs(lo - p), np.abs(hi - p))
+        return 2.0 * gaps.sum(axis=1), 2.0 * far.sum(axis=1)
+
+    register_metric("wl1_bounded_test", weighted_l1, cell_bounds=wl1_cell_bounds)
+
+    scanned_cells: list[int] = []
+    real_knn = GI.knn
+
+    def spy(df, *a, **kw):
+        if "cell_id" in df.columns:
+            scanned_cells.append(df.select("cell_id").distinct().count())
+        return real_knn(df, *a, **kw)
+
+    monkeypatch.setattr(GI, "knn", spy)
+    try:
+        # 2D clustered data, deep 2D index -> tight boxes, real pruning
+        import math
+
+        pts = [
+            (
+                i,
+                [
+                    round(0.4 * math.cos(i % 5) + 0.02 * math.sin(7.0 * i), 6),
+                    round(0.4 * math.sin(i % 5) + 0.02 * math.cos(11.0 * i), 6),
+                ],
+            )
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+        idx = GridIndex([-1.0, -1.0], [1.0, 1.0], num_splits=2, depth=6)
+        assigned = build_index(df, idx).cache()
+        stats = index_stats(assigned)
+        probe = [0.4 * math.cos(2) + 0.01, 0.4 * math.sin(2) - 0.01]
+
+        assert GridIndex.supports("wl1_bounded_test")
+        exact = [
+            (r.vec_id, round(r.dist, 9))
+            for r in knn(df, probe, 10, metric="wl1_bounded_test").collect()
+        ]
+        got = [
+            (r.vec_id, round(r.dist, 9))
+            for r in knn_indexed(
+                assigned, idx, probe, 10, metric="wl1_bounded_test", stats=stats
+            ).collect()
+        ]
+        assert got == exact
+        assert scanned_cells, "indexed path never reached the scan"
+        assert min(scanned_cells) < len(stats), (
+            f"no pruning: scanned {scanned_cells} of {len(stats)} cells"
+        )
+    finally:
+        METRICS.pop("wl1_bounded_test", None)
+        METRIC_CELL_BOUNDS.pop("wl1_bounded_test", None)
+
+
+def test_adaptive_update_stats_after_insert(spark):
+    from lightweight_vector_database_spark.plans.grid_index import (
+        AdaptiveGridIndex,
+        update_stats,
+    )
+    import math
+
+    pts = [
+        (
+            i,
+            [
+                round(0.3 * math.cos(i % 3) + 0.05 * math.sin(5.0 * i), 6),
+                round(0.3 * math.sin(i % 3) + 0.05 * math.cos(3.0 * i), 6),
+            ],
+        )
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    aidx = AdaptiveGridIndex([-1.0, -1.0], [1.0, 1.0], num_splits=2,
+                             max_depth=8, max_leaf_size=64)
+    assigned, stats = aidx.assign(df)
+
+    # inserts: some inside fitted leaves, one outside every fitted cell
+    ins = spark.createDataFrame(
+        [(90_001, [0.31, 0.01]), (90_002, [-0.9, -0.9]), (90_003, [0.0, 0.29])],
+        "vec_id long, embedding array<float>",
+    )
+    dele = df.filter("vec_id < 10")
+    new_stats = update_stats(stats, aidx, inserted=ins, deleted=dele)
+
+    # ground truth: re-assign the mutated snapshot through the SAME
+    # fitted index (assign maps unfitted cells to fresh max-depth
+    # leaves — update_stats must agree key-for-key)
+    mutated = df.filter("vec_id >= 10").unionByName(ins)
+    assigned2, _ = aidx.assign(mutated)
+    truth = index_stats(assigned2)
+    assert new_stats == truth
+
+    # and indexed kNN with the merged stats matches brute force
+    probe = [0.3 * math.cos(0), 0.3 * math.sin(0)]
+    exact = [
+        (r.vec_id, round(r.dist, 9))
+        for r in knn(mutated, probe, 8).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.dist, 9))
+        for r in knn_indexed(assigned2, aidx, probe, 8, stats=new_stats).collect()
+    ]
+    assert got == exact
+
+    # unfitted adaptive index must refuse deltas it cannot map
+    fresh = AdaptiveGridIndex([-1.0, -1.0], [1.0, 1.0])
+    with pytest.raises(ValueError, match="fitted"):
+        update_stats({}, fresh, inserted=ins)
