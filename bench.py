@@ -59,6 +59,8 @@ def main() -> None:
     # per-query times measure execution, not process startup
     QUERIES["knn_euclidean_sq"](spark, sf_dir).collect()
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
+    # warm the noop sink (first V2 write pays datasource resolution)
+    spark.range(32).write.format("noop").mode("overwrite").save()
     # index stats are a build-time artifact (shipped with the indexed
     # snapshot); build them here so knn_grid_indexed times serving
     from lightweight_vector_database_spark.suite.index_suite import warm_index
@@ -69,8 +71,13 @@ def main() -> None:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink, not count(): count() lets Catalyst prune every
+        # column, so map-only queries (redact, text stats, features)
+        # would under-report; the noop write materializes all columns
+        # at full width — the honest cost of producing the result.
+        df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        n = df.count()  # diagnostics only — outside the timed window
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)

@@ -110,25 +110,46 @@ def resize_meta(media: DataFrame, width: int, height: int) -> DataFrame:
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Explode video rows into sampled frames (media_id, frame_idx,
     frame_payload). Row explosion + per-frame payload slicing are real;
-    the 'frame' is a deterministic byte slice stand-in."""
-    import pandas as pd
+    the 'frame' is a deterministic byte slice stand-in.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_ids, out_idx, out_payload = [], [], []
-            for _, row in pdf.iterrows():
-                if row["media_type"] != "video":
-                    continue
-                payload = bytes(row["payload"])
-                for fi in range(0, int(row["n_frames"]), every_n):
-                    out_ids.append(row["media_id"])
-                    out_idx.append(fi)
-                    chunk = max(1, len(payload) // max(1, int(row["n_frames"])))
-                    out_payload.append(payload[fi * chunk : (fi + 1) * chunk])
-            yield pd.DataFrame(
-                {"media_id": out_ids, "frame_idx": out_idx, "frame_payload": out_payload}
-            )
-
-    return media.mapInPandas(
-        run, schema="media_id long, frame_idx int, frame_payload binary"
+    Pure Catalyst: ``sequence`` + ``explode`` generate the sampled
+    frame indices and ``substring`` slices the payload — the whole
+    operator stays inside whole-stage codegen with zero Python, which
+    matters because at 100 TB this runs over the video table (the
+    heaviest rows in the lake). A real decoder would swap the
+    substring for a mapInPandas decode of (payload, frame_idx) AFTER
+    this explosion — the narrow-dependency shape is unchanged."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    n = F.greatest(F.lit(1), F.col("n_frames").cast("long"))
+    chunk = F.greatest(
+        F.lit(1).cast("long"), (F.length("payload") / n).cast("long")
+    )
+    return (
+        media.filter(F.col("media_type") == "video")
+        .withColumn(
+            "frame_idx",
+            # guard n_frames < 1: ANSI sequence() rejects start > stop,
+            # and exploding the empty array drops the row (no frames)
+            F.explode(
+                F.when(
+                    F.col("n_frames") >= 1,
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.col("n_frames").cast("long") - 1,
+                        F.lit(int(every_n)).cast("long"),
+                    ),
+                ).otherwise(F.array().cast("array<long>"))
+            ),
+        )
+        # substring is 1-based; start beyond the payload yields empty
+        # bytes, matching a Python slice past the end
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.substring(
+                F.col("payload"), (F.col("frame_idx") * chunk + 1).cast("int"),
+                chunk.cast("int"),
+            ).alias("frame_payload"),
+        )
     )

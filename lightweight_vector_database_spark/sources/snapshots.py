@@ -43,8 +43,18 @@ class SnapshotStore:
         except FileNotFoundError:
             return {"latest": -1, "versions": {}}
 
-    def commit(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        """Write ``df`` as the next version; returns the version id."""
+    def commit(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        metadata: dict | None = None,
+    ) -> int:
+        """Write ``df`` as the next version; returns the version id.
+
+        ``metadata`` rides inside the atomically-swapped manifest entry
+        — writers that need commit + bookkeeping to be ONE atomic step
+        (e.g. the streaming sink's exactly-once epoch) put it here
+        instead of in a separate file that could diverge on a crash."""
         m = self._load_manifest()
         version = m["latest"] + 1
         vdir = f"{self._path}/v{version}"
@@ -56,6 +66,7 @@ class SnapshotStore:
             "dir": vdir,
             "committed_at": time.time(),
             "partition_by": partition_by or [],
+            "metadata": metadata or {},
         }
         m["latest"] = version
         tmp = self._manifest_path() + ".tmp"
@@ -77,6 +88,12 @@ class SnapshotStore:
 
     def latest_version(self) -> int:
         return self._load_manifest()["latest"]
+
+    def latest_metadata(self) -> dict:
+        """Commit metadata of the newest version ({} before any commit)."""
+        m = self._load_manifest()
+        info = m["versions"].get(str(m["latest"]))
+        return (info or {}).get("metadata") or {}
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (continuous

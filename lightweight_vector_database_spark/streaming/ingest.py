@@ -12,13 +12,16 @@ per-cell stats are maintained INCREMENTALLY from the batch delta
 of the table), mirroring the reference updating its tree counts on
 every insert.
 
-Exactly-once: ``foreachBatch`` replays a batch after a failure; the
-sink records the last applied (query, epoch) in a sidecar next to the
-manifest and skips already-applied epochs, making the commit
-idempotent. At 100 TB the full-rewrite ``SnapshotStore.commit`` would
-be a delta commit (append files + manifest pointer — see
-sources/snapshots.py module doc); the sink logic here is unchanged by
-that swap.
+Exactly-once: ``foreachBatch`` replays a batch after a failure. The
+epoch travels INSIDE the snapshot commit's manifest metadata — the
+manifest pointer swap is the one atomic step, so there is no crash
+window between "data committed" and "epoch recorded" (a replay after
+a crash mid-sink sees the epoch in the latest manifest and skips).
+A sidecar records epochs for EMPTY batches only (no commit happens);
+losing it merely replays an empty batch, which is a no-op. At 100 TB
+the full-rewrite ``SnapshotStore.commit`` would be a delta commit
+(append files + manifest pointer — see sources/snapshots.py module
+doc); the sink logic here is unchanged by that swap.
 """
 
 from __future__ import annotations
@@ -69,11 +72,16 @@ class VectorIngest:
         return f"{self.store._path}/_INGEST_EPOCH.json"
 
     def _last_epoch(self) -> int:
+        # the authoritative record is the latest commit's manifest
+        # metadata (atomic with the data); the sidecar only advances
+        # past empty batches
+        committed = self.store.latest_metadata().get("query_epoch", -1)
         try:
             with open(self._epoch_path()) as f:
-                return json.load(f)["epoch"]
+                side = json.load(f)["epoch"]
         except FileNotFoundError:
-            return -1
+            side = -1
+        return max(int(committed), int(side))
 
     def _record_epoch(self, epoch: int) -> None:
         tmp = self._epoch_path() + ".tmp"
@@ -102,7 +110,10 @@ class VectorIngest:
                 empty.select(self.id_col, *assigned_new.columns), assigned_new,
                 id_col=self.id_col,
             )
-        self.store.commit(merged, partition_by=["cell_id"])
+        self.store.commit(
+            merged, partition_by=["cell_id"],
+            metadata={"query_epoch": epoch_id},
+        )
         self.stats = update_stats(self.stats, self.index, inserted=batch_df,
                                   vec_col=self.vec_col)
         if self.retain_versions is not None:
@@ -154,7 +165,10 @@ class VectorIngest:
             build_index(i_rows, self.index, self.vec_col),
             id_col=self.id_col,
         )
-        self.store.commit(merged, partition_by=["cell_id"])
+        self.store.commit(
+            merged, partition_by=["cell_id"],
+            metadata={"query_epoch": epoch_id},
+        )
         # U rows keep their id, I rows have none — run each delta
         # through the same incremental path
         self.stats = update_stats(

@@ -47,3 +47,29 @@ def test_decode_stub_gate():
 def test_resize_meta(media):
     out = M.resize_meta(media, 32, 32).select("width", "height").distinct().collect()
     assert [(r.width, r.height) for r in out] == [(32, 32)]
+
+
+def test_frame_sample_parity_with_python_slices(media):
+    # byte-exact parity: the Catalyst sequence/explode/substring plan
+    # must reproduce the per-row Python slicing it replaced
+    every_n = 2
+    expected = []
+    for r in media.filter("media_type = 'video'").collect():
+        payload = bytes(r.payload)
+        chunk = max(1, len(payload) // max(1, int(r.n_frames)))
+        for fi in range(0, int(r.n_frames), every_n):
+            expected.append(
+                (r.media_id, fi, payload[fi * chunk : (fi + 1) * chunk])
+            )
+    got = [
+        (r.media_id, r.frame_idx, bytes(r.frame_payload))
+        for r in M.frame_sample(media, every_n=every_n).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+
+
+def test_frame_sample_stays_jvm_side(media):
+    # the plan must contain no Python evaluation (scale guard: this
+    # operator runs over the video table at 100 TB)
+    plan = M.frame_sample(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan

@@ -171,3 +171,27 @@ def test_ingest_retention_bounds_store(spark, tmp_path, index):
     assert len(store.versions()) == 2
     assert store.read().count() == 40
     assert sum(ingest.stats.values()) == 40
+
+
+def test_ingest_crash_between_commit_and_sidecar_is_exactly_once(
+    spark, tmp_path, index
+):
+    # crash window: the sink commits the snapshot, then dies BEFORE the
+    # sidecar epoch record is written. The epoch rides in the commit's
+    # manifest metadata (one atomic pointer swap), so a restarted sink
+    # replaying the same epoch must skip it — no duplicate rows.
+    import os
+
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    ingest = VectorIngest(store, index)
+    b = _batch(spark, 1, 40)
+    ingest.apply_batch(b, 0)
+    # simulate the crash: sidecar lost, manifest survived
+    os.remove(ingest._epoch_path())
+    v_before = store.latest_version()
+
+    restarted = VectorIngest(store, index)
+    restarted.apply_batch(b, 0)  # foreachBatch replay after recovery
+    assert store.read().count() == 40
+    assert store.latest_version() == v_before  # no extra commit
+    assert sum(restarted.stats.values()) == 40

@@ -3,7 +3,11 @@ via DuckDB at sf0.01 and compare row count, column names, and an
 order-insensitive canonical value multiset (exact string equality —
 stricter than any plausible hash).
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--json out.json] [sf_dir] [query_name ...]
+
+``--json`` additionally writes a machine-readable per-query artifact
+(the ORACLE_FULL_r{N}.json the judge reads — the driver's CORRECTNESS
+sample covers only 50 queries; this covers all of them).
 """
 
 from __future__ import annotations
@@ -48,8 +52,14 @@ def main() -> int:
     from lightweight_vector_database_spark.sources import TABLES
     from lightweight_vector_database_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if args and args[0] == "--json":
+        json_path = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -70,11 +80,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
+            report[name] = {"status": "FAIL", "detail": f"spark error: {e}"[:400]}
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle — rows-only check)")
             if len(srows) == 0:
                 print(f"      WARN: 0 rows")
+            report[name] = {"status": "ROWS", "rows": len(srows)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -83,6 +95,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
+            report[name] = {"status": "FAIL", "detail": f"duckdb error: {e}"[:400]}
             continue
         ok = True
         if len(srows) != len(drows):
@@ -105,12 +118,33 @@ def main() -> int:
                     print(f"      spark-only  x{n}: {t_}")
         if ok:
             print(f"OK    {name}: {len(srows)} rows")
+            report[name] = {"status": "OK", "rows": len(srows)}
         else:
             failed.append(name)
+            report[name] = {"status": "FAIL", "rows": len(srows)}
 
-    print(f"\n{len(failed)} failed of {len([n for n in qs if not only or n in only])}")
+    total = len([n for n in qs if not only or n in only])
+    print(f"\n{len(failed)} failed of {total}")
     if failed:
         print("failed:", ", ".join(failed))
+    if json_path:
+        import json
+
+        counts = Counter(v["status"] for v in report.values())
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": total,
+                    "ok": counts.get("OK", 0),
+                    "rows_only": counts.get("ROWS", 0),
+                    "failed": counts.get("FAIL", 0),
+                    "queries": report,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     return 1 if failed else 0
 
 
