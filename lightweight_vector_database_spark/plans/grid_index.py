@@ -453,6 +453,25 @@ def build_index(
     return df.withColumn("cell_id", index.cell_expr(vec_col))
 
 
+def assign_cells(
+    df: DataFrame, index: GridIndex, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach ``cell_id`` under either index flavor: full-depth ids
+    for a fixed ``GridIndex``, encoded leaves for a fitted
+    ``AdaptiveGridIndex``. Writers that maintain stats incrementally
+    (streaming ingest) MUST use this, not ``build_index``, so the
+    snapshot's cell column and ``update_stats``' keys stay in one
+    keyspace."""
+    if isinstance(index, AdaptiveGridIndex):
+        if not index.leaf_of_full:
+            raise ValueError(
+                "fit the AdaptiveGridIndex (fit/assign) before assigning "
+                "batches — unfitted batches cannot be mapped to leaves"
+            )
+        return index.assign(df, vec_col)[0]
+    return build_index(df, index, vec_col)
+
+
 def index_stats(assigned: DataFrame) -> dict[int, int]:
     """Per-cell row counts — the index metadata used for candidate
     selection (reference node-count analogue; also the consistency

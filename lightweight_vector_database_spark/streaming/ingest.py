@@ -3,7 +3,7 @@
 
 Each micro-batch of raw vectors is (a) assigned monotonic ids
 (``operators/crud.insert`` — the reference's never-reused id minting,
-:253-256), (b) assigned its grid cell (``plans/grid_index.build_index``
+:253-256), (b) assigned its grid cell (``plans/grid_index.assign_cells``
 — the reference's tree insert routing, :94-104), and (c) committed as
 a new snapshot version partitioned by ``cell_id``, so the serving-side
 candidate pruning keeps working on data that arrived seconds ago. The
@@ -32,7 +32,12 @@ import os
 from pyspark.sql import DataFrame
 
 from ..operators.crud import insert as crud_insert
-from ..plans.grid_index import GridIndex, build_index, index_stats, update_stats
+from ..plans.grid_index import (
+    GridIndex,
+    assign_cells,
+    index_stats,
+    update_stats,
+)
 from ..sources.snapshots import SnapshotStore
 
 
@@ -97,7 +102,7 @@ class VectorIngest:
         if batch_df.isEmpty():
             self._record_epoch(epoch_id)
             return
-        assigned_new = build_index(batch_df, self.index, self.vec_col)
+        assigned_new = assign_cells(batch_df, self.index, self.vec_col)
         try:
             snap = self.store.read()
             merged = crud_insert(snap, assigned_new, id_col=self.id_col)
@@ -152,17 +157,17 @@ class VectorIngest:
             # first batch: an empty snapshot with the full schema; the
             # normal path below then treats U as insert-with-given-id
             # and D as a no-op
-            snap = build_index(u_rows, self.index, self.vec_col).limit(0)
+            snap = assign_cells(u_rows, self.index, self.vec_col).limit(0)
 
         touched = d_ids.unionByName(u_rows.select(self.id_col))
         affected_old = snap.join(touched, self.id_col, "left_semi")
         remaining = snap.join(touched, self.id_col, "left_anti")
-        u_assigned = build_index(u_rows, self.index, self.vec_col).select(
+        u_assigned = assign_cells(u_rows, self.index, self.vec_col).select(
             snap.columns
         )
         merged = crud_insert(
             remaining.unionByName(u_assigned),
-            build_index(i_rows, self.index, self.vec_col),
+            assign_cells(i_rows, self.index, self.vec_col),
             id_col=self.id_col,
         )
         self.store.commit(

@@ -195,3 +195,67 @@ def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ann_ivfpq_refined", _ann_ivfpq)
+
+
+# --- custom metric WITH cell bounds (reference #14: the scipy
+# point2plane blackbox lets any metric prune, distance_metric.py:7-19;
+# here the registered cell_bounds callable plays that role). Exact ->
+# same brute-force oracle shape as every other knn query. -----------------
+
+_W_L1 = [round(1.0 + (i % 4) * 0.5, 1) for i in range(DIM)]
+
+
+def _weighted_l1_builder(a, b):
+    from ..functions.distance import _as_double, _coerce, _fold_sum, vec_lit
+
+    a, b = _as_double(a), _coerce(b)
+    diff = F.zip_with(a, b, lambda x, y: F.abs(x - y))
+    return _fold_sum(F.zip_with(diff, vec_lit(_W_L1), lambda d, w: d * w))
+
+
+def _weighted_l1_cell_bounds(p, lo, hi):
+    import numpy as np
+
+    w = np.asarray(_W_L1, dtype=np.float64)
+    gaps = np.maximum(0.0, np.maximum(lo - p, p - hi))
+    far = np.maximum(np.abs(lo - p), np.abs(hi - p))
+    return (gaps * w).sum(axis=1), (far * w).sum(axis=1)
+
+
+def _register_weighted_l1() -> None:
+    from ..functions.distance import METRICS, register_metric
+
+    if "weighted_l1" not in METRICS:
+        register_metric(
+            "weighted_l1", _weighted_l1_builder,
+            cell_bounds=_weighted_l1_cell_bounds,
+        )
+
+
+def _knn_weighted_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_weighted_l1()
+    snap, stats = _indexed_snapshot(spark, sf_dir)
+    out = knn_indexed(snap, _INDEX, _PROBE, k=10, metric="weighted_l1", stats=stats)
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
+def _weighted_l1_oracle() -> str:
+    from ..probes import sql_array
+
+    w = sql_array([float(x) for x in _W_L1])
+    x = "CAST(embedding[i] AS DOUBLE)"
+    p = "CAST(p[i] AS DOUBLE)"
+    dist = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> abs({x} - {p}) * ({w})[i]))"
+    )
+    return f"""
+WITH probe AS (SELECT {sql_array(_PROBE)} AS p)
+SELECT vec_id, label, round(dist, 6) AS dist FROM (
+  SELECT vec_id, label, {dist} AS dist
+  FROM embeddings CROSS JOIN probe
+) ORDER BY dist, vec_id LIMIT 10
+"""
+
+
+register("knn_weighted_l1_indexed", _knn_weighted_l1, _weighted_l1_oracle())

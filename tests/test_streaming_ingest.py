@@ -195,3 +195,31 @@ def test_ingest_crash_between_commit_and_sidecar_is_exactly_once(
     assert store.read().count() == 40
     assert store.latest_version() == v_before  # no extra commit
     assert sum(restarted.stats.values()) == 40
+
+
+def test_ingest_with_adaptive_index_keeps_one_keyspace(spark, tmp_path):
+    # streaming ingest under an AdaptiveGridIndex: the snapshot's
+    # cell_id column (leaf-encoded via assign_cells) and the
+    # incrementally maintained stats must live in the SAME keyspace
+    from lightweight_vector_database_spark.plans.grid_index import (
+        AdaptiveGridIndex,
+    )
+
+    b0 = _batch(spark, 1, 200)
+    aidx = AdaptiveGridIndex(
+        [0.0] * DIM, [1.0] * DIM, num_splits=2, max_depth=6, max_leaf_size=32
+    )
+    aidx.fit(b0)
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    ingest = VectorIngest(store, aidx)
+    ingest.apply_batch(b0, 0)
+    ingest.apply_batch(_batch(spark, 2, 150), 1)
+    snap = store.read()
+    assert snap.count() == 350
+    assert ingest.stats == index_stats(snap)  # key-for-key, not just sums
+
+    # an unfitted adaptive index must refuse the first batch loudly
+    fresh = AdaptiveGridIndex([0.0] * DIM, [1.0] * DIM)
+    ingest2 = VectorIngest(SnapshotStore(spark, str(tmp_path / "s2")), fresh)
+    with pytest.raises(ValueError, match="fit"):
+        ingest2.apply_batch(b0, 0)
