@@ -41,3 +41,26 @@ def test_entry_smoke(spark):
     assert len(rows) == 10
     dists = [r.dist for r in rows]
     assert dists == sorted(dists)
+
+
+def test_loaded_tables_have_normalized_types(spark, sf_dir):
+    # environment-drift guard: the fixture parquet's physical types have
+    # drifted across rounds (TIMESTAMP(NANOS) -> TIMESTAMP_NTZ micros);
+    # load_table is the single choke point that must absorb any future
+    # drift. Pin the normalized schema every query depends on.
+    from lightweight_vector_database_spark.sources import load_all
+
+    tables = load_all(spark, sf_dir)
+    assert dict(tables["events"].dtypes)["ts"] == "timestamp"
+    assert dict(tables["embeddings"].dtypes)["embedding"] == "array<float>"
+    assert dict(tables["documents"].dtypes)["text"] == "string"
+    # the fixture stores TPC-H dates as naive timestamps; DuckDB reads
+    # the same parquet the same way, so queries compare them as
+    # timestamps on both sides — pin that shared contract (a drift to
+    # date or string would silently skew every date filter)
+    assert dict(tables["orders"].dtypes)["o_orderdate"] in (
+        "timestamp_ntz", "timestamp", "date"
+    )
+    assert dict(tables["lineitem"].dtypes)["l_shipdate"] in (
+        "timestamp_ntz", "timestamp", "date"
+    )
