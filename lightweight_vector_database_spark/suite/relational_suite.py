@@ -703,3 +703,32 @@ FROM documents JOIN embeddings ON doc_id = vec_id
 GROUP BY lang
 """,
 )
+
+
+def _join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as join_range_acctbal, through the banded
+    equi-join rewrite (operators/range_join.py) — the plan that
+    survives both sides being large at 100 TB: shuffle hash join on
+    floor(acctbal / W) instead of a nested loop."""
+    from ..operators.range_join import banded_range_join
+
+    supp = load_table(spark, sf_dir, "supplier").withColumn(
+        "lo", F.col("s_acctbal") - 500
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    joined = banded_range_join(
+        cust, supp, "c_acctbal", "lo", "s_acctbal", band_width=500.0
+    )
+    return joined.groupBy("s_suppkey").agg(F.count(F.lit(1)).alias("n_cust"))
+
+
+register(
+    "join_range_banded",
+    _join_range_banded,
+    """
+SELECT s_suppkey, count(*) AS n_cust
+FROM customer JOIN supplier
+  ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal
+GROUP BY s_suppkey
+""",
+)
