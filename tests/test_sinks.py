@@ -62,11 +62,18 @@ def test_json_roundtrip(spark, sf_dir, tmp):
 
 
 def test_orc_roundtrip(spark, sf_dir, tmp):
+    from lightweight_vector_database_spark.sources.sinks import (
+        read_orc,
+        write_orc,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     path = f"{tmp}/docs_orc"
-    docs.write.mode("overwrite").orc(path)
-    back = spark.read.orc(path)
-    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path)
+    assert {(r.doc_id, r.lang) for r in back.collect()} == {
+        (r.doc_id, r.lang) for r in docs.collect()
+    }
 
 
 def test_text_lines_roundtrip(spark, sf_dir, tmp):
