@@ -48,6 +48,27 @@ def insert(
     return snapshot.unionByName(minted.select(snapshot.columns))
 
 
+def mint_ids(
+    new_rows: DataFrame,
+    next_id: int,
+    id_col: str = "vec_id",
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Assign ids ``next_id .. next_id + n - 1`` in deterministic order
+    WITHOUT scanning any snapshot — the O(batch) minting path for
+    append-mode stores that track the id high-water mark in commit
+    metadata (``insert`` derives the base from a max() over the table;
+    at 100 TB that scan per micro-batch is the difference between
+    O(batch) and O(table) ingestion)."""
+    order_cols = [F.col(c) for c in (order_by or new_rows.columns)]
+    w = Window.orderBy(*order_cols)
+    return (
+        new_rows.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn(id_col, F.lit(int(next_id) - 1).cast("long") + F.col("__rn"))
+        .drop("__rn")
+    )
+
+
 def delete(
     snapshot: DataFrame, pred: Column, id_col: str = "vec_id"
 ) -> tuple[DataFrame, DataFrame]:

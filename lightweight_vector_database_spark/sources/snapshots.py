@@ -13,9 +13,12 @@ minimal copy-on-write snapshot log:
 
 Each version is a complete parquet directory + a tiny manifest. At
 100 TB you'd commit deltas (appended files + tombstone sets) instead
-of rewriting — that's exactly the Delta/Iceberg design; this API is
-deliberately shaped so swapping the backend doesn't change callers.
-Writes are atomic via write-then-rename of the manifest pointer.
+of rewriting — that's exactly the Delta/Iceberg design, implemented
+in ``delta_snapshots.DeltaSnapshotStore`` with the same surface
+(read/commit/time-travel/metadata/vacuum), so callers — including the
+streaming ingest sink — swap stores without code changes and get
+O(batch) commits. Writes are atomic via write-then-rename of the
+manifest pointer in both stores.
 """
 
 from __future__ import annotations

@@ -103,22 +103,39 @@ class VectorIngest:
             self._record_epoch(epoch_id)
             return
         assigned_new = assign_cells(batch_df, self.index, self.vec_col)
-        try:
-            snap = self.store.read()
-            merged = crud_insert(snap, assigned_new, id_col=self.id_col)
-        except KeyError:
-            # first batch: mint ids against an empty snapshot
-            empty = assigned_new.limit(0).withColumn(
-                self.id_col, assigned_new["cell_id"].cast("long")
+        if hasattr(self.store, "commit_append"):
+            # O(batch) path (DeltaSnapshotStore): ids minted from the
+            # high-water mark carried in commit metadata — no table
+            # scan, no table rewrite; the whole batch commit touches
+            # only the batch's own rows
+            from ..operators.crud import mint_ids
+
+            next_id = int(self.store.latest_metadata().get("next_id", 0))
+            minted = mint_ids(assigned_new, next_id, id_col=self.id_col)
+            n = minted.count()
+            self.store.commit_append(
+                minted.select(self.id_col, *assigned_new.columns),
+                partition_by=["cell_id"],
+                metadata={"query_epoch": epoch_id, "next_id": next_id + n},
             )
-            merged = crud_insert(
-                empty.select(self.id_col, *assigned_new.columns), assigned_new,
-                id_col=self.id_col,
+        else:
+            try:
+                snap = self.store.read()
+                merged = crud_insert(snap, assigned_new, id_col=self.id_col)
+            except KeyError:
+                # first batch: mint ids against an empty snapshot
+                empty = assigned_new.limit(0).withColumn(
+                    self.id_col, assigned_new["cell_id"].cast("long")
+                )
+                merged = crud_insert(
+                    empty.select(self.id_col, *assigned_new.columns),
+                    assigned_new,
+                    id_col=self.id_col,
+                )
+            self.store.commit(
+                merged, partition_by=["cell_id"],
+                metadata={"query_epoch": epoch_id},
             )
-        self.store.commit(
-            merged, partition_by=["cell_id"],
-            metadata={"query_epoch": epoch_id},
-        )
         self.stats = update_stats(self.stats, self.index, inserted=batch_df,
                                   vec_col=self.vec_col)
         if self.retain_versions is not None:
@@ -161,19 +178,49 @@ class VectorIngest:
 
         touched = d_ids.unionByName(u_rows.select(self.id_col))
         affected_old = snap.join(touched, self.id_col, "left_semi")
-        remaining = snap.join(touched, self.id_col, "left_anti")
         u_assigned = assign_cells(u_rows, self.index, self.vec_col).select(
             snap.columns
         )
-        merged = crud_insert(
-            remaining.unionByName(u_assigned),
-            assign_cells(i_rows, self.index, self.vec_col),
-            id_col=self.id_col,
-        )
-        self.store.commit(
-            merged, partition_by=["cell_id"],
-            metadata={"query_epoch": epoch_id},
-        )
+        if hasattr(self.store, "commit_mutation"):
+            # O(delta) CDC: ONE atomic commit carrying both the
+            # tombstoned ids and the replacement/insert rows (the
+            # store's sequence rule keeps same-id replacements alive);
+            # only the batch's rows are written, never the table
+            from ..operators.crud import mint_ids
+
+            next_id = int(self.store.latest_metadata().get("next_id", 0))
+            # an unmatched U carries an EXPLICIT id (MERGE insert);
+            # minting must start above it or a later batch would reuse
+            # it — same never-reused contract the rewrite path gets
+            # from its max() scan (kd_tree_database.py:253-256)
+            u_max = u_rows.agg(
+                F.coalesce(F.max(self.id_col), F.lit(-1)).cast("long")
+            ).first()[0]
+            next_id = max(next_id, int(u_max) + 1)
+            i_assigned = assign_cells(i_rows, self.index, self.vec_col)
+            i_minted = mint_ids(i_assigned, next_id, id_col=self.id_col)
+            n_new = i_minted.count()
+            self.store.commit_mutation(
+                append_df=u_assigned.unionByName(
+                    i_minted.select(snap.columns)
+                ),
+                # an insert-only batch writes no tombstone dir (keeps
+                # read fan-in at one anti-join per REAL delete epoch)
+                delete_ids=None if touched.isEmpty() else touched,
+                partition_by=["cell_id"],
+                metadata={"query_epoch": epoch_id, "next_id": next_id + n_new},
+            )
+        else:
+            remaining = snap.join(touched, self.id_col, "left_anti")
+            merged = crud_insert(
+                remaining.unionByName(u_assigned),
+                assign_cells(i_rows, self.index, self.vec_col),
+                id_col=self.id_col,
+            )
+            self.store.commit(
+                merged, partition_by=["cell_id"],
+                metadata={"query_epoch": epoch_id},
+            )
         # U rows keep their id, I rows have none — run each delta
         # through the same incremental path
         self.stats = update_stats(

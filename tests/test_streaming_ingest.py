@@ -223,3 +223,104 @@ def test_ingest_with_adaptive_index_keeps_one_keyspace(spark, tmp_path):
     ingest2 = VectorIngest(SnapshotStore(spark, str(tmp_path / "s2")), fresh)
     with pytest.raises(ValueError, match="fit"):
         ingest2.apply_batch(b0, 0)
+
+
+def test_ingest_delta_store_appends_not_rewrites(spark, tmp_path, index):
+    # the O(batch) ingest path: each micro-batch commits ONLY its own
+    # rows (one add dir per batch), ids minted from the high-water
+    # mark in commit metadata — same invariants as the rewrite path
+    from lightweight_vector_database_spark.sources.delta_snapshots import (
+        DeltaSnapshotStore,
+    )
+
+    store = DeltaSnapshotStore(spark, str(tmp_path / "delta"))
+    ingest = VectorIngest(store, index)
+    sizes = [30, 20, 25]
+    for epoch, (seed, n) in enumerate(zip([1, 2, 3], sizes)):
+        ingest.apply_batch(_batch(spark, seed, n), epoch)
+    snap = store.read()
+    total = sum(sizes)
+    assert snap.count() == total
+    assert sum(ingest.stats.values()) == total
+    assert ingest.stats == index_stats(snap)
+    # ids are unique and dense 0..total-1 (minted per-batch from the
+    # metadata high-water mark, no table scan)
+    ids = sorted(r.vec_id for r in snap.select("vec_id").collect())
+    assert ids == list(range(total))
+    # log shape proves append-only: one add dir per batch, no rewrite
+    assert store.log_depth() == (3, 0)
+
+    # replay idempotency via manifest epoch (exactly-once)
+    ingest2 = VectorIngest(store, index)
+    ingest2.apply_batch(_batch(spark, 1, 30), 2)  # stale epoch
+    assert store.read().count() == total
+
+
+def test_cdc_delta_store_atomic_mutation(spark, tmp_path, index):
+    from lightweight_vector_database_spark.sources.delta_snapshots import (
+        DeltaSnapshotStore,
+    )
+
+    store = DeltaSnapshotStore(spark, str(tmp_path / "delta"))
+    ingest = VectorIngest(store, index)
+
+    def cdc(rows):
+        return spark.createDataFrame(
+            rows, "op string, vec_id long, embedding array<float>, label int"
+        )
+
+    v = lambda x: [float(x)] * DIM
+    ingest.apply_cdc_batch(
+        cdc([("I", None, v(0.1), 0), ("I", None, v(0.2), 1),
+             ("I", None, v(0.3), 2)]),
+        0,
+    )
+    assert sorted(r.vec_id for r in store.read().collect()) == [0, 1, 2]
+
+    # ONE atomic commit: delete id 0, replace id 1 (same id survives the
+    # tombstone via the sequence rule), insert a new row (minted id 3)
+    ingest.apply_cdc_batch(
+        cdc([("D", 0, None, None), ("U", 1, v(0.9), 77),
+             ("I", None, v(0.5), 4)]),
+        1,
+    )
+    snap = store.read()
+    got = {r.vec_id: r.label for r in snap.collect()}
+    assert got == {1: 77, 2: 2, 3: 4}
+    assert ingest.stats == index_stats(snap)
+    # the mutation was O(delta): no rewrite — log grew, not reset
+    n_adds, n_tombs = store.log_depth()
+    assert n_adds >= 2 and n_tombs == 1
+
+    # replay idempotency (epoch in the same atomic manifest entry)
+    ingest.apply_cdc_batch(cdc([("D", 1, None, None)]), 1)
+    assert store.read().count() == 3
+
+    # compaction preserves the visible state and restores scan-only
+    store.compact(partition_by=["cell_id"])
+    assert {r.vec_id: r.label for r in store.read().collect()} == got
+    assert store.log_depth() == (1, 0)
+
+
+def test_cdc_delta_unmatched_update_never_reuses_ids(spark, tmp_path, index):
+    # MERGE semantics: an unmatched U inserts with its explicit id; a
+    # later minted id must never collide with it (the delta path minds
+    # the high-water mark in metadata, not a table scan)
+    from lightweight_vector_database_spark.sources.delta_snapshots import (
+        DeltaSnapshotStore,
+    )
+
+    store = DeltaSnapshotStore(spark, str(tmp_path / "delta"))
+    ingest = VectorIngest(store, index)
+
+    def cdc(rows):
+        return spark.createDataFrame(
+            rows, "op string, vec_id long, embedding array<float>, label int"
+        )
+
+    v = lambda x: [float(x)] * DIM
+    ingest.apply_cdc_batch(cdc([("U", 77, v(0.6), 5)]), 0)  # explicit id 77
+    ingest.apply_cdc_batch(cdc([("I", None, v(0.7), 6)]), 1)
+    ids = sorted(r.vec_id for r in store.read().collect())
+    assert ids == [77, 78]  # minted ABOVE the explicit id, no reuse
+    assert ingest.stats == index_stats(store.read())
