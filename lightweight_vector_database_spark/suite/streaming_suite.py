@@ -136,3 +136,58 @@ def _vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("stream_vector_ingest", _vector_ingest)  # rows-only
+
+
+def _vector_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same two-micro-batch ingestion through the O(delta) store
+    (sources/delta_snapshots.py): appends + metadata-minted ids, then a
+    compaction — the 100 TB ingest shape. Exactly oracled: the final
+    per-cell profile equals the depth-4 quantization computed in SQL,
+    and every row keeps a distinct id (n_ids == n)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..plans.grid_index import GridIndex
+    from ..sources.delta_snapshots import DeltaSnapshotStore
+    from ..streaming.ingest import VectorIngest
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding", "label")
+    index = GridIndex([-1.0] * 64, [1.0] * 64, num_splits=2, depth=4)
+    with tempfile.TemporaryDirectory() as tmp:
+        store = DeltaSnapshotStore(spark, f"{tmp}/snap")
+        ingest = VectorIngest(store, index)
+        ingest.apply_batch(emb.filter(F.col("label") < 5), 0)
+        ingest.apply_batch(emb.filter(F.col("label") >= 5), 1)
+        store.compact(partition_by=["cell_id"])
+        snap = store.read()
+        out = (
+            snap.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("vec_id").alias("n_ids"))
+            .orderBy("cell_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+
+
+def _ingest_cell_sql(depth: int = 4, bins: int = 3) -> str:
+    # depth-4 quantization over dims 1..4, bounds [-1, 1] — mirrors
+    # GridIndex.cell_expr for depth <= dim (one level per dim)
+    terms = []
+    for level in range(depth):
+        digit = (
+            f"least(greatest(CAST(floor((CAST(embedding[{level + 1}] AS DOUBLE)"
+            f" + 1.0) / 2.0 * {bins}) AS BIGINT), 0), {bins - 1})"
+        )
+        terms.append(f"{digit} * {bins ** (depth - 1 - level)}")
+    return " + ".join(terms)
+
+
+register(
+    "stream_vector_ingest_delta",
+    _vector_ingest_delta,
+    f"""
+SELECT ({_ingest_cell_sql()}) AS cell_id, count(*) AS n, count(*) AS n_ids
+FROM embeddings GROUP BY 1
+""",
+)
