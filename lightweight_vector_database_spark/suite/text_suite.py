@@ -179,3 +179,36 @@ SELECT doc_id, CAST({_NTOK} AS BIGINT) AS ws_tokens,
 FROM documents
 """,
 )
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing profile (operators/packing.py): global
+    token offsets via the DISTRIBUTED two-level prefix sum — the
+    single-partition Window.orderBy form this replaces is the classic
+    Spark scale trap. Oracle computes the same offsets with a plain
+    SQL window cumsum."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=512)
+
+
+register(
+    "pack_sequences_512",
+    _pack_sequences,
+    f"""
+WITH sized AS (
+  SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens FROM documents
+), packed AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM sized
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 512) AS BIGINT) AS chunk_id,
+       CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512)
+            - floor(start_offset / 512) + 1 AS BIGINT) AS n_chunks
+FROM packed
+""",
+)
