@@ -16,7 +16,10 @@ Five families, each with an explicit 100 TB story:
 - ``simhash64``        — 64-bit SimHash folded entirely in Catalyst
   higher-order functions (no UDF): token hashes vote per bit.
 - ``embedding_topk_pairs`` — nearest embedding pairs by cosine
-  (exact top-k; LSH-bucketed variant in similarity.py for scale).
+  (exact top-k baseline, O(n^2)); ``embedding_srp_pairs`` — the scale
+  path: signed-random-projection cosine LSH, banded self-join, exact
+  at signature hamming <= bands-1 by pigeonhole (IVF bucketing in
+  similarity.py is the search-time alternative).
 """
 
 from __future__ import annotations
@@ -435,4 +438,129 @@ def embedding_topk_pairs(
         .select("id1", "id2", "cos_dist")
         .orderBy(F.col("cos_dist").asc(), F.col("id1").asc(), F.col("id2").asc())
         .limit(k)
+    )
+
+
+# --- signed random projection (cosine LSH) ---------------------------------
+
+def _srp_planes(num_bits: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, rounded to 6 decimals
+    so the same coefficients embed exactly into oracle SQL (same trick
+    as probes.probe_vector)."""
+    import math
+
+    return [
+        [
+            round(math.sin(seed * 7.0 + j * dim + i + 1.0), 6)
+            for i in range(dim)
+        ]
+        for j in range(num_bits)
+    ]
+
+
+def srp_signature_expr(
+    vec_col: str, num_bits: int = 32, dim: int = 64, seed: int = 7
+) -> Column:
+    """``num_bits`` sign bits of <v, h_j> packed into one long — the
+    cosine analogue of simhash64 (Charikar's SRP-LSH, STOC'02): the
+    probability two vectors agree on a bit is 1 - angle/pi, so small
+    cosine distance => small hamming distance on the signature. Pure
+    codegen: one left-fold dot product per bit, no UDF."""
+    from ..functions.distance import vec_lit
+
+    if not 1 <= num_bits <= 63:
+        raise ValueError("num_bits must be in [1, 63] (bit 63 is the sign)")
+    v = F.col(vec_col).cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(_srp_planes(num_bits, dim, seed)):
+        dot = F.aggregate(
+            F.zip_with(v, vec_lit(plane), lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        sig = sig.bitwiseOR(
+            F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def embedding_srp_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_hamming: int = 7,
+    bands: int = 8,
+    num_bits: int = 32,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """EXACT embedding near-dup pairs at SRP-hamming <= ``max_hamming``
+    without an all-pairs join — the scale path ``embedding_topk_pairs``
+    (the O(n^2) baseline) points to. Same pigeonhole argument as
+    ``simhash_candidate_pairs``: with ``max_hamming <= bands - 1`` a
+    qualifying pair must agree on one full band, so the banded
+    self-join loses nothing; exact hamming + exact cosine are then
+    computed only on candidates. Output (id1, id2, hamming, cos_dist).
+
+    The join shuffles on the band key: pair space is bounded by
+    per-bucket collisions, not n^2 — at 100 TB this is the difference
+    between a dedup pass and an impossibility.
+    """
+    if num_bits % bands != 0:
+        raise ValueError("num_bits must divide evenly into bands")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"exactness needs max_hamming <= bands-1 (got {max_hamming} > {bands - 1})"
+        )
+    width = num_bits // bands
+    mask = (1 << width) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        srp_signature_expr(vec_col, num_bits, dim, seed).alias("sig"),
+    )
+    banded = sh.select(
+        "id",
+        "__v",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "__v", "sig", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("id").alias("id1"), F.col("__v").alias("__v1"),
+        F.col("sig").alias("__s1"), "band", "key",
+    )
+    b = banded.select(
+        F.col("id").alias("id2"), F.col("__v").alias("__v2"),
+        F.col("sig").alias("__s2"), "band", "key",
+    )
+    from ..functions.distance import cosine_distance
+
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "__s1", "__s2", "__v1", "__v2")
+        .distinct()  # a pair may share several bands
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__s1").bitwiseXOR(F.col("__s2"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .withColumn(
+            "cos_dist", F.round(cosine_distance(F.col("__v1"), F.col("__v2")), 6)
+        )
+        .select("id1", "id2", "hamming", "cos_dist")
     )

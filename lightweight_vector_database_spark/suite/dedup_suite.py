@@ -222,3 +222,45 @@ SELECT id1, id2, round(cos_dist, 6) AS cos_dist
 FROM p ORDER BY cos_dist ASC, id1 ASC, id2 ASC LIMIT 20
 """,
 )
+
+
+def _embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine LSH near-dup pairs via signed random projections
+    (operators/dedup.embedding_srp_pairs) — the banded scale path for
+    embedding near-dup; exact at hamming <= bands-1 by pigeonhole.
+    Oracle recomputes the identical signatures + brute pair filter in
+    SQL (hyperplane coefficients embed exactly: 6-decimal literals)."""
+    docs = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_srp_pairs(docs, max_hamming=1, bands=4, num_bits=32)
+
+
+def _srp_oracle(max_hamming: int = 1, num_bits: int = 32, dim: int = 64) -> str:
+    planes = D._srp_planes(num_bits, dim)
+    bits = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(c) for c in plane) + "]::DOUBLE[]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j}::BIGINT ELSE 0 END)")
+    sig = " + ".join(bits)
+    x = "CAST(a.embedding[i] AS DOUBLE)"
+    y = "CAST(b.embedding[i] AS DOUBLE)"
+    rng = f"range(1, {dim + 1})"
+    dotp = f"list_sum(list_transform({rng}, i -> {x} * {y}))"
+    na = f"sqrt(list_sum(list_transform({rng}, i -> {x} * {x})))"
+    nb = f"sqrt(list_sum(list_transform({rng}, i -> {y} * {y})))"
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, ({sig}) AS s FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming,
+       round(1.0 - ({dotp}) / (({na}) * ({nb})), 6) AS cos_dist
+FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
+
+
+register("embedding_srp_pairs", _embedding_srp, _srp_oracle())

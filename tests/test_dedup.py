@@ -190,3 +190,41 @@ def test_jaccard_pairs_max_df_uses_filtered_set_sizes(spark):
     # filtered sets: 1->{b,c,d}, 2->{b,c,e}, 3->{x,y}
     assert out[(1, 2)] == pytest.approx(2 / 4)
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_embedding_srp_pairs_exact_vs_brute(spark, sf_dir):
+    # pigeonhole exactness: the banded self-join must find EVERY pair
+    # with signature hamming <= bands-1 (computed brute-force here)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = {
+        r.vec_id: r.s
+        for r in emb.select(
+            "vec_id",
+            D.srp_signature_expr("embedding", num_bits=32).alias("s"),
+        ).collect()
+    }
+    max_h = 3
+    brute = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= max_h:
+                brute.add((a, b))
+    got = {
+        (r.id1, r.id2)
+        for r in D.embedding_srp_pairs(
+            emb, max_hamming=max_h, bands=4, num_bits=32
+        ).collect()
+    }
+    assert got == brute
+    assert brute  # fixture sanity: clustered embeddings collide
+
+
+def test_embedding_srp_guards(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_hamming"):
+        D.embedding_srp_pairs(emb, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        D.embedding_srp_pairs(emb, bands=7, num_bits=32)
+    with pytest.raises(ValueError, match="num_bits"):
+        D.srp_signature_expr("embedding", num_bits=64)
