@@ -259,3 +259,63 @@ SELECT vec_id, label, round(dist, 6) AS dist FROM (
 
 
 register("knn_weighted_l1_indexed", _knn_weighted_l1, _weighted_l1_oracle())
+
+
+# --- cosine kNN through the index (normalize-then-euclidean) ---------------
+
+def _knn_cosine_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine kNN served by the grid index: on L2-normalized vectors,
+    squared Euclidean = 2 * cosine distance, so the euclidean cell
+    bounds prune for cosine too — the standard normalize-then-index
+    equivalence. The index ranks a 3x-padded candidate set (same
+    fp-boundary padding argument as knn_join_matmul); the final exact
+    cosine on RAW vectors decides the top k, so reported values match
+    the brute oracle bit-for-bit."""
+    from ..functions.distance import cosine_distance, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = l2_norm("embedding")
+    normalized = emb.withColumn("__nv", F.transform(v, lambda x: x / nrm))
+
+    idx = GridIndex([-1.0] * DIM, [1.0] * DIM, num_splits=2, depth=6)
+    assigned = build_index(normalized, idx, vec_col="__nv")
+
+    import math
+
+    probe = probe_vector(seed=3)
+    pn = math.sqrt(sum(x * x for x in probe))
+    probe_unit = [x / pn for x in probe]
+
+    k = 10
+    cand = knn_indexed(assigned, idx, probe_unit, k=3 * k, vec_col="__nv")
+    return (
+        cand.withColumn(
+            "cos_dist", F.round(cosine_distance("embedding", probe), 6)
+        )
+        .orderBy(F.col("cos_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", "label", "cos_dist")
+    )
+
+
+def _cosine_oracle() -> str:
+    from ..probes import sql_array
+
+    probe = probe_vector(seed=3)
+    x = "CAST(embedding[i] AS DOUBLE)"
+    p = "CAST(p[i] AS DOUBLE)"
+    rng = f"range(1, {DIM + 1})"
+    dot = f"list_sum(list_transform({rng}, i -> {x} * {p}))"
+    na = f"sqrt(list_sum(list_transform({rng}, i -> {x} * {x})))"
+    nb = f"sqrt(list_sum(list_transform({rng}, i -> {p} * {p})))"
+    return f"""
+WITH probe AS (SELECT {sql_array(probe)} AS p)
+SELECT vec_id, label, round(cos_dist, 6) AS cos_dist FROM (
+  SELECT vec_id, label, 1.0 - ({dot}) / (({na}) * ({nb})) AS cos_dist
+  FROM embeddings CROSS JOIN probe
+) ORDER BY cos_dist, vec_id LIMIT 10
+"""
+
+
+register("knn_cosine_indexed", _knn_cosine_indexed, _cosine_oracle())

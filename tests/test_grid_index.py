@@ -476,3 +476,39 @@ def test_adaptive_update_stats_after_insert(spark):
     fresh = AdaptiveGridIndex([-1.0, -1.0], [1.0, 1.0])
     with pytest.raises(ValueError, match="fitted"):
         update_stats({}, fresh, inserted=ins)
+
+
+@pytest.mark.parametrize("seed", [1, 6, 9])
+def test_cosine_through_index_equals_brute(spark, sf_dir, seed):
+    # normalize-then-index: on unit vectors sq-euclid = 2*cosine, so
+    # euclidean cell bounds serve cosine kNN; final exact cosine on the
+    # RAW vectors must equal brute-force cosine kNN
+    import math
+
+    from lightweight_vector_database_spark.functions.distance import (
+        cosine_distance,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = probe_vector(seed=seed)
+    brute = [
+        (r.vec_id, round(r.dist, 9))
+        for r in knn(emb, probe, 10, metric="cosine").collect()
+    ]
+
+    v = F.col("embedding").cast("array<double>")
+    nrm = l2_norm("embedding")
+    normalized = emb.withColumn("__nv", F.transform(v, lambda x: x / nrm))
+    idx = GridIndex([-1.0] * DIM, [1.0] * DIM, num_splits=2, depth=6)
+    assigned = build_index(normalized, idx, vec_col="__nv")
+    pn = math.sqrt(sum(x * x for x in probe))
+    cand = knn_indexed(assigned, idx, [x / pn for x in probe], k=30, vec_col="__nv")
+    got = [
+        (r.vec_id, round(r.cos, 9))
+        for r in cand.withColumn("cos", cosine_distance("embedding", probe))
+        .orderBy(F.col("cos").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert got == brute
