@@ -57,6 +57,7 @@ class VectorIngest:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         retain_versions: int | None = None,
+        compact_every: int | None = 64,
     ):
         self.store = store
         self.index = index
@@ -65,6 +66,12 @@ class VectorIngest:
         # continuous ingestion commits one version per micro-batch;
         # retention bounds the store (None = keep full history)
         self.retain_versions = retain_versions
+        # delta stores append one dir per batch; without periodic
+        # compaction read fan-in grows without bound and vacuum cannot
+        # reclaim disk (old versions share the add dirs). Fold the log
+        # whenever it exceeds ``compact_every`` dirs — the maintenance
+        # cadence a log-structured table needs (None disables).
+        self.compact_every = compact_every
         try:
             snap = store.read()
             self.stats = index_stats(snap)
@@ -93,6 +100,20 @@ class VectorIngest:
         with open(tmp, "w") as f:
             json.dump({"epoch": epoch}, f)
         os.replace(tmp, self._epoch_path())
+
+    def _maintain(self) -> None:
+        """Post-commit maintenance: fold an overgrown delta log, then
+        apply version retention (order matters — compaction creates
+        the version whose files supersede the shared old dirs, letting
+        vacuum actually reclaim them)."""
+        if (
+            self.compact_every is not None
+            and hasattr(self.store, "log_depth")
+            and sum(self.store.log_depth()) >= self.compact_every
+        ):
+            self.store.compact(partition_by=["cell_id"])
+        if self.retain_versions is not None:
+            self.store.vacuum(keep_last=self.retain_versions)
 
     # -- the sink ------------------------------------------------------
 
@@ -138,8 +159,7 @@ class VectorIngest:
             )
         self.stats = update_stats(self.stats, self.index, inserted=batch_df,
                                   vec_col=self.vec_col)
-        if self.retain_versions is not None:
-            self.store.vacuum(keep_last=self.retain_versions)
+        self._maintain()
         self._record_epoch(epoch_id)
 
     def apply_cdc_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -232,8 +252,7 @@ class VectorIngest:
         self.stats = update_stats(
             self.stats, self.index, inserted=i_rows, vec_col=self.vec_col
         )
-        if self.retain_versions is not None:
-            self.store.vacuum(keep_last=self.retain_versions)
+        self._maintain()
         self._record_epoch(epoch_id)
 
     def start(self, stream_df: DataFrame, checkpoint: str, **trigger):

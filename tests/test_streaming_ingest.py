@@ -324,3 +324,26 @@ def test_cdc_delta_unmatched_update_never_reuses_ids(spark, tmp_path, index):
     ids = sorted(r.vec_id for r in store.read().collect())
     assert ids == [77, 78]  # minted ABOVE the explicit id, no reuse
     assert ingest.stats == index_stats(store.read())
+
+
+def test_ingest_delta_auto_compaction(spark, tmp_path, index):
+    # the maintenance cadence: once the log exceeds compact_every dirs
+    # the sink folds it; visible rows, ids, stats, and the metadata
+    # high-water mark all survive the fold
+    from lightweight_vector_database_spark.sources.delta_snapshots import (
+        DeltaSnapshotStore,
+    )
+
+    store = DeltaSnapshotStore(spark, str(tmp_path / "delta"))
+    ingest = VectorIngest(store, index, compact_every=3)
+    for epoch, seed in enumerate([1, 2, 3, 4]):
+        ingest.apply_batch(_batch(spark, seed, 10), epoch)
+    snap = store.read()
+    assert snap.count() == 40
+    assert sorted(r.vec_id for r in snap.collect()) == list(range(40))
+    assert ingest.stats == index_stats(snap)
+    n_adds, n_tombs = store.log_depth()
+    assert n_adds <= 3 and n_tombs == 0  # the log was folded
+    # the high-water mark survived compaction: next batch keeps minting
+    ingest.apply_batch(_batch(spark, 5, 5), 4)
+    assert sorted(r.vec_id for r in store.read().collect()) == list(range(45))
