@@ -56,14 +56,63 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("multimodal_features", _media_features)  # rows-only
+# exact oracle: the fake decoder is md5-byte arithmetic — f0 =
+# digest[0]/256 + digest[3]/65536, an exact multiple of 2^-16, so the
+# float32 storage loses nothing and DuckDB reproduces it from the hex
+# digest with a strpos nibble lookup
+_HV1 = "(strpos('0123456789abcdef', substr(m, {p}, 1)) - 1)"
+
+
+def _md5_byte(k: int) -> str:
+    hi = _HV1.format(p=2 * k + 1)
+    lo = _HV1.format(p=2 * k + 2)
+    return f"(16 * {hi} + {lo})"
+
+
+register(
+    "multimodal_features",
+    _media_features,
+    f"""
+WITH d AS (SELECT doc_id, md5(text) AS m FROM documents)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       round({_md5_byte(0)} / 256.0 + {_md5_byte(3)} / 65536.0, 6) AS f0
+FROM d
+""",
+)
 
 
 def _frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(load_table(spark, sf_dir, "documents"))
     return frame_sample(media, every_n=2).select(
-        "media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
+        "media_id",
+        "frame_idx",
+        F.length("frame_payload").alias("frame_bytes"),
+        F.md5("frame_payload").alias("frame_md5"),
     )
 
 
-register("multimodal_frame_sample", _frames)  # rows-only
+# exact oracle: the payload is utf-8 of ASCII text, so byte slicing ==
+# character slicing and DuckDB reproduces every frame's length AND md5
+register(
+    "multimodal_frame_sample",
+    _frames,
+    """
+WITH media AS (
+  SELECT doc_id AS media_id, text, length(text) AS plen,
+         doc_id % 8 + 1 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT media_id, text, plen, n_frames,
+         greatest(1, plen // n_frames) AS chunk,
+         unnest(range(0, n_frames, 2)) AS fi
+  FROM media
+)
+SELECT media_id, CAST(fi AS INT) AS frame_idx,
+       CAST(greatest(0, least(chunk, plen - fi * chunk)) AS INT) AS frame_bytes,
+       md5(substring(text, CAST(fi * chunk + 1 AS BIGINT), CAST(chunk AS BIGINT)))
+         AS frame_md5
+FROM f
+""",
+)

@@ -135,7 +135,29 @@ def _vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=out.schema)
 
 
-register("stream_vector_ingest", _vector_ingest)  # rows-only
+def _ingest_profile_sql(depth: int = 4, bins: int = 3) -> str:
+    # depth-4 quantization over dims 1..4, bounds [-1, 1] — mirrors
+    # GridIndex.cell_expr for depth <= dim (one level per dim); the
+    # ingest result's per-cell profile must equal it exactly, and ids
+    # stay distinct (n_ids == n)
+    terms = []
+    for level in range(depth):
+        digit = (
+            f"least(greatest(CAST(floor((CAST(embedding[{level + 1}] AS DOUBLE)"
+            f" + 1.0) / 2.0 * {bins}) AS BIGINT), 0), {bins - 1})"
+        )
+        terms.append(f"{digit} * {bins ** (depth - 1 - level)}")
+    return " + ".join(terms)
+
+
+register(
+    "stream_vector_ingest",
+    _vector_ingest,
+    f"""
+SELECT ({_ingest_profile_sql()}) AS cell_id, count(*) AS n, count(*) AS n_ids
+FROM embeddings GROUP BY 1
+""",
+)
 
 
 def _vector_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,24 +192,11 @@ def _vector_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=out.schema)
 
 
-def _ingest_cell_sql(depth: int = 4, bins: int = 3) -> str:
-    # depth-4 quantization over dims 1..4, bounds [-1, 1] — mirrors
-    # GridIndex.cell_expr for depth <= dim (one level per dim)
-    terms = []
-    for level in range(depth):
-        digit = (
-            f"least(greatest(CAST(floor((CAST(embedding[{level + 1}] AS DOUBLE)"
-            f" + 1.0) / 2.0 * {bins}) AS BIGINT), 0), {bins - 1})"
-        )
-        terms.append(f"{digit} * {bins ** (depth - 1 - level)}")
-    return " + ".join(terms)
-
-
 register(
     "stream_vector_ingest_delta",
     _vector_ingest_delta,
     f"""
-SELECT ({_ingest_cell_sql()}) AS cell_id, count(*) AS n, count(*) AS n_ids
+SELECT ({_ingest_profile_sql()}) AS cell_id, count(*) AS n, count(*) AS n_ids
 FROM embeddings GROUP BY 1
 """,
 )
