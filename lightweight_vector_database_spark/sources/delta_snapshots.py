@@ -98,41 +98,92 @@ class DeltaSnapshotStore:
         Sequence rule: the new files carry this version's sequence;
         the tombstone applies only to add dirs from STRICTLY earlier
         sequences, so delete+replace of the same id in one call is an
-        atomic update."""
+        atomic update.
+
+        Concurrency: the heavy file writes happen OUTSIDE any claim
+        (dirs are private until referenced); the version id is then
+        allocated via an atomic claim file and the manifest merged
+        from the FRESH latest entry, so a concurrent writer's commit
+        is never dropped (no read-modify-swap lost update)."""
         if append_df is None and delete_ids is None and not _rewrite:
             raise ValueError("nothing to commit")
-        m = self._load_manifest()
-        version = m["latest"] + 1
-        if _rewrite:
-            prev = {"adds": [], "tombstones": []}
-        elif m["latest"] >= 0:
-            prev = self._entry(m, m["latest"])
-        else:
-            prev = {"adds": [], "tombstones": []}
-        adds = [list(x) for x in prev["adds"]]
-        tombs = [list(x) for x in prev["tombstones"]]
+        new_add = new_tomb = None
         if append_df is not None:
-            d = self._new_dir("add")
+            new_add = self._new_dir("add")
             w = append_df.write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(*partition_by)
-            w.parquet(d)
-            adds.append([d, version])
+            w.parquet(new_add)
         if delete_ids is not None:
-            d = self._new_dir("tomb")
+            new_tomb = self._new_dir("tomb")
             delete_ids.select(F.col(self.id_col)).distinct().write.mode(
                 "overwrite"
-            ).parquet(d)
-            tombs.append([d, version])
-        m["versions"][str(version)] = {
-            "adds": adds,
-            "tombstones": tombs,
-            "committed_at": time.time(),
-            "metadata": metadata or {},
-        }
-        m["latest"] = version
-        self._swap_manifest(m)
+            ).parquet(new_tomb)
+
+        version, m, claim = self._claim_version()
+        try:
+            if _rewrite or m["latest"] < 0:
+                prev = {"adds": [], "tombstones": []}
+            else:
+                prev = self._entry(m, m["latest"])
+            adds = [list(x) for x in prev["adds"]]
+            tombs = [list(x) for x in prev["tombstones"]]
+            if new_add is not None:
+                adds.append([new_add, version])
+            if new_tomb is not None:
+                tombs.append([new_tomb, version])
+            m["versions"][str(version)] = {
+                "adds": adds,
+                "tombstones": tombs,
+                "committed_at": time.time(),
+                "metadata": metadata or {},
+            }
+            m["latest"] = version
+            self._swap_manifest(m)
+        finally:
+            try:
+                os.remove(claim)
+            except FileNotFoundError:
+                pass
         return version
+
+    # a claim file older than this is a dead writer's leftover
+    # (crashed between claim and swap) and is broken by the next writer
+    STALE_CLAIM_SECONDS = 60.0
+
+    def _claim_version(self) -> tuple[int, dict, str]:
+        """Allocate the next version id by atomically creating its
+        claim file (O_EXCL — the local-FS analogue of a table format's
+        put-if-absent commit). Exactly one writer wins each version;
+        losers re-read the manifest and retry against the winner's
+        entry."""
+        while True:
+            m = self._load_manifest()
+            version = m["latest"] + 1
+            claim = f"{self._path}/_claim_v{version}"
+            try:
+                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                # re-validate UNDER the claim: if someone committed this
+                # version between our manifest read and the claim (and
+                # already cleaned their claim file), ours is stale
+                m = self._load_manifest()
+                if m["latest"] != version - 1:
+                    os.remove(claim)
+                    continue
+                return version, m, claim
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(claim)
+                except FileNotFoundError:
+                    continue  # winner just swapped + cleaned; re-read
+                if age > self.STALE_CLAIM_SECONDS:
+                    try:
+                        os.remove(claim)  # break the dead writer's claim
+                    except FileNotFoundError:
+                        pass
+                    continue
+                time.sleep(0.05)  # live writer mid-swap; wait it out
 
     def commit_full(
         self,

@@ -96,3 +96,41 @@ def test_empty_and_error_cases(spark, tmp_path):
         store.read()
     with pytest.raises(ValueError, match="nothing to commit"):
         store.commit_mutation()
+
+
+def test_concurrent_writers_no_lost_update(spark, tmp_path):
+    # two independent store handles on the same path commit interleaved
+    # WITHOUT coordination; the claim-file OCC must keep every commit
+    # in the log (naive read-modify-swap would drop one)
+    path = str(tmp_path / "d")
+    a = DeltaSnapshotStore(spark, path)
+    b = DeltaSnapshotStore(spark, path)
+    a.commit_full(_df(spark, [(0, 0.0)]))
+    for i in range(1, 7):
+        writer = a if i % 2 else b
+        writer.commit_append(_df(spark, [(i, float(i))]))
+    assert _state(a) == {(i, float(i)) for i in range(7)}
+    assert a.versions() == list(range(7))
+    # no claim files left behind
+    import os
+
+    assert not [f for f in os.listdir(path) if f.startswith("_claim")]
+
+
+def test_stale_claim_is_broken(spark, tmp_path):
+    # a dead writer's claim (crash between claim and swap) must not
+    # wedge the store: writers break claims older than the timeout
+    import os
+    import time as _t
+
+    path = str(tmp_path / "d")
+    store = DeltaSnapshotStore(spark, path)
+    store.commit_full(_df(spark, [(0, 0.0)]))
+    dead = f"{path}/_claim_v1"
+    with open(dead, "w"):
+        pass
+    old = _t.time() - DeltaSnapshotStore.STALE_CLAIM_SECONDS - 5
+    os.utime(dead, (old, old))
+    store.commit_append(_df(spark, [(1, 1.0)]))  # must not hang
+    assert _state(store) == {(0, 0.0), (1, 1.0)}
+    assert not os.path.exists(dead)
