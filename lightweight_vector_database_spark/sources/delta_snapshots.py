@@ -91,7 +91,8 @@ class DeltaSnapshotStore:
         partition_by: list[str] | None = None,
         metadata: dict | None = None,
         _rewrite: bool = False,
-    ) -> int:
+        _expected_base: int | None = None,
+    ) -> int | None:
         """The commit primitive: write the delta's files, then ONE
         manifest swap covering both the appends and the tombstones.
 
@@ -122,6 +123,11 @@ class DeltaSnapshotStore:
 
         version, m, claim = self._claim_version()
         try:
+            if _expected_base is not None and m["latest"] != _expected_base:
+                # conditional commit (compaction): the log advanced
+                # under us — folding the stale read would drop the
+                # concurrent commit's rows. Abort; caller re-reads.
+                return None
             if _rewrite or m["latest"] < 0:
                 prev = {"adds": [], "tombstones": []}
             else:
@@ -278,10 +284,23 @@ class DeltaSnapshotStore:
     ) -> int:
         """Fold the log into one add dir (same visible rows, scan-only
         reads again). The one intentionally O(table) operation — run on
-        the maintenance schedule, not per batch."""
-        current = self.read()
-        meta = metadata if metadata is not None else self.latest_metadata()
-        return self.commit_full(current, partition_by=partition_by, metadata=meta)
+        the maintenance schedule, not per batch.
+
+        Safe against concurrent commits: the fold is a CONDITIONAL
+        rewrite on the base version it read — if the log advanced while
+        the compacted data was being written, the commit aborts and the
+        fold retries from the new tip (a concurrent append's rows can
+        never be dropped)."""
+        while True:
+            base = self.latest_version()
+            current = self.read(base)
+            meta = metadata if metadata is not None else self.latest_metadata()
+            v = self.commit_mutation(
+                append_df=current, partition_by=partition_by, metadata=meta,
+                _rewrite=True, _expected_base=base,
+            )
+            if v is not None:
+                return v
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop old versions; physical dirs are removed only when no

@@ -134,3 +134,28 @@ def test_stale_claim_is_broken(spark, tmp_path):
     store.commit_append(_df(spark, [(1, 1.0)]))  # must not hang
     assert _state(store) == {(0, 0.0), (1, 1.0)}
     assert not os.path.exists(dead)
+
+
+def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
+    # conditional rewrite: a commit that lands between compact's read
+    # and its manifest swap must force a retry, never be dropped
+    path = str(tmp_path / "d")
+    store = DeltaSnapshotStore(spark, path)
+    store.commit_full(_df(spark, [(0, 0.0)]))
+    store.commit_append(_df(spark, [(1, 1.0)]))
+
+    # simulate the race: the direct conditional commit with a stale
+    # base must abort and change nothing
+    stale_base = store.latest_version() - 1
+    v = store.commit_mutation(
+        append_df=_df(spark, [(0, 0.0)]),
+        _rewrite=True,
+        _expected_base=stale_base,
+    )
+    assert v is None
+    assert _state(store) == {(0, 0.0), (1, 1.0)}
+
+    # the public compact() retries until it folds the true tip
+    store.compact()
+    assert _state(store) == {(0, 0.0), (1, 1.0)}
+    assert store.log_depth() == (1, 0)
