@@ -814,27 +814,42 @@ def knn_join_indexed(
         result = scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
-    rows = result.collect()
-
-    by_probe: dict = {}
-    for row in rows:
-        by_probe.setdefault(row[0], []).append(row)
-    bad = [
-        r[0]
-        for r in probe_rows
-        if len(by_probe.get(r[0], [])) < min(k, total)
-        or (
-            by_probe.get(r[0])
-            and max(x["dist"] for x in by_probe[r[0]]) > kth_ubs[r[0]]
+    # Distributed per-probe validation: a probe's indexed answer is
+    # provably exact iff it has min(k, total) rows AND its max distance
+    # stays within the probe's count-weighted kth upper bound (clamped
+    # out-of-bounds rows can violate either). The checks run as window
+    # aggregates over the result plan itself — the result is already
+    # hash-partitioned by probe_id from the top-k window, so no extra
+    # shuffle — and the (tiny) per-probe bound table is broadcast. Bad
+    # probes are re-answered by the exact brute join via an anti-join
+    # (a probe with ZERO result rows is caught too: absent from the
+    # good set => lands in the redo set). Nothing is collected; callers
+    # get a live plan with full lineage (VERDICT r4 item 2).
+    bounds_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, ub) for pid, ub in kth_ubs.items()],
+            f"{probe_id_col} long, __kth_ub double",
         )
-    ]
-    if bad:
-        redo = probes.filter(F.col(probe_id_col).isin(bad))
-        exact = knn_join(redo, assigned, k, metric=metric,
-                         probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
-                         vec_col=vec_col, id_col=id_col)
-        keep = [row for row in rows if row[0] not in set(bad)]
-        return spark.createDataFrame(
-            keep, schema=result.schema
-        ).unionByName(exact.select(*result.columns))
-    return spark.createDataFrame(rows, schema=result.schema)
+    )
+    need = min(k, total)
+    wp = Window.partitionBy(probe_id_col)
+    validated = (
+        result.withColumn("__cnt", F.count(F.lit(1)).over(wp))
+        .withColumn("__maxd", F.max("dist").over(wp))
+        .join(bounds_df, probe_id_col)
+    )
+    ok = (F.col("__cnt") >= F.lit(need)) & (
+        F.col("__maxd") <= F.col("__kth_ub")
+    )
+    good = validated.filter(ok).select(*result.columns)
+    good_ids = validated.filter(ok).select(probe_id_col).distinct()
+    redo = probes.join(good_ids, probe_id_col, "left_anti")
+    # strategy pinned to 'partial' (map-side top-k, no driver collect):
+    # the 'auto' matmul path collects the probe batch eagerly, which
+    # would force this whole plan to execute at construction time. The
+    # redo set is empty in the common case — AQE's empty-relation
+    # propagation then skips the base scan entirely.
+    exact = knn_join(redo, assigned, k, metric=metric,
+                     probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+                     vec_col=vec_col, id_col=id_col, strategy="partial")
+    return good.unionByName(exact.select(*result.columns))
