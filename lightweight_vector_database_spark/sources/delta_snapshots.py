@@ -121,15 +121,26 @@ class DeltaSnapshotStore:
                 "overwrite"
             ).parquet(new_tomb)
 
-        version, m, claim = self._claim_version()
-        try:
+        while True:
+            version, m, claim, token = self._claim_version()
             if _expected_base is not None and m["latest"] != _expected_base:
                 # conditional commit (compaction): the log advanced
                 # under us — folding the stale read would drop the
                 # concurrent commit's rows. Abort; caller re-reads.
+                self._release_claim(claim, token)
                 return None
             if _rewrite or m["latest"] < 0:
-                prev = {"adds": [], "tombstones": []}
+                prev = {
+                    "adds": [],
+                    "tombstones": [],
+                    # a rewrite resets the file log but the table's
+                    # schema lives on
+                    "schema": (
+                        self._entry(m, m["latest"]).get("schema")
+                        if m["latest"] >= 0
+                        else None
+                    ),
+                }
             else:
                 prev = self._entry(m, m["latest"])
             adds = [list(x) for x in prev["adds"]]
@@ -143,41 +154,66 @@ class DeltaSnapshotStore:
                 "tombstones": tombs,
                 "committed_at": time.time(),
                 "metadata": metadata or {},
+                # recorded so a version whose log holds only tombstone
+                # dirs (pure delete) stays readable as an empty table
+                "schema": (
+                    append_df.schema.json()
+                    if append_df is not None
+                    else prev.get("schema")
+                ),
             }
             m["latest"] = version
+            # last-moment ownership re-check: if a peer broke our claim
+            # as "stale" (we stalled past STALE_CLAIM_SECONDS mid-merge)
+            # another writer may own this version now — swapping our
+            # merge would silently overwrite theirs. Abort and redo the
+            # whole claim+merge against the fresh manifest instead.
+            if not self._claim_is_ours(claim, token):
+                del m["versions"][str(version)]
+                continue
             self._swap_manifest(m)
-        finally:
-            try:
-                os.remove(claim)
-            except FileNotFoundError:
-                pass
-        return version
+            self._release_claim(claim, token)
+            return version
 
-    # a claim file older than this is a dead writer's leftover
-    # (crashed between claim and swap) and is broken by the next writer
+    # A claim file older than this is treated as a dead writer's
+    # leftover (crashed between claim and swap) and broken by the next
+    # writer. HAZARD: a slow-but-ALIVE writer stalled past this long
+    # (GC pause, Spark stall) also gets its claim broken — it detects
+    # that via the ownership token re-check immediately before its
+    # manifest swap and redoes the commit instead of overwriting the
+    # breaker's. Tune UP for environments with long stop-the-world
+    # pauses; the only cost of a larger value is slower takeover from
+    # genuinely crashed writers.
     STALE_CLAIM_SECONDS = 60.0
 
-    def _claim_version(self) -> tuple[int, dict, str]:
+    def _claim_version(self) -> tuple[int, dict, str, str]:
         """Allocate the next version id by atomically creating its
         claim file (O_EXCL — the local-FS analogue of a table format's
         put-if-absent commit). Exactly one writer wins each version;
         losers re-read the manifest and retry against the winner's
-        entry."""
+        entry. The claim file body is an ownership token: breaking a
+        stale claim recreates the file with a DIFFERENT token, which is
+        how the original (slow, not dead) writer later detects the
+        takeover and aborts instead of double-committing."""
         while True:
             m = self._load_manifest()
             version = m["latest"] + 1
             claim = f"{self._path}/_claim_v{version}"
+            token = f"{os.getpid()}_{id(self)}_{time.time_ns()}"
             try:
                 fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+                try:
+                    os.write(fd, token.encode())
+                finally:
+                    os.close(fd)
                 # re-validate UNDER the claim: if someone committed this
                 # version between our manifest read and the claim (and
                 # already cleaned their claim file), ours is stale
                 m = self._load_manifest()
                 if m["latest"] != version - 1:
-                    os.remove(claim)
+                    self._release_claim(claim, token)
                     continue
-                return version, m, claim
+                return version, m, claim, token
             except FileExistsError:
                 try:
                     age = time.time() - os.path.getmtime(claim)
@@ -190,6 +226,23 @@ class DeltaSnapshotStore:
                         pass
                     continue
                 time.sleep(0.05)  # live writer mid-swap; wait it out
+
+    def _claim_is_ours(self, claim: str, token: str) -> bool:
+        try:
+            with open(claim) as f:
+                return f.read() == token
+        except OSError:
+            return False
+
+    def _release_claim(self, claim: str, token: str) -> None:
+        # remove only OUR claim file — after a stale-claim takeover the
+        # same path holds the breaker's token, and removing it would
+        # break the breaker's claim in turn
+        if self._claim_is_ours(claim, token):
+            try:
+                os.remove(claim)
+            except FileNotFoundError:
+                pass
 
     def commit_full(
         self,
@@ -216,6 +269,13 @@ class DeltaSnapshotStore:
 
     def commit_delete(self, ids: DataFrame, metadata: dict | None = None) -> int:
         """Logical delete: write ONLY the id set as a tombstone dir."""
+        if self.latest_version() < 0:
+            # a first-ever pure delete would create a version with no
+            # data files AND no recorded schema — unreadable forever
+            raise ValueError(
+                "cannot delete from an empty store (no schema recorded "
+                "yet) — commit data first"
+            )
         return self.commit_mutation(delete_ids=ids, metadata=metadata)
 
     # -- reads ---------------------------------------------------------
@@ -225,7 +285,20 @@ class DeltaSnapshotStore:
         v = m["latest"] if version is None else version
         info = self._entry(m, v)
         if not info["adds"]:
-            raise KeyError(f"version {v} has no data files")
+            # a version whose log is pure tombstones (e.g. the store's
+            # first commit was a delete) is an EMPTY table, not an
+            # error — serve it from the recorded schema
+            sj = info.get("schema")
+            if sj:
+                from pyspark.sql.types import StructType
+
+                return self._spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(sj))
+                )
+            raise KeyError(
+                f"version {v} has no data files and no recorded schema "
+                "(store created by an older writer?)"
+            )
         # group add dirs by the tombstone set that applies to them
         # (tombs with seq STRICTLY greater); at most one anti-join per
         # group keeps the plan small — in the common ingest workload
@@ -306,29 +379,44 @@ class DeltaSnapshotStore:
         """Drop old versions; physical dirs are removed only when no
         retained version references them (dirs are shared across the
         log). Pointer swap happens BEFORE any rmtree, same contract as
-        SnapshotStore.vacuum."""
+        SnapshotStore.vacuum.
+
+        Serializes with commits through the SAME claim protocol they
+        use: vacuum holds the claim for the next version while it swaps
+        (so no commit can land between its manifest read and swap — the
+        read-modify-swap lost-update hazard), but does NOT consume the
+        version number (``latest`` is unchanged; the next committer
+        claims the same id afresh)."""
         import shutil
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        m = self._load_manifest()
-        keep = sorted(int(v) for v in m["versions"])[-keep_last:]
-        dropped = [int(v) for v in m["versions"] if int(v) not in keep]
-        if not dropped:
-            return []
-        referenced: set[str] = set()
-        for v in keep:
-            info = m["versions"][str(v)]
-            referenced.update(d for d, _ in info["adds"])
-            referenced.update(d for d, _ in info["tombstones"])
-        removable: set[str] = set()
-        for v in dropped:
-            info = m["versions"][str(v)]
-            removable.update(d for d, _ in info["adds"])
-            removable.update(d for d, _ in info["tombstones"])
-        removable -= referenced
-        m["versions"] = {str(v): m["versions"][str(v)] for v in keep}
-        self._swap_manifest(m)
+        _version, m, claim, token = self._claim_version()
+        try:
+            keep = sorted(int(v) for v in m["versions"])[-keep_last:]
+            dropped = [int(v) for v in m["versions"] if int(v) not in keep]
+            if not dropped:
+                return []
+            referenced: set[str] = set()
+            for v in keep:
+                info = m["versions"][str(v)]
+                referenced.update(d for d, _ in info["adds"])
+                referenced.update(d for d, _ in info["tombstones"])
+            removable: set[str] = set()
+            for v in dropped:
+                info = m["versions"][str(v)]
+                removable.update(d for d, _ in info["adds"])
+                removable.update(d for d, _ in info["tombstones"])
+            removable -= referenced
+            m["versions"] = {str(v): m["versions"][str(v)] for v in keep}
+            if not self._claim_is_ours(claim, token):
+                # claim broken mid-vacuum (we stalled); a commit may be
+                # merging from the pre-vacuum manifest — swapping now
+                # could erase it. Retry against the fresh state.
+                return self.vacuum(keep_last)
+            self._swap_manifest(m)
+        finally:
+            self._release_claim(claim, token)
         for d in removable:
             shutil.rmtree(d, ignore_errors=True)
         return sorted(dropped)

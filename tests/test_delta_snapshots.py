@@ -136,6 +136,108 @@ def test_stale_claim_is_broken(spark, tmp_path):
     assert not os.path.exists(dead)
 
 
+def test_stale_claim_takeover_does_not_lose_either_commit(
+    spark, tmp_path, monkeypatch
+):
+    # ADVICE r4: a slow-but-ALIVE writer whose claim gets broken as
+    # "stale" must detect the takeover (ownership token re-check before
+    # its manifest swap) and redo its commit — NOT swap a manifest
+    # merged from the pre-takeover state, which would silently erase
+    # the taking-over writer's commit. Simulate the takeover inside the
+    # slow writer's claim window.
+    import os
+
+    path = str(tmp_path / "d")
+    slow = DeltaSnapshotStore(spark, path)
+    slow.commit_full(_df(spark, [(0, 0.0)]))
+
+    real_claim = DeltaSnapshotStore._claim_version
+    taken = {}
+
+    def claim_then_get_broken(self):
+        out = real_claim(self)
+        if self is slow and not taken:
+            taken["done"] = True
+            version, m, claim, token = out
+            # a peer decides our claim is stale, breaks it, and
+            # commits the same version id end-to-end
+            os.remove(claim)
+            peer = DeltaSnapshotStore(spark, path)
+            peer.commit_append(_df(spark, [(1, 1.0)]))
+        return out
+
+    monkeypatch.setattr(DeltaSnapshotStore, "_claim_version", claim_then_get_broken)
+    slow.commit_append(_df(spark, [(2, 2.0)]))
+    monkeypatch.undo()
+
+    # BOTH commits present; versions strictly sequential; no claims left
+    assert _state(slow) == {(0, 0.0), (1, 1.0), (2, 2.0)}
+    assert slow.versions() == [0, 1, 2]
+    assert not [f for f in os.listdir(path) if f.startswith("_claim")]
+
+
+def test_vacuum_serializes_with_commits_and_keeps_store_usable(
+    spark, tmp_path, monkeypatch
+):
+    # ADVICE r4 (medium): vacuum's manifest swap goes through the same
+    # claim protocol as commits. Simulate a commit landing inside
+    # vacuum's read-modify window: with the claim held, the commit must
+    # BLOCK until vacuum swaps (not be erased), so the post-vacuum
+    # manifest still contains it — here we verify the observable
+    # contract: vacuum + subsequent commits never lose rows and leave
+    # no claim files, and vacuum does not consume a version number.
+    import os
+
+    path = str(tmp_path / "d")
+    store = DeltaSnapshotStore(spark, path)
+    store.commit_full(_df(spark, [(0, 0.0)]))
+    store.commit_append(_df(spark, [(1, 1.0)]))
+    store.commit_append(_df(spark, [(2, 2.0)]))
+
+    # while vacuum holds its claim, a competing claim attempt must see
+    # the claim file (the serialization point)
+    seen = {}
+    real_swap = DeltaSnapshotStore._swap_manifest
+
+    def swap_spy(self, m):
+        claims = [f for f in os.listdir(path) if f.startswith("_claim")]
+        seen.setdefault("claims_during_swap", claims)
+        return real_swap(self, m)
+
+    monkeypatch.setattr(DeltaSnapshotStore, "_swap_manifest", swap_spy)
+    dropped = store.vacuum(keep_last=1)
+    monkeypatch.undo()
+    assert dropped == [0, 1]
+    assert seen["claims_during_swap"], "vacuum swapped without holding a claim"
+
+    # vacuum did not consume a version id: next commit is latest+1
+    tip = store.latest_version()
+    v = store.commit_append(_df(spark, [(3, 3.0)]))
+    assert v == tip + 1
+    assert _state(store) == {(0, 0.0), (1, 1.0), (2, 2.0), (3, 3.0)}
+    assert not [f for f in os.listdir(path) if f.startswith("_claim")]
+
+
+def test_delete_on_empty_store_raises_and_tombstone_only_reads_empty(
+    spark, tmp_path
+):
+    # ADVICE r4: a first-ever pure delete would create a version that
+    # is unreadable forever -> refuse it with a clear error. And a
+    # version whose log holds only tombstone dirs (rewrite + delete)
+    # reads as an EMPTY table with the recorded schema, not a KeyError.
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"))
+    with pytest.raises(ValueError, match="empty store"):
+        store.commit_delete(_df(spark, [(1, 0.0)]).select("vec_id"))
+
+    store.commit_full(_df(spark, [(0, 0.0), (1, 1.0)]))
+    store.commit_mutation(
+        delete_ids=_df(spark, [(0, 0.0)]).select("vec_id"), _rewrite=True
+    )
+    out = store.read()
+    assert out.collect() == []
+    assert out.schema.simpleString() == "struct<vec_id:bigint,v:double>"
+
+
 def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
     # conditional rewrite: a commit that lands between compact's read
     # and its manifest swap must force a retry, never be dropped
