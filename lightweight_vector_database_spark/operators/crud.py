@@ -23,6 +23,54 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _global_row_numbers(
+    df: DataFrame,
+    order_by: Sequence[str],
+    rn_col: str = "__rn",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global row numbers 1..n in the total order of ``order_by``,
+    computed DISTRIBUTED — the two-level scan from packing.py, not a
+    single-partition ``Window.orderBy`` (which serializes the whole
+    batch through one task):
+
+    1. range-shuffle on the order columns — partition i's keys all sort
+       before partition i+1's, so bucket order == global order;
+    2. per-partition ``row_number`` (partitioned window — parallel);
+    3. per-partition counts cumsum'd into base offsets (a global window
+       over ONLY n_buckets rows — the one serial step) and broadcast
+       back.
+
+    Ties across ``order_by`` land in one range partition, so equal-key
+    ordering is no worse than the global-window form (callers wanting
+    full determinism pass a unique ordering, as before).
+    """
+    order_cols = [F.col(c) for c in order_by]
+    ranged = df.repartitionByRange(n_buckets, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = ranged.withColumn("__lrn", F.row_number().over(w_local).cast("long"))
+    # n_buckets rows only — the single-partition window is harmless here
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__base",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long"),
+        )
+        .select("__pid", "__base")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rn_col, F.col("__base") + F.col("__lrn"))
+        .drop("__pid", "__lrn", "__base")
+    )
+
+
 def insert(
     snapshot: DataFrame,
     new_rows: DataFrame,
@@ -34,13 +82,11 @@ def insert(
     ``order_by``: deterministic ordering for id assignment among the
     new rows (the reference assigns in insertion order).
     """
-    order_cols = [F.col(c) for c in (order_by or new_rows.columns)]
     maxdf = snapshot.agg(
         F.coalesce(F.max(id_col), F.lit(-1)).cast("long").alias("__max_id")
     )
-    w = Window.orderBy(*order_cols)
     minted = (
-        new_rows.withColumn("__rn", F.row_number().over(w).cast("long"))
+        _global_row_numbers(new_rows, order_by or new_rows.columns)
         .join(F.broadcast(maxdf))
         .withColumn(id_col, F.col("__max_id") + F.col("__rn"))
         .drop("__rn", "__max_id")
@@ -59,11 +105,11 @@ def mint_ids(
     append-mode stores that track the id high-water mark in commit
     metadata (``insert`` derives the base from a max() over the table;
     at 100 TB that scan per micro-batch is the difference between
-    O(batch) and O(table) ingestion)."""
-    order_cols = [F.col(c) for c in (order_by or new_rows.columns)]
-    w = Window.orderBy(*order_cols)
+    O(batch) and O(table) ingestion). Row numbering is the distributed
+    two-level scan (``_global_row_numbers``), not a single-partition
+    global window."""
     return (
-        new_rows.withColumn("__rn", F.row_number().over(w).cast("long"))
+        _global_row_numbers(new_rows, order_by or new_rows.columns)
         .withColumn(id_col, F.lit(int(next_id) - 1).cast("long") + F.col("__rn"))
         .drop("__rn")
     )

@@ -137,3 +137,35 @@ def test_merge_upsert_writes_explicit_null(spark):
     )
     got = {r.id: (r.name, r.bal) for r in merge_upsert(base, updates, "id").collect()}
     assert got == {1: ("a", 10.0), 2: (None, None)}
+
+
+def test_mint_ids_contiguous_order_aligned_and_distributed(spark):
+    # ADVICE r5: id minting must not serialize the batch through a
+    # single-partition global window. Contract: ids are exactly
+    # next_id..next_id+n-1, assigned in ascending order_by order, and
+    # the plan range-shuffles (the two-level scan) instead of moving
+    # everything to one task.
+    rows = [(float(i % 97), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "sort_key double, payload int")
+    out = crud.mint_ids(df, 1000, id_col="vec_id", order_by=["sort_key", "payload"])
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, "expected a range shuffle, not a global window"
+
+    got = out.orderBy("vec_id").collect()
+    assert [r.vec_id for r in got] == list(range(1000, 1500))
+    # ids follow the requested total order
+    keys = [(r.sort_key, r.payload) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_insert_ids_continue_after_max_distributed(spark):
+    base = spark.createDataFrame(
+        [(10, 1.0), (42, 2.0)], "vec_id long, val double"
+    )
+    new = spark.createDataFrame(
+        [(5.0,), (3.0,), (4.0,)], "val double"
+    ).withColumn("vec_id", F.lit(None).cast("long")).select("vec_id", "val")
+    out = crud.insert(base, new.drop("vec_id"), order_by=["val"])
+    got = sorted((r.vec_id, r.val) for r in out.collect())
+    assert got == [(10, 1.0), (42, 2.0), (43, 3.0), (44, 4.0), (45, 5.0)]
