@@ -76,7 +76,15 @@ def banded_range_join(
         ),
     )
     on = [_BAND, *extra_on]
-    residual = (lval >= rlo) & (lval <= rhi)
+    # residual references must bind to their OWNING side: with string
+    # args and a column name shared by both inputs, a bare F.col(name)
+    # in a post-join expression is ambiguous (or silently binds to the
+    # wrong side) — resolve through l2/r2 instead. Column args stay
+    # as passed: the caller already chose their binding.
+    lres = l2[left_val] if isinstance(left_val, str) else lval
+    rlo_res = r2[right_lo] if isinstance(right_lo, str) else rlo
+    rhi_res = r2[right_hi] if isinstance(right_hi, str) else rhi
+    residual = (lres >= rlo_res) & (lres <= rhi_res)
     if how in ("left_semi", "leftsemi", "semi"):
         # semi needs the residual INSIDE the join (right columns are
         # not visible afterwards)

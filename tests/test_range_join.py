@@ -95,3 +95,29 @@ def test_banded_plan_avoids_nested_loop(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_shared_column_names_bind_to_owning_side(spark):
+    # ADVICE r5: string column args whose names exist on BOTH sides
+    # must resolve against their owning input — a bare F.col in the
+    # residual would be ambiguous or silently bind to the wrong side.
+    # Here every column name exists on both inputs.
+    left = spark.createDataFrame(
+        [(1, 5.0, 0.0, 0.0), (2, 15.0, 0.0, 0.0), (3, 25.0, 0.0, 0.0)],
+        "id long, val double, lo double, hi double",
+    )
+    right = spark.createDataFrame(
+        [(10, 99.0, 0.0, 10.0), (11, 99.0, 10.0, 20.0)],
+        "id long, val double, lo double, hi double",
+    )
+    expect_pairs = {(1, 10), (2, 11)}  # 5 in [0,10], 15 in [10,20]
+
+    inner = banded_range_join(left, right, "val", "lo", "hi", band_width=8.0)
+    # inner join keeps both ids; left's columns come first in the schema
+    got = {(r[0], r[4]) for r in inner.collect()}
+    assert got == expect_pairs
+
+    semi = banded_range_join(
+        left, right, "val", "lo", "hi", band_width=8.0, how="left_semi"
+    )
+    assert {r.id for r in semi.collect()} == {1, 2}
