@@ -134,12 +134,18 @@ def lang_guess(c: Column | str) -> Column:
 
 def rolling_hash(c: Column | str, mod: int = (1 << 31) - 1, base: int = 131) -> Column:
     """Polynomial rolling hash over the document's tokens:
-    h = fold(h * base + (xxhash64(token) mod m)) mod m, with m = 2^31-1
-    so the int64 intermediate (acc*131 + v < 2^39) never overflows.
-    A deterministic content fingerprint computed entirely in codegen."""
+    h = fold(h * base + tokval) mod m, with m = 2^31-1 so the int64
+    intermediate (acc*131 + v < 2^39) never overflows. The per-token
+    value is the first 8 md5 hex digits as an integer (mod m) — md5 is
+    bit-identical across engines, so the whole fingerprint is exactly
+    reproducible in portable SQL (unlike xxhash64, which is
+    Spark-specific). Computed entirely in codegen."""
     toks = tokens(c)
+    tok_val = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(mod)
+    )
     return F.aggregate(
-        F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(mod))),
+        F.transform(toks, tok_val),
         F.lit(0).cast("long"),
         lambda acc, v: F.pmod(acc * base + v, F.lit(mod)),
     )

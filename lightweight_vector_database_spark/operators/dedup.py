@@ -321,13 +321,25 @@ def minhash_dedup_candidates(
 
 # --- simhash ---------------------------------------------------------------
 
+def _md5_token64(t: Column) -> Column:
+    """Deterministic 64-bit token hash from the md5 hex digest:
+    (hi32 << 32) | lo32. md5 is bit-identical across engines, so the
+    whole simhash pipeline is exactly reproducible in portable SQL
+    (unlike xxhash64). shiftleft wraps two's-complement — the oracle
+    mirrors it with a checked sign-fold multiply."""
+    d = F.md5(t)
+    hi = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash without UDFs: per-bit votes folded with nested
     higher-order functions, reassembled with bit ops."""
     toks = F.array_distinct(tokens(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, _md5_token64)
     # votes[i] = sum over tokens of +-1 depending on bit i of the hash.
     # Unrolled per bit (shift amounts must be Python ints in the API);
     # still one codegen'd expression per row, no UDF.

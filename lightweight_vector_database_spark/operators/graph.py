@@ -118,6 +118,10 @@ def connected_components(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
             F.least(F.col(src), F.col(dst)).alias("b"),
         )
+        # NOT dead code: raw input may carry self-loops (src == dst),
+        # which orient to a == b and must be dropped exactly once here
+        # (the round operators preserve a > b thereafter — see
+        # _large_star's no-self-loop invariant note)
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)

@@ -41,6 +41,25 @@ def _centroid_lits(centroids: np.ndarray):
     return [[float(x) for x in c] for c in centroids]
 
 
+def train_centroids_np(
+    sample: np.ndarray, n_centroids: int, iters: int, seed: int = 42
+) -> np.ndarray:
+    """Numpy core of ``train_centroids`` — exposed so an oracle can
+    retrain the SAME codebooks from the same sample without a Spark
+    session (tools/check_oracle differential for the PQ queries)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
 def train_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -58,17 +77,7 @@ def train_centroids(
         [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
         dtype=np.float64,
     )
-    rng = np.random.RandomState(seed)
-    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
-    cents = sample[idx].copy()
-    for _ in range(iters):
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(len(cents)):
-            members = sample[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-    return cents
+    return train_centroids_np(sample, n_centroids, iters, seed)
 
 
 def ivf_assign(
@@ -241,6 +250,14 @@ def train_pq_codebooks(
         [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
         dtype=np.float64,
     )
+    return train_pq_codebooks_np(sample, m=m, ksub=ksub, iters=iters, seed=seed)
+
+
+def train_pq_codebooks_np(
+    sample: np.ndarray, m: int = 8, ksub: int = 16, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Numpy core of ``train_pq_codebooks`` (same sample -> same
+    codebooks, no Spark needed — used by the exact PQ oracles)."""
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -392,14 +409,26 @@ def train_ivfpq(
     standard IVF-PQ construction (Jegou et al., "Product Quantization
     for Nearest Neighbor Search", TPAMI 2011).
     """
-    cents = train_centroids(
-        df, n_centroids=n_centroids, vec_col=vec_col, iters=iters,
-        sample_rows=sample_rows, seed=seed,
-    )
     sample = np.array(
         [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
         dtype=np.float64,
     )
+    return train_ivfpq_np(
+        sample, n_centroids=n_centroids, m=m, ksub=ksub, iters=iters, seed=seed
+    )
+
+
+def train_ivfpq_np(
+    sample: np.ndarray,
+    n_centroids: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Numpy core of ``train_ivfpq`` (same sample -> same codebooks,
+    no Spark needed — used by the exact PQ oracles)."""
+    cents = train_centroids_np(sample, n_centroids, iters, seed)
     assign = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     residuals = sample - cents[assign]
     dim = sample.shape[1]

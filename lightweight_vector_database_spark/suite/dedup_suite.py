@@ -140,19 +140,74 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(docs, "doc_id", "text").select("id", "simhash")
 
 
-register("dedup_simhash_docs", _simhash)  # rows-only
+def _simhash_sql_core() -> str:
+    """DuckDB twin of operators/dedup.simhash64: md5-derived 64-bit
+    token hashes (hi32<<32 | lo32 — assembled with a checked sign-fold
+    multiply because DuckDB's << raises on overflow where Spark's
+    shiftleft wraps), then 64 per-bit +-1 vote folds reassembled into
+    the signed simhash (positive bit values first, the i=63 sign-bit
+    term last, so no intermediate overflows)."""
+    nib = lambda p: (  # noqa: E731
+        f"(strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
+    )
+
+    def horner(lo: int, n: int) -> str:
+        v = nib(lo)
+        for i in range(lo + 1, lo + n):
+            v = f"({v} * 16 + {nib(i)})"
+        return v
+
+    hi, lo = horner(1, 8), horner(9, 8)
+    tok64 = f"(({hi} - ({hi} >> 31) * 4294967296) * 4294967296 + {lo})"
+    terms, neg = [], ""
+    for i in range(64):
+        vote = (
+            "list_sum(list_transform(hs, h -> "
+            f"CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        if i < 63:
+            terms.append(f"CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END")
+        else:
+            neg = f"CASE WHEN {vote} > 0 THEN -9223372036854775808 ELSE 0 END"
+    sim = "(" + " + ".join(terms) + f") + {neg}"
+    return f"""
+t AS (
+  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+                                tok -> {tok64}) AS hs
+  FROM documents
+),
+sh AS (SELECT doc_id AS id, {sim} AS simhash FROM t)
+"""
+
+
+register(
+    "dedup_simhash_docs",
+    _simhash,
+    f"WITH {_simhash_sql_core()} SELECT id, simhash FROM sh",
+)
 
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact hamming<=3 near-dup pairs via 4-band simhash join (no
     all-pairs scan; exactness by pigeonhole — operators/dedup.py).
-    Rows-only: simhash values come from Spark's xxhash64; pytest
-    proves operator == brute-force hamming over all pairs."""
+    The oracle recomputes the md5-derived simhashes in SQL and joins
+    ALL pairs brute-force — a stronger differential than re-banding:
+    it re-proves the pigeonhole exactness claim on every run."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_candidate_pairs(docs, "doc_id", "text").orderBy("id1", "id2")
 
 
-register("dedup_simhash_pairs", _simhash_pairs)  # rows-only
+register(
+    "dedup_simhash_pairs",
+    _simhash_pairs,
+    f"""
+WITH {_simhash_sql_core()}
+SELECT a.id AS id1, b.id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

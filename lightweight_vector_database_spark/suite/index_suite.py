@@ -145,7 +145,161 @@ def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
 
 
-register("ann_pq_refined", _ann_pq)
+# --- exact DuckDB oracles for the PQ family ---------------------------------
+#
+# The codebooks are deterministic: seeded Lloyd on the first-N-rows
+# sample (similarity.train_*_np). The oracle retrains the SAME
+# codebooks from the same rows fetched via DuckDB (sample order
+# verified bit-identical to Spark's limit()), then bakes the whole
+# encode -> ADC -> refine pipeline into SQL literals: per-row code
+# assignment as argmin over codebook literals, ADC as baked LUT sums
+# (the very same numpy values Spark bakes into its plan), candidate
+# cut and exact re-rank as ORDER BY ... LIMIT. Training reads the
+# sf0.01 fixture because the driver differential runs at sf0.01; if
+# that fixture is absent the queries register rows-only as before.
+
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _dlst(v) -> str:
+    return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+
+def _dlst2(vv) -> str:
+    return "[" + ",".join(_dlst(v) for v in vv) + "]"
+
+
+def _exact_dist_sql(probe) -> str:
+    p = _dlst(list(probe))
+    return (
+        f"list_sum(list_transform(range(1, {len(list(probe)) + 1}), i -> "
+        f"(CAST(embedding[i] AS DOUBLE) - ({p})[i]) * "
+        f"(CAST(embedding[i] AS DOUBLE) - ({p})[i])))"
+    )
+
+
+def _build_pq_oracle_sqls() -> tuple[str | None, str | None]:
+    import numpy as np
+
+    from ..operators.similarity import train_ivfpq_np, train_pq_codebooks_np
+
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM '{_ORACLE_SF_DIR}/embeddings.parquet' "
+            "LIMIT 8192"
+        ).fetchall()
+        con.close()
+    except Exception:  # fixture absent: keep rows-only checks
+        return None, None
+    if not rows:
+        return None, None
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    probe = np.asarray(_PROBE, dtype=np.float64)
+    dim = sample.shape[1]
+
+    # ---- plain PQ (ann_pq_refined): m=8, ksub=16, iters=4, k=10, refine=4
+    books = train_pq_codebooks_np(sample[:2048], m=8, ksub=16, iters=4)
+    m, ksub, dsub = books.shape
+    books_sql = [_dlst2(books[j].tolist()) for j in range(m)]
+    luts = [
+        (((books[j] - probe[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1))
+        .tolist()
+        for j in range(m)
+    ]
+    lut_sql = _dlst2(luts)
+
+    def pq_code(j: int) -> str:
+        sub = lambda i: f"CAST(embedding[{j * dsub} + {i}] AS DOUBLE)"  # noqa: E731
+        dj = (
+            f"list_transform({books_sql[j]}, b -> "
+            f"list_sum(list_transform(range(1, {dsub + 1}), i -> "
+            f"({sub('i')} - b[i]) * ({sub('i')} - b[i]))))"
+        )
+        return f"list_position({dj}, list_min({dj}))"
+
+    adc = " + ".join(f"({lut_sql})[{j + 1}][c{j}]" for j in range(m))
+    exact = _exact_dist_sql(probe)
+    pq_sql = f"""
+WITH coded AS (
+  SELECT vec_id, label, embedding,
+         {", ".join(f"{pq_code(j)} AS c{j}" for j in range(m))}
+  FROM embeddings
+), scored AS (
+  SELECT vec_id, label, embedding, (0.0 + {adc}) AS adc_dist FROM coded
+), cand AS (
+  SELECT * FROM scored ORDER BY adc_dist, vec_id LIMIT 40
+)
+SELECT vec_id, label, round({exact}, 6) AS dist
+FROM cand ORDER BY {exact}, vec_id LIMIT 10
+"""
+
+    # ---- residual IVF-PQ (ann_ivfpq_refined): 8 cells, m=8, ksub=16,
+    # iters=3, k=10, nprobe=8, refine=8
+    cents, rbooks = train_ivfpq_np(sample, n_centroids=8, m=8, ksub=16, iters=3)
+    m, ksub, dsub = rbooks.shape
+    cents_sql = _dlst2(cents.tolist())
+    rbooks_sql = [_dlst2(rbooks[j].tolist()) for j in range(m)]
+    order = np.argsort(((cents - probe) ** 2).sum(axis=1))
+    cells = [int(c) for c in order[:8]]
+    cell_luts: dict[int, list] = {}
+    for cell in cells:
+        r = probe - cents[cell]
+        cell_luts[cell] = [
+            (((rbooks[j] - r[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1))
+            .tolist()
+            for j in range(m)
+        ]
+    lut_by_cell = [
+        cell_luts.get(c, [[0.0] * ksub] * m) for c in range(len(cents))
+    ]
+    ivf_lut_sql = "[" + ",".join(_dlst2(cj) for cj in lut_by_cell) + "]"
+
+    def ivf_code(j: int) -> str:
+        resi = (
+            lambda i: f"(CAST(embedding[{j * dsub} + {i}] AS DOUBLE) - "  # noqa: E731
+            f"({cents_sql})[cellp][{j * dsub} + {i}])"
+        )
+        dj = (
+            f"list_transform({rbooks_sql[j]}, b -> "
+            f"list_sum(list_transform(range(1, {dsub + 1}), i -> "
+            f"({resi('i')} - b[i]) * ({resi('i')} - b[i]))))"
+        )
+        return f"list_position({dj}, list_min({dj}))"
+
+    ivf_adc = " + ".join(
+        f"({ivf_lut_sql})[cellp][{j + 1}][c{j}]" for j in range(m)
+    )
+    ivfpq_sql = f"""
+WITH cdist AS (
+  SELECT vec_id, label, embedding,
+         list_transform({cents_sql}, c -> list_sum(list_transform(range(1, {dim + 1}),
+             i -> (CAST(embedding[i] AS DOUBLE) - c[i]) *
+                  (CAST(embedding[i] AS DOUBLE) - c[i])))) AS cd
+  FROM embeddings
+), assigned AS (
+  SELECT vec_id, label, embedding, list_position(cd, list_min(cd)) AS cellp
+  FROM cdist
+), coded AS (
+  SELECT vec_id, label, embedding, cellp,
+         {", ".join(f"{ivf_code(j)} AS c{j}" for j in range(m))}
+  FROM assigned
+), scored AS (
+  SELECT vec_id, label, embedding, (0.0 + {ivf_adc}) AS adc_dist FROM coded
+), cand AS (
+  SELECT * FROM scored ORDER BY adc_dist, vec_id LIMIT 80
+)
+SELECT vec_id, label, round({exact}, 6) AS dist
+FROM cand ORDER BY {exact}, vec_id LIMIT 10
+"""
+    return pq_sql, ivfpq_sql
+
+
+_PQ_ORACLE, _IVFPQ_ORACLE = _build_pq_oracle_sqls()
+
+register("ann_pq_refined", _ann_pq, _PQ_ORACLE)
 
 
 # --- batched kNN-join through the grid index (exact -> same oracle as
@@ -194,7 +348,7 @@ def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
 
 
-register("ann_ivfpq_refined", _ann_ivfpq)
+register("ann_ivfpq_refined", _ann_ivfpq, _IVFPQ_ORACLE)
 
 
 # --- custom metric WITH cell bounds (reference #14: the scipy

@@ -592,18 +592,44 @@ FROM a
 
 
 def _approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest-style sketch) — engine-specific
-    algorithm, rows-only; exact twin is `percentiles_orders`."""
+    """approx_percentile (Greenwald-Khanna sketch) promoted to an
+    EXACT oracle the same way as agg_approx_distinct: output the exact
+    interpolated median plus a within-tolerance flag. GK with accuracy
+    A returns an element whose RANK is within n/A of the target, so
+    its value must lie between the exact quantiles at p +- 1/A (2/A
+    used for slack); the oracle recomputes the exact columns and pins
+    the flag to literal TRUE — the hash goes green exactly when the
+    sketch honors its documented error bound."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.round(
-            F.expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2
-        ).alias("approx_median"),
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("__approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("__exact"),
+        F.expr("percentile(o_totalprice, 0.498)").alias("__lo"),
+        F.expr("percentile(o_totalprice, 0.502)").alias("__hi"),
         F.count(F.lit(1)).alias("n"),
+    )
+    within = (F.col("__approx") >= F.col("__lo")) & (
+        F.col("__approx") <= F.col("__hi")
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.round(F.col("__exact"), 2).alias("exact_median"),
+        F.col("n"),
+        within.alias("within_tol"),
     )
 
 
-register("agg_approx_percentile", _approx_percentile)  # rows-only
+register(
+    "agg_approx_percentile",
+    _approx_percentile,
+    """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS exact_median,
+       count(*) AS n,
+       TRUE AS within_tol
+FROM orders GROUP BY o_orderstatus
+""",
+)
 
 
 # --- nested struct / from_json ---------------------------------------------

@@ -150,13 +150,34 @@ FROM documents
 
 
 def _rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-level polynomial rolling hash (xxhash64-based -> no SQL
-    oracle; invariants are pytest-checked)."""
+    """Token-level polynomial rolling hash — per-token values are
+    md5-derived, so the whole fold is exactly reproducible in DuckDB
+    (nibble Horner over the hex digest + list_reduce)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.rolling_hash("text").alias("fp_rolling"))
 
 
-register("doc_fingerprint_rolling", _rolling_fp)  # rows-only
+def _rolling_fp_oracle() -> str:
+    # first 8 md5 hex digits as an int via Horner nibble lookup —
+    # bit-identical to Spark's conv(substring(md5(t), 1, 8), 16, 10)
+    nib = lambda p: (  # noqa: E731
+        f"(strpos('0123456789abcdef', substr(md5(t), {p}, 1)) - 1)"
+    )
+    val = nib(1)
+    for i in range(2, 9):
+        val = f"({val} * 16 + {nib(i)})"
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+v AS (SELECT doc_id,
+             list_transform(toks, t -> {val} % 2147483647) AS vals FROM w)
+SELECT doc_id,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+            (acc, x) -> (acc * 131 + x) % 2147483647) AS BIGINT) AS fp_rolling
+FROM v
+"""
+
+
+register("doc_fingerprint_rolling", _rolling_fp, _rolling_fp_oracle())
 
 
 def _bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
