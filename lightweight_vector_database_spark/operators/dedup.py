@@ -126,6 +126,24 @@ def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def portable_token_hash(t: Column) -> Column:
+    """Engine-portable token hash in [0, 2^31-1): the top 60 bits of
+    md5 parsed as an integer, mod p.
+
+    Portable because every SQL engine has md5 + hex parsing — DuckDB
+    computes the identical value with
+    ``('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647``, which is
+    what lets the full MinHash+LSH pipeline be differential-tested
+    value-exactly against an independent engine (xxhash64 is
+    Spark-only). md5 and conv are both codegen'd JVM expressions; the
+    k-permutation fold, not the per-token hash, dominates signature
+    cost (measured: see bench notes)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        F.lit(_MERSENNE31),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -134,9 +152,15 @@ def minhash_signatures(
     ngram: int = 1,
     seed: int = 42,
     method: str = "expr",
+    token_hash: str = "portable",
 ) -> DataFrame:
-    """(id, signature array<long>[num_hashes]) — token -> xxhash64 -> k
+    """(id, signature array<long>[num_hashes]) — token -> hash -> k
     affine permutations mod 2^31-1 -> min per permutation.
+
+    token_hash='portable' (default): md5-based hash reproducible in any
+    SQL engine (see ``portable_token_hash``) — keeps the whole pipeline
+    oracle-checkable. 'xxhash64': Spark-native alternative (same cost
+    class; both codegen).
 
     method='expr': one Catalyst fold updating all k slots per token —
     plan stays JVM-only. Interpreted HOF cost ~k ops per token.
@@ -157,7 +181,12 @@ def minhash_signatures(
         if ngram == 1
         else F.array_distinct(word_ngrams(text_col, ngram))
     )
-    hashes = F.transform(grams, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE31)))
+    if token_hash == "portable":
+        hashes = F.transform(grams, portable_token_hash)
+    else:
+        hashes = F.transform(
+            grams, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE31))
+        )
 
     if method == "arrow":
         import numpy as np

@@ -115,16 +115,21 @@ WHERE common > 0 AND common::DOUBLE / (n1 + n2 - common) >= 0.02
 
 
 def _minhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates on 3-gram shingles (xxhash64
-    signatures -> no SQL oracle; recall/precision invariants are
-    pytest-checked).
+    """MinHash+LSH near-dup candidates on 3-gram shingles.
 
     Shingles, not unigrams: with this corpus's 31-word vocabulary,
     unigram token sets collide pathologically (every doc shares most
     tokens with every other) and LSH degenerates to an all-pairs join —
     7.9M candidates from 5k docs. 3-gram shingle sets are near-unique
     per doc, which is exactly why shingling is the standard for
-    near-dup detection."""
+    near-dup detection.
+
+    Exact-oracled: the portable md5-based token hash (see
+    ``operators.dedup.portable_token_hash``) makes every stage —
+    shingle hash, 32 affine permutations, 8-band bucketing, candidate
+    pairs, est_jaccard — reproducible in DuckDB SQL, so the whole
+    approximate pipeline is value-checked against an independent
+    engine, not just row-counted."""
     docs = load_table(spark, sf_dir, "documents")
     out = D.minhash_dedup_candidates(docs, num_hashes=32, bands=8, ngram=3)
     return out.select(
@@ -132,7 +137,69 @@ def _minhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("dedup_minhash_candidates", _minhash_cands)  # rows-only
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB twin of the MinHash pipeline with the same (a, b) params
+    baked in. Differences from the Spark plan are representational
+    only: band buckets join on the band's value string instead of its
+    xxhash64 (equal content <=> equal bucket), and the signature fold
+    is k list_min's instead of one fold — same values."""
+    from ..operators.dedup import _MERSENNE31 as P
+    from ..operators.dedup import _perm_params
+
+    params = _perm_params(num_hashes)
+    slots = ",\n    ".join(
+        f"coalesce(list_min(list_transform(hs, x -> ({a} * x + {b}) % {P})), {P})"
+        for a, b in params
+    )
+    rows_per_band = num_hashes // bands
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat_ws(',', {cells}) AS key FROM sig".format(
+            band=band,
+            cells=", ".join(
+                f"sig[{band * rows_per_band + j + 1}]" for j in range(rows_per_band)
+            ),
+        )
+        for band in range(bands)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+  FROM w
+),
+h AS (
+  SELECT doc_id,
+         list_transform(grams,
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {P}) AS hs
+  FROM g
+),
+sig AS (
+  SELECT doc_id, [
+    {slots}
+  ] AS sig
+  FROM h
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id1, c.id2,
+       round(list_sum(list_transform(range(1, {num_hashes + 1}),
+         i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END))
+         / {float(num_hashes)}, 6) AS est_jaccard
+FROM cand c
+JOIN sig s1 ON s1.doc_id = c.id1
+JOIN sig s2 ON s2.doc_id = c.id2
+"""
+
+
+register("dedup_minhash_candidates", _minhash_cands, _minhash_oracle_sql())
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
