@@ -1,0 +1,95 @@
+"""Run EVERY registered suite query at a given scale factor and record
+wall time + row count per query — the breadth-at-scale probe.
+
+The bench (bench.py) times 23 headline queries; this runs all ~143,
+proving the whole surface executes at the target SF, not just the
+headliners. No oracle here (DuckDB at sf1 can't run the O(n^2) twins
+in reasonable time); correctness is pinned at sf0.01 by
+tools/check_oracle.py.
+
+A few registered queries are EXACT SMALL-SCALE BASELINES whose whole
+point is to oracle the approximate scale path (all-pairs jaccard /
+all-pairs embedding cosine). Those are quadratic by design and are
+skipped at sf >= 1 with the reason printed — their scale-path twins
+(minhash LSH, SRP LSH, IVF) run instead. Everything else runs.
+
+Usage: python tools/run_all_queries.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lightweight_vector_database_spark.session import get_spark  # noqa: E402
+from lightweight_vector_database_spark.suite import QUERIES  # noqa: E402
+
+# quadratic-by-design exact baselines (the oracles FOR the scale
+# paths) — excluded only when the fixture is sf1-sized or bigger
+QUADRATIC_BASELINES = {
+    "dedup_jaccard_pairs": "all-pairs exact jaccard (oracle for minhash LSH)",
+    "dedup_ngram3_jaccard_pairs": "all-pairs exact jaccard (oracle for minhash LSH)",
+    "embedding_nearest_pairs": "all-pairs exact cosine (oracle for SRP LSH)",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else str(
+        Path(__file__).resolve().parent.parent / ".sf1_data"
+    )
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    big = "sf0" not in Path(sf_dir).name  # sf1-sized fixture or larger
+
+    spark = get_spark("run-all-queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    # same materialization as bench.py: noop V2 sink computes every
+    # column (count() would let Catalyst prune the projections)
+    spark.range(32).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict] = {}
+    t_all = time.time()
+    for name, fn in QUERIES.items():
+        if big and name in QUADRATIC_BASELINES:
+            print(f"SKIP  {name}: {QUADRATIC_BASELINES[name]}")
+            results[name] = {"status": "SKIP", "reason": QUADRATIC_BASELINES[name]}
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            n = df.count()
+            dt = time.time() - t0
+            results[name] = {"status": "OK", "rows": n, "sec": round(dt, 3)}
+            print(f"OK    {name}: {n} rows in {dt:.2f}s")
+        except Exception as e:  # record, keep going — breadth is the point
+            dt = time.time() - t0
+            msg = str(e).splitlines()[0][:200]
+            results[name] = {"status": "ERR", "sec": round(dt, 3), "err": msg}
+            print(f"ERR   {name}: {msg}")
+    total = time.time() - t_all
+
+    ok = sum(1 for r in results.values() if r["status"] == "OK")
+    err = sum(1 for r in results.values() if r["status"] == "ERR")
+    skip = sum(1 for r in results.values() if r["status"] == "SKIP")
+    summary = {
+        "sf_dir": sf_dir,
+        "total": len(results),
+        "ok": ok,
+        "err": err,
+        "skip": skip,
+        "wall_sec": round(total, 1),
+        "queries": results,
+    }
+    print(f"\n{ok} ok / {err} err / {skip} skip of {len(results)}"
+          f" in {total:.1f}s")
+    if out_path:
+        Path(out_path).write_text(json.dumps(summary, indent=1))
+        print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
