@@ -228,3 +228,27 @@ def test_embedding_srp_guards(spark, sf_dir):
         D.embedding_srp_pairs(emb, bands=7, num_bits=32)
     with pytest.raises(ValueError, match="num_bits"):
         D.srp_signature_expr("embedding", num_bits=64)
+
+
+def test_portable_token_hash_matches_duckdb(spark):
+    """The md5-based token hash is the cross-engine contract that makes
+    the MinHash pipeline oracle-able — pin Spark == DuckDB on real
+    strings, including empty and non-ASCII (md5 is over UTF-8 bytes in
+    both engines)."""
+    import duckdb
+
+    samples = ["hello world", "", "a b c", "naïve café", "x" * 500]
+    sdf = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r.s: r.h
+        for r in sdf.select(
+            "s", D.portable_token_hash(F.col("s")).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        (want,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT % 2147483647", [s]
+        ).fetchone()
+        assert got[s] == want, s
+        assert 0 <= got[s] < 2147483647
