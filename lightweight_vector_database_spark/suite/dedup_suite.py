@@ -137,12 +137,14 @@ def _minhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8) -> str:
-    """DuckDB twin of the MinHash pipeline with the same (a, b) params
-    baked in. Differences from the Spark plan are representational
-    only: band buckets join on the band's value string instead of its
-    xxhash64 (equal content <=> equal bucket), and the signature fold
-    is k list_min's instead of one fold — same values."""
+def _minhash_cte(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB CTE body reproducing the MinHash pipeline with the same
+    (a, b) params baked in, ending in ``pairs (id1, id2, est)`` —
+    candidate pairs with the UNROUNDED agreement estimate. Differences
+    from the Spark plan are representational only: band buckets join
+    on the band's value string instead of its xxhash64 (equal content
+    <=> equal bucket), and the signature fold is k list_min's instead
+    of one fold — same values."""
     from ..operators.dedup import _MERSENNE31 as P
     from ..operators.dedup import _perm_params
 
@@ -161,8 +163,7 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8) -> str:
         )
         for band in range(bands)
     )
-    return f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    return f"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 g AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(w) - 1),
@@ -188,18 +189,73 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.id1, c.id2,
+         list_sum(list_transform(range(1, {num_hashes + 1}),
+           i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END))
+           / {float(num_hashes)} AS est
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.id1
+  JOIN sig s2 ON s2.doc_id = c.id2
+)"""
+
+
+register(
+    "dedup_minhash_candidates",
+    _minhash_cands,
+    f"""
+WITH {_minhash_cte()}
+SELECT id1, id2, round(est, 6) AS est_jaccard FROM pairs
+""",
 )
-SELECT c.id1, c.id2,
-       round(list_sum(list_transform(range(1, {num_hashes + 1}),
-         i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END))
-         / {float(num_hashes)}, 6) AS est_jaccard
-FROM cand c
-JOIN sig s1 ON s1.doc_id = c.id1
-JOIN sig s2 ON s2.doc_id = c.id2
-"""
 
 
-register("dedup_minhash_candidates", _minhash_cands, _minhash_oracle_sql())
+_LSH_CLUSTER_THR = 0.5  # est threshold on the exact k/32 grid
+
+
+def _lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for near-dup clustering: connected components
+    over minhash-LSH candidate edges (est agreement >= 0.5) instead of
+    the all-pairs exact-jaccard graph `dedup_connected_clusters` uses
+    as its small-scale baseline. Linear in corpus size end to end
+    (banded LSH edges + large/small-star CC) — and still value-exact
+    against DuckDB: the portable token hash makes the edge set
+    reproducible in SQL, and the recursive CTE recomputes the same
+    min-reachable-label components."""
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_dedup_candidates(docs, num_hashes=32, bands=8, ngram=3)
+    edges = cands.filter(F.col("est_jaccard") >= _LSH_CLUSTER_THR)
+    return dedup_clusters(docs, edges).select("doc_id", "cluster", "is_keeper")
+
+
+register(
+    "dedup_lsh_clusters",
+    _lsh_clusters,
+    f"""
+WITH RECURSIVE {_minhash_cte()},
+fil AS (
+  SELECT id1, id2 FROM pairs WHERE est >= {_LSH_CLUSTER_THR}
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM fil UNION ALL SELECT id2, id1 FROM fil
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster,
+       d.doc_id = coalesce(c.component, d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+""",
+)
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,6 +34,14 @@ QUADRATIC_BASELINES = {
     "dedup_jaccard_pairs": "all-pairs exact jaccard (oracle for minhash LSH)",
     "dedup_ngram3_jaccard_pairs": "all-pairs exact jaccard (oracle for minhash LSH)",
     "embedding_nearest_pairs": "all-pairs exact cosine (oracle for SRP LSH)",
+    # verified the hard way: at sf1 its unigram jaccard_pairs edge
+    # source (31-word vocab -> token df ~ n) explodes the inverted-
+    # index join into billions of partial-agg groups; thread dump
+    # showed all tasks probing BytesToBytesMap collision chains.
+    # The scale path for clustering is minhash-LSH edges + the same
+    # dedup_clusters CC (tools/cc_scale_test.py: 1M nodes in 52s).
+    "dedup_connected_clusters": "edges from all-pairs exact jaccard "
+    "(scale path: LSH edges + CC, see cc_scale_test.py)",
 }
 
 
