@@ -25,6 +25,8 @@ FLAGSHIP = [
     "knn_grid_indexed",
     "knn_join_grid_indexed",
     "dedup_exact_summary",
+    "dedup_minhash_candidates",
+    "dedup_lsh_clusters",
     "stream_vector_ingest_delta",
 ]
 
