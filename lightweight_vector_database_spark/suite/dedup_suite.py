@@ -336,7 +336,13 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS via iterative connected components over the
     jaccard>=0.95 pair graph (operators/graph.py driver-loop joins);
-    oracle is a DuckDB recursive CTE computing min reachable label."""
+    oracle is a DuckDB recursive CTE computing min reachable label.
+
+    SMALL-SCALE EXACT BASELINE: the edge source is the all-pairs
+    jaccard inverted-index join, quadratic by design (verified to
+    explode at the 10x fixture — see tools/run_all_queries.py).
+    The registered scale path is ``dedup_lsh_clusters``: same CC,
+    minhash-LSH edges, linear end to end."""
     from ..operators.graph import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
