@@ -2,7 +2,7 @@
 index/ANN/dedup/ingest queries most likely to rotate into the driver's
 CORRECTNESS sample are differentially checked against their DuckDB
 oracles at sf0.01 on every test run — byte-stable before every commit,
-without waiting for the full 143-query sweep (tools/check_oracle.py).
+without waiting for the full-suite sweep (tools/check_oracle.py).
 """
 
 from __future__ import annotations
