@@ -556,6 +556,11 @@ def knn_indexed(
     geo_rows = int(counts[geo_mask].sum())
 
     def scan(cell_set: set[int]):
+        # the O(k) materialization here is intentional, not a scale
+        # hazard: a single-probe kNN result IS k rows (k ~ 10), and the
+        # validation (count + bound containment) needs those rows on
+        # the driver anyway. The batched many-probe path (knn_join_*)
+        # validates distributedly instead — see knn_join_indexed below.
         out = knn(
             assigned.filter(F.col("cell_id").isin(sorted(cell_set))),
             probe,
