@@ -114,6 +114,56 @@ WHERE common > 0 AND common::DOUBLE / (n1 + n2 - common) >= 0.02
 )
 
 
+def _jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PREFIX-FILTER scale path for exact jaccard: shingles whose
+    document frequency exceeds ``max_df`` are dropped before the
+    inverted-index self-join, bounding the join at sum_kept(df^2) <=
+    |index| * max_df — linear in corpus size for a fixed cap — where
+    the unfiltered baseline (`dedup_jaccard_pairs`) is quadratic.
+    Jaccard is over the FILTERED sets (set sizes recomputed post-
+    filter, operators/dedup.jaccard_pairs), and the whole thing is
+    value-exact against a DuckDB twin of the same df-capped pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(
+        docs, "doc_id", "text", ngram=3, threshold=0.5, max_df=20
+    )
+    return pairs.select(
+        "id1", "id2", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+register(
+    "dedup_jaccard_prefix_filtered",
+    _jaccard_prefix_filtered,
+    """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS toks
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), inv AS (
+  SELECT doc_id, unnest(toks) AS tok FROM s
+), dfc AS (
+  SELECT tok, count(*) AS df FROM inv GROUP BY tok
+), kept AS (
+  SELECT i.doc_id, i.tok FROM inv i JOIN dfc USING (tok) WHERE df <= 20
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+), p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id1, p.id2,
+       round(common::DOUBLE / (s1.n + s2.n - common), 6) AS jaccard
+FROM p
+JOIN sizes s1 ON s1.doc_id = p.id1
+JOIN sizes s2 ON s2.doc_id = p.id2
+WHERE common::DOUBLE / (s1.n + s2.n - common) >= 0.5
+""",
+)
+
+
 def _minhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates on 3-gram shingles.
 

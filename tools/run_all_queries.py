@@ -31,7 +31,8 @@ from lightweight_vector_database_spark.suite import QUERIES  # noqa: E402
 # quadratic-by-design exact baselines (the oracles FOR the scale
 # paths) — excluded only when the fixture is sf1-sized or bigger
 QUADRATIC_BASELINES = {
-    "dedup_jaccard_pairs": "all-pairs exact jaccard (oracle for minhash LSH)",
+    "dedup_jaccard_pairs": "all-pairs exact jaccard (oracle for minhash LSH; "
+    "scale path: dedup_jaccard_prefix_filtered)",
     "dedup_ngram3_jaccard_pairs": "all-pairs exact jaccard (oracle for minhash LSH)",
     "embedding_nearest_pairs": "all-pairs exact cosine (oracle for SRP LSH)",
     # verified the hard way: at sf1 its unigram jaccard_pairs edge
