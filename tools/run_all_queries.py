@@ -33,7 +33,8 @@ from lightweight_vector_database_spark.suite import QUERIES  # noqa: E402
 QUADRATIC_BASELINES = {
     "dedup_jaccard_pairs": "all-pairs exact jaccard (oracle for minhash LSH; "
     "scale path: dedup_jaccard_prefix_filtered)",
-    "dedup_ngram3_jaccard_pairs": "all-pairs exact jaccard (oracle for minhash LSH)",
+    "dedup_ngram3_jaccard_pairs": "all-pairs exact jaccard (oracle for minhash "
+    "LSH; scale path: dedup_jaccard_prefix_filtered)",
     "embedding_nearest_pairs": "all-pairs exact cosine (oracle for SRP LSH)",
     # verified the hard way: at sf1 its unigram jaccard_pairs edge
     # source (31-word vocab -> token df ~ n) explodes the inverted-
