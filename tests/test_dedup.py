@@ -252,3 +252,37 @@ def test_portable_token_hash_matches_duckdb(spark):
         ).fetchone()
         assert got[s] == want, s
         assert 0 <= got[s] < 2147483647
+
+
+def test_lsh_clusters_invariants(spark, sf_dir):
+    """dedup_lsh_clusters semantics: every doc labeled exactly once,
+    cluster label = min doc_id of its member set (so exactly one
+    keeper per cluster, and it IS the min), and two docs sharing an
+    LSH edge with est >= threshold land in the same cluster."""
+    from lightweight_vector_database_spark.suite.dedup_suite import (
+        _LSH_CLUSTER_THR,
+        _lsh_clusters,
+    )
+
+    out = _lsh_clusters(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(out) == docs.count()  # total partition of the doc set
+
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cl, members in by_cluster.items():
+        ids = sorted(m.doc_id for m in members)
+        assert cl == ids[0]  # label is the min member id
+        keepers = [m.doc_id for m in members if m.is_keeper]
+        assert keepers == [cl]  # exactly one keeper: the min
+
+    label = {r.doc_id: r.cluster for r in out}
+    edges = (
+        D.minhash_dedup_candidates(docs, num_hashes=32, bands=8, ngram=3)
+        .filter(F.col("est_jaccard") >= _LSH_CLUSTER_THR)
+        .collect()
+    )
+    assert edges  # fixture sanity: the threshold keeps some edges
+    for e in edges:
+        assert label[e.id1] == label[e.id2]
