@@ -19,7 +19,7 @@ replication of sf0.1 into ``<repo>/.sf1_data`` (gitignored):
 
 Deterministic: pure column arithmetic on the driver's seed=42 data.
 
-Usage: python tools/make_sf1.py [out_dir]
+Usage: python tools/make_sf1.py [out_dir] [copies=10]
 """
 
 from __future__ import annotations
@@ -72,6 +72,7 @@ def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else str(
         Path(__file__).resolve().parent.parent / ".sf1_data"
     )
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
     os.makedirs(out, exist_ok=True)
     spark = get_spark("make-sf1")
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,7 +92,7 @@ def main() -> None:
     for t, keys in KEYED.items():
         base = spark.read.parquet(f"{SRC}/{t}.parquet")
         parts = []
-        for i in range(COPIES):
+        for i in range(copies):
             c = base
             for col, dom in keys.items():
                 c = c.withColumn(
