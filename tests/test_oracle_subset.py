@@ -27,6 +27,7 @@ FLAGSHIP = [
     "dedup_exact_summary",
     "dedup_minhash_candidates",
     "dedup_lsh_clusters",
+    "dedup_jaccard_prefix_filtered",
     "stream_vector_ingest_delta",
 ]
 
