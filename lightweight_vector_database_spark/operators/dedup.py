@@ -112,6 +112,11 @@ def jaccard_pairs(
 
 _MERSENNE31 = (1 << 31) - 1
 
+# method='auto' crossover: 'explode' (codegen min-aggs, one shuffle of
+# exploded token hashes) measured faster up to ~50k docs and ~17%
+# slower at 1M; the crossover sits in between — 200k is conservative.
+AUTO_EXPLODE_MAX_ROWS = 200_000
+
 
 def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
@@ -165,17 +170,35 @@ def minhash_signatures(
     method='expr': one Catalyst fold updating all k slots per token —
     plan stays JVM-only. Interpreted HOF cost ~k ops per token.
 
+    method='explode': token hashes to rows, k codegen'd min-aggregates
+    — no interpreted HOF at all, at the price of shuffling the
+    exploded hashes. MEASURED: wins WARM below ~100k docs (repeat
+    executions of an already-compiled plan: 2.71s vs 3.02s at 5k docs,
+    3.26s vs 3.71s at 50k) but LOSES COLD (~0.7s extra Janino compile
+    for 32 aggregate expressions: 6.1s vs 5.5s first execution) and is
+    ~17% slower at 1M docs (the 78M-row shuffle outweighs the saved
+    fold). 'expr' stays the pipeline default: one-shot execution is
+    the common case for a dedup pass.
+
+    method='auto': pick 'explode' when the input is under
+    AUTO_EXPLODE_MAX_ROWS (one cheap count-star job), 'expr' above —
+    for repeat-execution serving contexts where the compile is
+    amortized. Both produce IDENTICAL signatures (tested), so the
+    switch is purely physical.
+
     method='arrow': hybrid path — shingle hashing in the JVM, the k
     permutations as one numpy matrix op per Arrow batch (flatten
     ragged hash arrays + segment-min via minimum.reduceat). Identical
     signatures (tested) but MEASURED 4x SLOWER at 1M docs (145s vs
     35s): the ragged per-token hash arrays must cross the Arrow
     boundary, which costs more than the interpreted fold saves.
-    Retained as the template for environments with faster IPC; 'expr'
-    is the right default at every scale we measured.
+    Retained as the template for environments with faster IPC.
 
     Intermediates stay < 2^62 (a, h < 2^31), so int64 never overflows.
     """
+    if method == "auto":
+        n = df.count()
+        method = "explode" if n <= AUTO_EXPLODE_MAX_ROWS else "expr"
     grams = (
         F.array_distinct(tokens(text_col))
         if ngram == 1
