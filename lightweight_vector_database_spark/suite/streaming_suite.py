@@ -151,7 +151,7 @@ def _vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest.apply_batch(emb.filter(F.col("label") >= 5), 1)
     snap = store.read()
     return (
-        snap.groupBy("cell_id")
+        snap.groupBy(F.col("cell_id").cast("long").alias("cell_id"))
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("vec_id").alias("n_ids"))
         .orderBy("cell_id")
     )
@@ -206,7 +206,7 @@ def _vector_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.compact(partition_by=["cell_id"])
     snap = store.read()
     return (
-        snap.groupBy("cell_id")
+        snap.groupBy(F.col("cell_id").cast("long").alias("cell_id"))
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("vec_id").alias("n_ids"))
         .orderBy("cell_id")
     )

@@ -226,7 +226,7 @@ WITH sized AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
   FROM sized
 )
-SELECT doc_id, n_tokens, start_offset,
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
        CAST(floor(start_offset / 512) AS BIGINT) AS chunk_id,
        CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512)
             - floor(start_offset / 512) + 1 AS BIGINT) AS n_chunks
