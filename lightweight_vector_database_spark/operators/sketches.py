@@ -1,0 +1,151 @@
+"""Mergeable frequency / membership sketches as pure SQL expressions.
+
+Two classic streaming sketches, built entirely from Spark built-ins so
+they run inside whole-stage codegen and — the 100 TB point — MERGE
+TRIVIALLY: a sketch over a partition (or a day, or a shard) combines
+with another by element-wise `bit_or` (Bloom) or `sum` (count-min),
+so corpus-wide membership/frequency state never requires shuffling the
+raw item space. Both use md5-derived hash positions, so every bit is
+reproducible in portable SQL (the DuckDB oracles rebuild the same
+sketch and must match exactly).
+
+- Bloom filter (Bloom 1970): k=4 16-bit positions from one md5;
+  words of 32 used bits so `1 << bit` never touches the sign bit in
+  any engine. Build is a groupBy(word) bit_or — O(|set|) with
+  map-side partials; probe is a broadcast join against the tiny
+  (m/32)-row word relation, i.e. map-side at scale.
+- Count-min sketch (Cormode & Muthukrishnan 2005): depth x width
+  counters; estimate = min over depth rows. Built from per-item
+  counts (a pre-aggregation), so the sketch build shuffles at most
+  depth x width cells, not the item stream.
+
+At 100 TB the pattern is: build the sketch per partition/epoch, merge
+the (tiny) cell relations, broadcast the merged sketch back — the
+exact inverted-index joins these sketches replace (see
+``curation_contamination``) shuffle the full n-gram space instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_HASHES = 4
+BLOOM_BITS = 1 << 16  # 16-bit positions: 4 hex chars, no modulo needed
+BLOOM_WORD_BITS = 32  # 32 used bits per word: 1<<bit stays positive
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _one_shl(bit: Column) -> Column:
+    """``1L << bit`` for bit in [0, 32) — via pow(2, bit), exact in
+    double for these exponents and always positive, so bit_or /
+    bitwiseAND semantics match BIGINT engines exactly (PySpark's
+    shiftleft only takes a literal shift amount)."""
+    return F.pow(F.lit(2.0), bit.cast("double")).cast("long")
+
+
+def _md5_chunk(c: Column, start: int, width: int) -> Column:
+    """Integer value of `width` hex chars of md5(c) from 1-based
+    `start` — the engine-portable hash primitive (md5 is bit-identical
+    everywhere; conv/substr exist in both Spark and DuckDB)."""
+    return F.conv(F.substring(F.md5(c), start, width), 16, 10).cast("long")
+
+
+def bloom_positions(c: Column) -> list[Column]:
+    """k independent 16-bit positions from disjoint md5 hex spans."""
+    return [_md5_chunk(c, 1 + 4 * i, 4) for i in range(BLOOM_HASHES)]
+
+
+def bloom_build(items: DataFrame, col: str) -> DataFrame:
+    """Aggregate a Bloom filter over ``items[col]`` (distinct-ness not
+    required — duplicates only re-set bits). Returns the word relation
+    ``(word: long, bits: long)`` with at most BLOOM_BITS/32 rows —
+    small enough to broadcast, merge (bit_or on word), or persist."""
+    pos = F.explode(F.array(*bloom_positions(F.col(col)))).alias("pos")
+    return (
+        items.select(pos)
+        .select(
+            (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
+            _one_shl(F.col("pos") % BLOOM_WORD_BITS).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_probe(probes: DataFrame, col: str, words: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Membership test for each probe row: ``bloom_hit`` is true iff
+    all k bits for ``probes[col]`` are set in ``words``. ``key_cols``
+    must uniquely identify a probe row (the probe fans out k ways and
+    is grouped back). The join is a broadcast hash join against the
+    word relation — effectively map-side; no shuffle of the probes
+    beyond the final regroup on their own key."""
+    fan = probes.select(
+        *key_cols, F.explode(F.array(*bloom_positions(F.col(col)))).alias("pos")
+    ).select(
+        *key_cols,
+        (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
+        _one_shl(F.col("pos") % BLOOM_WORD_BITS).alias("m"),
+    )
+    hit = (
+        fan.join(F.broadcast(words), "word", "left")
+        .select(
+            *key_cols,
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")) != 0).alias("set_"),
+        )
+        .groupBy(*key_cols)
+        .agg((F.count_if(F.col("set_")) == BLOOM_HASHES).alias("bloom_hit"))
+    )
+    return hit
+
+
+def cms_bucket(c: Column, row: int) -> Column:
+    """Row-salted bucket: md5("cms{row}:" || item) -> [0, CMS_WIDTH)."""
+    salted = F.concat(F.lit(f"cms{row}:"), c)
+    return _md5_chunk(salted, 1, 4) % CMS_WIDTH
+
+
+def cms_build(counts: DataFrame, item_col: str, n_col: str) -> DataFrame:
+    """Count-min cells from per-item counts (pre-aggregate the raw
+    stream first — the sketch build then shuffles at most
+    depth x width cells). Returns ``(row, bucket, cell_n)``; two
+    sketches merge by summing cell_n on (row, bucket)."""
+    rows = [
+        counts.select(
+            F.lit(r).alias("row"),
+            cms_bucket(F.col(item_col), r).alias("bucket"),
+            F.col(n_col).alias("n"),
+        )
+        for r in range(CMS_DEPTH)
+    ]
+    fan = rows[0]
+    for r in rows[1:]:
+        fan = fan.unionByName(r)
+    return fan.groupBy("row", "bucket").agg(F.sum("n").alias("cell_n"))
+
+
+def cms_estimate(items: DataFrame, item_col: str, cells: DataFrame) -> DataFrame:
+    """Point estimate for each item: min over depth rows of its cell.
+    Broadcast join against the (<= depth x width)-row cell relation,
+    then a regroup on the item — never touches the raw stream."""
+    fan = items.select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_bucket(F.col(item_col), r).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select(item_col, "p.row", "p.bucket")
+    return (
+        fan.join(F.broadcast(cells), ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cell_n"), F.lit(0))).alias("cms_n"))
+    )

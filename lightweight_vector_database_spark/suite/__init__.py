@@ -44,3 +44,4 @@ from . import udf_suite  # noqa: E402,F401
 from . import scalar_suite2  # noqa: E402,F401
 from . import curation_suite  # noqa: E402,F401
 from . import curation_suite2  # noqa: E402,F401
+from . import curation_suite3  # noqa: E402,F401

@@ -1,0 +1,256 @@
+"""Training-data curation, part 3: repetition-based quality filters and
+sketch-backed corpus operators (Bloom decontamination, count-min
+frequency estimation).
+
+- ``curation_repetition_stats`` — the Gopher-style (Rae et al. 2021,
+  public) repetition signals: fraction of the doc covered by its most
+  frequent word bigram and the duplicate-trigram fraction. The fixture
+  text is near-uniform synthetic words, so docs with doc_id % 7 == 0
+  get a deterministic repeated phrase appended first (same pattern as
+  ``curation_pii_redact``'s synthetic contacts) — the metrics and the
+  `repetitive` cut are the ops under test.
+- ``curation_bloom_contamination`` — the SCALE path for benchmark
+  decontamination: instead of joining the train n-gram stream against
+  the test-set inverted index (``curation_contamination``), fold the
+  test set into a 64 Kbit / 4-hash Bloom filter (a ~2k-row word
+  relation) and probe it with a broadcast join — at 100 TB the train
+  side is never shuffled on the n-gram key. One-sided error only:
+  Bloom membership can overcount (false positives ~3e-4 at this
+  load), never miss, so every exact-join contamination hit is also a
+  Bloom hit (pytest-pinned superset invariant).
+- ``sketch_cms_topk_bigrams`` — count-min frequency estimates for the
+  exact top-50 bigrams. The sketch is built from pre-aggregated
+  per-item counts, shuffles at most depth x width cells, and merges
+  across partitions/epochs by cell-wise sum (mergeability is
+  pytest-pinned) — the pattern that replaces exact corpus-wide term
+  counting when the item space itself is too large to shuffle.
+
+All three are pure built-in expressions with exact DuckDB oracles (the
+sketches are md5-derived, so the oracle rebuilds bit-identical state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators.sketches import bloom_build, bloom_probe, cms_build, cms_estimate
+from ..sources import load_table
+from . import register
+
+# --- Gopher-style repetition filters ---------------------------------------
+
+_REP_PHRASE = " lorem ipsum dolor"
+_REP_N = 12  # docs with doc_id % 7 == 0 get the phrase appended 12x
+_DUP_TRI_CUT = 0.15  # natural fixture max is ~0.077; augmented docs >= 0.25
+
+
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.repeat(F.lit(_REP_PHRASE), _REP_N)),
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", aug.alias("t"))
+    # duplicate-trigram fraction is a map-only array expression; the
+    # top-bigram count is the honest distributed form (explode + two
+    # aggregates with map-side partials), not a per-doc O(n^2) scan
+    stats = base.select(
+        "doc_id",
+        T.token_count("t").alias("n_tokens"),
+        F.size(T.word_ngrams("t", 3)).cast("long").alias("n_tri"),
+        F.size(F.array_distinct(T.word_ngrams("t", 3))).cast("long").alias("n_tri_d"),
+    )
+    top = (
+        base.select("doc_id", F.explode(T.word_ngrams("t", 2)).alias("ng"))
+        .groupBy("doc_id", "ng")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("tb"))
+    )
+    m = stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("tb"), F.lit(0)).cast("long").alias("top_bigram_n"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.lit(2) * F.coalesce(F.col("tb"), F.lit(0)) / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(
+                F.col("n_tri") > 0,
+                (F.col("n_tri") - F.col("n_tri_d")) / F.col("n_tri"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+    # the cut compares the ROUNDED value so boundary behavior is
+    # engine-identical
+    return m.withColumn("repetitive", F.col("dup_trigram_frac") > _DUP_TRI_CUT)
+
+
+register(
+    "curation_repetition_stats",
+    _repetition,
+    f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || repeat('{_REP_PHRASE}', {_REP_N})
+              ELSE text END AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         [array_to_string(w[i:i + 1], ' ')
+          FOR i IN range(1, greatest(len(w) - 1, 0) + 1)] AS bgs,
+         [array_to_string(w[i:i + 2], ' ')
+          FOR i IN range(1, greatest(len(w) - 2, 0) + 1)] AS tgs
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM aug)
+), top AS (
+  SELECT doc_id, max(c) AS tb FROM (
+    SELECT doc_id, ng, count(*) AS c
+    FROM (SELECT doc_id, unnest(bgs) AS ng FROM s) GROUP BY 1, 2
+  ) GROUP BY 1
+), m AS (
+  SELECT s.doc_id, n_tokens, coalesce(tb, 0) AS top_bigram_n,
+         round(CASE WHEN n_tokens > 0
+                    THEN 2.0 * coalesce(tb, 0) / n_tokens ELSE 0 END, 6)
+           AS top_bigram_frac,
+         round(CASE WHEN len(tgs) > 0
+                    THEN (len(tgs) - len(list_distinct(tgs))) * 1.0 / len(tgs)
+                    ELSE 0 END, 6) AS dup_trigram_frac
+  FROM s LEFT JOIN top ON s.doc_id = top.doc_id
+)
+SELECT doc_id, n_tokens, top_bigram_n, top_bigram_frac, dup_trigram_frac,
+       dup_trigram_frac > {_DUP_TRI_CUT} AS repetitive
+FROM m
+""",
+)
+
+
+# --- Bloom-filter decontamination (sketch scale path) -----------------------
+
+_NGRAM_N = 8
+_TEST_CUT = 50  # doc_id < 50 plays the held-out benchmark set
+_MIN_HITS = 2
+
+
+def _bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.word_ngrams("text", _NGRAM_N))).alias("ng"),
+    )
+    words = bloom_build(grams.filter(F.col("doc_id") < _TEST_CUT).select("ng"), "ng")
+    train = grams.filter(F.col("doc_id") >= _TEST_CUT)
+    hits = bloom_probe(train, "ng", words, ["doc_id", "ng"])
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("bloom_hit")).alias("n_bloom_hits"),
+        )
+        .select(
+            F.col("doc_id").alias("train_doc"),
+            "n_grams",
+            "n_bloom_hits",
+            (F.col("n_bloom_hits") >= _MIN_HITS).alias("contaminated"),
+        )
+    )
+
+
+register(
+    "curation_bloom_contamination",
+    _bloom_contamination,
+    f"""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(w[i:i + {_NGRAM_N} - 1], ' ')
+                 FOR i IN range(1, greatest(len(w) - {_NGRAM_N} + 1, 0) + 1)]) AS ng
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), pos AS (
+  SELECT doc_id, ng,
+         unnest([('0x' || substr(md5(ng), 1 + 4 * i, 4))::BIGINT
+                 FOR i IN range(0, 4)]) AS pos
+  FROM g
+), bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM pos WHERE doc_id < {_TEST_CUT} GROUP BY 1
+), probe AS (
+  SELECT doc_id, ng, pos // 32 AS word,
+         1::BIGINT << CAST(pos % 32 AS INT) AS m
+  FROM pos WHERE doc_id >= {_TEST_CUT}
+), hits AS (
+  SELECT doc_id, ng,
+         count(*) FILTER (WHERE coalesce(bits, 0) & m <> 0) = 4 AS hit
+  FROM probe LEFT JOIN bloom USING (word) GROUP BY 1, 2
+)
+SELECT doc_id AS train_doc, count(*) AS n_grams,
+       count(*) FILTER (WHERE hit) AS n_bloom_hits,
+       count(*) FILTER (WHERE hit) >= {_MIN_HITS} AS contaminated
+FROM hits GROUP BY 1
+""",
+)
+
+
+# --- count-min sketch frequency estimation ----------------------------------
+
+_TOPK = 50
+
+
+def _cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(T.word_ngrams("text", 2)).alias("ng"))
+        .groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    cells = cms_build(counts, "ng", "exact_n")
+    topk = counts.orderBy(F.col("exact_n").desc(), F.col("ng")).limit(_TOPK)
+    est = cms_estimate(topk.select("ng"), "ng", cells)
+    return topk.join(est, "ng").select(
+        "ng",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+register(
+    "sketch_cms_topk_bigrams",
+    _cms_topk,
+    f"""
+WITH g AS (
+  SELECT unnest([array_to_string(w[i:i + 1], ' ')
+                 FOR i IN range(1, greatest(len(w) - 1, 0) + 1)]) AS ng
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+), counts AS (
+  SELECT ng, count(*) AS exact_n FROM g GROUP BY 1
+), cells AS (
+  SELECT row, bucket, sum(exact_n) AS cell_n FROM (
+    SELECT exact_n, r AS row,
+           ('0x' || substr(md5('cms' || r || ':' || ng), 1, 4))::BIGINT % 1024
+             AS bucket
+    FROM counts, range(0, 4) t(r)
+  ) GROUP BY 1, 2
+), topk AS (
+  SELECT ng, exact_n FROM counts ORDER BY exact_n DESC, ng LIMIT {_TOPK}
+), est AS (
+  SELECT ng, min(cell_n) AS cms_n FROM (
+    SELECT k.ng, c.cell_n
+    FROM (SELECT ng, r,
+                 ('0x' || substr(md5('cms' || r || ':' || ng), 1, 4))::BIGINT
+                   % 1024 AS bucket
+          FROM topk, range(0, 4) t(r)) k
+    JOIN cells c ON c.row = k.r AND c.bucket = k.bucket
+  ) GROUP BY 1
+)
+SELECT ng, exact_n, cms_n, cms_n - exact_n AS overcount
+FROM topk JOIN est USING (ng)
+""",
+)

@@ -1,0 +1,113 @@
+"""Sketch-operator invariants: Bloom one-sided error (never misses a
+true member), count-min overestimation + mergeability, and the
+repetition filter's separation of augmented vs natural docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from lightweight_vector_database_spark.operators import sketches as SK
+from lightweight_vector_database_spark.sources import load_table
+from lightweight_vector_database_spark.suite.curation_suite2 import _contamination
+from lightweight_vector_database_spark.suite.curation_suite3 import (
+    _bloom_contamination,
+    _cms_topk,
+    _repetition,
+)
+
+ITEMS = StructType([StructField("item", StringType())])
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_bloom_never_misses_members(spark):
+    members = [f"member-{i}" for i in range(500)]
+    absent = [f"absent-{i}" for i in range(500)]
+    mdf = spark.createDataFrame([(m,) for m in members], ITEMS)
+    words = bloom = SK.bloom_build(mdf, "item")
+    probes = spark.createDataFrame([(x,) for x in members + absent], ITEMS)
+    hits = {
+        r.item: r.bloom_hit
+        for r in SK.bloom_probe(probes, "item", bloom, ["item"]).collect()
+    }
+    # one-sided error: every true member hits
+    assert all(hits[m] for m in members)
+    # false-positive rate stays plausible (expected ~1e-5 at this load;
+    # allow a generous margin)
+    fp = sum(1 for a in absent if hits[a])
+    assert fp <= 5
+    # the word relation is tiny — that's what makes it broadcastable
+    assert words.count() <= SK.BLOOM_BITS // SK.BLOOM_WORD_BITS
+
+
+def test_bloom_contamination_superset_of_exact(spark, sf_dir):
+    """Bloom decontamination can overflag (false positives) but must
+    never miss a doc the exact inverted-index join flags."""
+    exact_docs = {
+        r.train_doc for r in _contamination(spark, sf_dir).collect()
+    }
+    bloom = {
+        r.train_doc: r.contaminated
+        for r in _bloom_contamination(spark, sf_dir).collect()
+    }
+    missed = [d for d in exact_docs if not bloom.get(d)]
+    assert missed == []
+
+
+def test_cms_overestimates_only_and_merges(spark, docs):
+    from lightweight_vector_database_spark.functions import text as T
+
+    counts = (
+        docs.select(F.explode(T.word_ngrams("text", 2)).alias("ng"))
+        .groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = SK.cms_build(counts, "ng", "n")
+    est = SK.cms_estimate(counts.select("ng"), "ng", cells)
+    joined = counts.join(est, "ng").select("ng", "n", "cms_n").collect()
+    assert len(joined) > 0
+    # count-min never underestimates
+    assert all(r.cms_n >= r.n for r in joined)
+
+    # mergeability: per-source sketches summed cell-wise == global sketch
+    per_source = (
+        docs.select("source", F.explode(T.word_ngrams("text", 2)).alias("ng"))
+        .groupBy("source", "ng")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged_cells = None
+    for src_row in docs.select("source").distinct().collect():
+        part = SK.cms_build(
+            per_source.filter(F.col("source") == src_row.source), "ng", "n"
+        )
+        merged_cells = part if merged_cells is None else merged_cells.unionByName(part)
+    merged = merged_cells.groupBy("row", "bucket").agg(
+        F.sum("cell_n").alias("cell_n")
+    )
+    a = {(r.row, r.bucket): r.cell_n for r in cells.collect()}
+    b = {(r.row, r.bucket): r.cell_n for r in merged.collect()}
+    assert a == b
+
+
+def test_cms_topk_query_shape(spark, sf_dir):
+    rows = _cms_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    assert all(r.overcount >= 0 for r in rows)
+
+
+def test_repetition_flag_separates_augmented_docs(spark, sf_dir):
+    rows = _repetition(spark, sf_dir).collect()
+    for r in rows:
+        if r.doc_id % 7 == 0:
+            assert r.repetitive, f"augmented doc {r.doc_id} not flagged"
+            assert r.dup_trigram_frac > 0.2
+        else:
+            assert not r.repetitive, f"natural doc {r.doc_id} flagged"
+            assert r.dup_trigram_frac < 0.15
+        assert 0.0 <= r.top_bigram_frac <= 2.0
+        assert r.n_tokens > 0
