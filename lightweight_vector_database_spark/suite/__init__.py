@@ -45,3 +45,4 @@ from . import scalar_suite2  # noqa: E402,F401
 from . import curation_suite  # noqa: E402,F401
 from . import curation_suite2  # noqa: E402,F401
 from . import curation_suite3  # noqa: E402,F401
+from . import relational_suite6  # noqa: E402,F401

@@ -1,0 +1,124 @@
+"""Relational patterns, part 6: gaps-and-islands run-length encoding
+and mergeable HLL cardinality sketches.
+
+- ``runs_event_type_islands`` — collapse each user's event stream into
+  maximal runs of consecutive equal event_type (the classic
+  gaps-and-islands pattern via the two-row_number difference trick).
+  This is the SCD2 / run-length compression primitive: both window
+  functions partition on user_id, so the whole query is ONE shuffle on
+  the user key and everything after is within-partition — the shape
+  that holds at 100 TB of events.
+- ``sketch_hll_user_cardinality`` — per-event-type distinct-user
+  counts three ways: exact, HLL estimate (Spark's DataSketches
+  ``hll_sketch_agg``), and the estimate recovered from MERGING the
+  per-type sketches (``hll_union_agg``) for the corpus-wide row. The
+  merge is the 100 TB point: per-shard/per-day sketches combine
+  register-wise without re-reading raw data, where exact distinct
+  counts need a full shuffle of the key space every time. Rows-only
+  oracle: the DataSketches binary and estimator are engine-specific
+  (DuckDB's approx_count_distinct is a different HLL), so the exact
+  twin column is the cross-check and the estimate invariants
+  (tolerance, union==direct determinism) are pytest-pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import register
+
+
+def _runs_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]  # event_id breaks ts ties
+    w_all = Window.partitionBy("user_id").orderBy(*order)
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(*order)
+    # island id = rn_all - rn_within_type: constant exactly over a
+    # maximal run of equal event_type
+    grouped = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy(F.col("run_start"), F.col("first_event"))
+    return (
+        grouped.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.round(F.sum("value"), 6).alias("run_value"),
+        )
+        .withColumn("run_idx", F.row_number().over(w_run).cast("long"))
+        .select(
+            "user_id",
+            "run_idx",
+            "event_type",
+            "run_start",
+            "run_end",
+            "n_events",
+            "run_value",
+        )
+    )
+
+
+register(
+    "runs_event_type_islands",
+    _runs_islands,
+    """
+WITH g AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS island
+  FROM events
+), runs AS (
+  SELECT user_id, event_type,
+         min(ts) AS run_start, max(ts) AS run_end,
+         count(*) AS n_events, min(event_id) AS first_event,
+         round(sum(value), 6) AS run_value
+  FROM g GROUP BY user_id, event_type, island
+)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY run_start, first_event) AS run_idx,
+       event_type, run_start, run_end, n_events, run_value
+FROM runs
+""",
+)
+
+
+def _hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    typed = per_type.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        F.hll_sketch_estimate("sk").cast("long").alias("hll_users"),
+    )
+    # corpus-wide row from MERGED per-type sketches — never re-reads
+    # the raw events (overlapping users dedupe register-wise)
+    total = per_type.agg(
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("hll_users"),
+    ).join(
+        ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    ).select(F.lit("__all__").alias("event_type"), "n_events", "exact_users", "hll_users")
+    return typed.unionByName(total)
+
+
+# rows-only: the DataSketches HLL binary/estimator is engine-specific
+# (no DuckDB twin); exact_users is the in-row cross-check and the
+# estimate invariants are pinned in tests/test_sketches.py
+register("sketch_hll_user_cardinality", _hll_cardinality)

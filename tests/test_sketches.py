@@ -16,6 +16,7 @@ from lightweight_vector_database_spark.suite.curation_suite3 import (
     _cms_topk,
     _repetition,
 )
+from lightweight_vector_database_spark.suite.relational_suite6 import _hll_cardinality
 
 ITEMS = StructType([StructField("item", StringType())])
 
@@ -98,6 +99,22 @@ def test_cms_topk_query_shape(spark, sf_dir):
     rows = _cms_topk(spark, sf_dir).collect()
     assert 0 < len(rows) <= 50
     assert all(r.overcount >= 0 for r in rows)
+
+
+def test_hll_estimates_track_exact_and_merge_deterministically(spark, sf_dir):
+    rows = _hll_cardinality(spark, sf_dir).collect()
+    assert len(rows) > 1
+    for r in rows:
+        # default lgConfigK=12 keeps relative error ~1.6%; allow 5%
+        assert abs(r.hll_users - r.exact_users) <= max(2, 0.05 * r.exact_users)
+    # merging per-type sketches must give EXACTLY the same estimate as
+    # sketching the raw stream once (register-wise max is associative)
+    merged = next(r for r in rows if r.event_type == "__all__")
+    ev = load_table(spark, sf_dir, "events")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long")
+    ).first()[0]
+    assert direct == merged.hll_users
 
 
 def test_repetition_flag_separates_augmented_docs(spark, sf_dir):
