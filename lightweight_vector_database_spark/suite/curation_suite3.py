@@ -232,7 +232,7 @@ WITH g AS (
 ), counts AS (
   SELECT ng, count(*) AS exact_n FROM g GROUP BY 1
 ), cells AS (
-  SELECT row, bucket, sum(exact_n) AS cell_n FROM (
+  SELECT row, bucket, CAST(sum(exact_n) AS BIGINT) AS cell_n FROM (
     SELECT exact_n, r AS row,
            ('0x' || substr(md5('cms' || r || ':' || ng), 1, 4))::BIGINT % 1024
              AS bucket
