@@ -29,6 +29,8 @@ FLAGSHIP = [
     "dedup_lsh_clusters",
     "dedup_jaccard_prefix_filtered",
     "stream_vector_ingest_delta",
+    "curation_bloom_contamination",
+    "sketch_cms_topk_bigrams",
 ]
 
 

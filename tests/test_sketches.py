@@ -101,6 +101,60 @@ def test_cms_topk_query_shape(spark, sf_dir):
     assert all(r.overcount >= 0 for r in rows)
 
 
+def test_cms_streaming_maintenance_equals_batch(spark, docs, tmp_path):
+    """Sketch maintenance under streaming ingest: CMS cells folded in
+    per micro-batch (cell-wise sum in foreachBatch — O(cells) per
+    batch, never re-reads history) must equal the batch-built sketch.
+    This is how corpus frequency state stays current at 100 TB: the
+    raw stream is touched once, the merged state is ~depth x width
+    rows."""
+    from lightweight_vector_database_spark.functions import text as T
+
+    # stage the docs as several files so availableNow produces
+    # multiple micro-batches
+    src = str(tmp_path / "docs_stream")
+    docs.select("doc_id", "text").repartition(4).write.parquet(src)
+    cells_dir = str(tmp_path / "cms_cells")
+
+    def fold(batch_df, epoch_id):
+        counts = (
+            batch_df.select(F.explode(T.word_ngrams("text", 2)).alias("ng"))
+            .groupBy("ng")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        delta = SK.cms_build(counts, "ng", "n")
+        try:
+            prev = spark.read.parquet(cells_dir)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cell_n").alias("cell_n"))
+            )
+        except Exception:
+            merged = delta
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(cells_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    batch_counts = (
+        docs.select(F.explode(T.word_ngrams("text", 2)).alias("ng"))
+        .groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = {
+        (r.row, r.bucket): r.cell_n
+        for r in SK.cms_build(batch_counts, "ng", "n").collect()
+    }
+    got = {
+        (r.row, r.bucket): r.cell_n for r in spark.read.parquet(cells_dir).collect()
+    }
+    assert got == expected
+
+
 def test_hll_estimates_track_exact_and_merge_deterministically(spark, sf_dir):
     rows = _hll_cardinality(spark, sf_dir).collect()
     assert len(rows) > 1
