@@ -9,7 +9,8 @@ raw item space. Both use md5-derived hash positions, so every bit is
 reproducible in portable SQL (the DuckDB oracles rebuild the same
 sketch and must match exactly).
 
-- Bloom filter (Bloom 1970): k=4 16-bit positions from one md5;
+- Bloom filter (Bloom 1970): k=4 positions from disjoint 24-bit
+  spans of one md5, reduced mod the (power-of-two) filter size;
   words of 32 used bits so `1 << bit` never touches the sign bit in
   any engine. Build is a groupBy(word) bit_or — O(|set|) with
   map-side partials; probe is a broadcast join against the tiny
@@ -31,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BLOOM_HASHES = 4
-BLOOM_BITS = 1 << 16  # 16-bit positions: 4 hex chars, no modulo needed
+BLOOM_BITS = 1 << 16  # default filter size; callers size m to their set
 BLOOM_WORD_BITS = 32  # 32 used bits per word: 1<<bit stays positive
 
 CMS_DEPTH = 4
@@ -53,17 +54,22 @@ def _md5_chunk(c: Column, start: int, width: int) -> Column:
     return F.conv(F.substring(F.md5(c), start, width), 16, 10).cast("long")
 
 
-def bloom_positions(c: Column) -> list[Column]:
-    """k independent 16-bit positions from disjoint md5 hex spans."""
-    return [_md5_chunk(c, 1 + 4 * i, 4) for i in range(BLOOM_HASHES)]
+def bloom_positions(c: Column, m_bits: int = BLOOM_BITS) -> list[Column]:
+    """k independent positions in [0, m_bits) from disjoint 24-bit md5
+    hex spans (4 x 6 of md5's 32 hex chars). ``m_bits`` must be a
+    power of two <= 2^24 so the modulo stays uniform."""
+    assert m_bits <= 1 << 24 and m_bits & (m_bits - 1) == 0
+    return [_md5_chunk(c, 1 + 6 * i, 6) % m_bits for i in range(BLOOM_HASHES)]
 
 
-def bloom_build(items: DataFrame, col: str) -> DataFrame:
+def bloom_build(items: DataFrame, col: str, m_bits: int = BLOOM_BITS) -> DataFrame:
     """Aggregate a Bloom filter over ``items[col]`` (distinct-ness not
     required — duplicates only re-set bits). Returns the word relation
-    ``(word: long, bits: long)`` with at most BLOOM_BITS/32 rows —
-    small enough to broadcast, merge (bit_or on word), or persist."""
-    pos = F.explode(F.array(*bloom_positions(F.col(col)))).alias("pos")
+    ``(word: long, bits: long)`` with at most m_bits/32 rows —
+    small enough to broadcast, merge (bit_or on word), or persist.
+    Size ``m_bits`` to the expected set: ~16 bits/item keeps the
+    false-positive rate ~3e-4 with 4 hashes."""
+    pos = F.explode(F.array(*bloom_positions(F.col(col), m_bits))).alias("pos")
     return (
         items.select(pos)
         .select(
@@ -75,7 +81,13 @@ def bloom_build(items: DataFrame, col: str) -> DataFrame:
     )
 
 
-def bloom_probe(probes: DataFrame, col: str, words: DataFrame, key_cols: list[str]) -> DataFrame:
+def bloom_probe(
+    probes: DataFrame,
+    col: str,
+    words: DataFrame,
+    key_cols: list[str],
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
     """Membership test for each probe row: ``bloom_hit`` is true iff
     all k bits for ``probes[col]`` are set in ``words``. ``key_cols``
     must uniquely identify a probe row (the probe fans out k ways and
@@ -83,7 +95,7 @@ def bloom_probe(probes: DataFrame, col: str, words: DataFrame, key_cols: list[st
     word relation — effectively map-side; no shuffle of the probes
     beyond the final regroup on their own key."""
     fan = probes.select(
-        *key_cols, F.explode(F.array(*bloom_positions(F.col(col)))).alias("pos")
+        *key_cols, F.explode(F.array(*bloom_positions(F.col(col), m_bits))).alias("pos")
     ).select(
         *key_cols,
         (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),

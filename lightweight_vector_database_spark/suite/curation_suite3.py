@@ -174,7 +174,7 @@ WITH g AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 ), pos AS (
   SELECT doc_id, ng,
-         unnest([('0x' || substr(md5(ng), 1 + 4 * i, 4))::BIGINT
+         unnest([('0x' || substr(md5(ng), 1 + 6 * i, 6))::BIGINT % 65536
                  FOR i IN range(0, 4)]) AS pos
   FROM g
 ), bloom AS (

@@ -1,6 +1,7 @@
 """Text-pipeline scale stress: 1M synthetic docs (with planted
-near-duplicates) through exact dedup, MinHash+LSH candidates, and
-connected-components clustering — the full LLM-dedup path end-to-end.
+near-duplicates) through exact dedup, MinHash+LSH candidates,
+connected-components clustering, Bloom decontamination, and a
+count-min frequency sketch — the full LLM-curation path end-to-end.
 
 Docs are generated Spark-side: each doc is ~80 words drawn from a
 5000-word vocabulary keyed by a deterministic hash; 10% of docs are
@@ -101,6 +102,57 @@ def main() -> None:
     )
     sigs.unpersist()
     cands.unpersist()
+
+    from lightweight_vector_database_spark.functions.text import word_ngrams
+    from lightweight_vector_database_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        cms_build,
+        cms_estimate,
+    )
+
+    # Bloom decontamination: doc_id < 1000 plays the benchmark set
+    # (~73k distinct 8-grams); 4 Mbit filter keeps ~16 bits/item.
+    t0 = time.time()
+    m_bits = 1 << 22
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_ngrams("text", 8))).alias("ng")
+    )
+    words = bloom_build(
+        grams.filter(F.col("doc_id") < 1000).select("ng"), "ng", m_bits
+    )
+    hits = bloom_probe(
+        grams.filter(F.col("doc_id") >= 1000), "ng", words, ["doc_id", "ng"], m_bits
+    )
+    n_contam = (
+        hits.groupBy("doc_id")
+        .agg(F.count_if(F.col("bloom_hit")).alias("h"))
+        .filter("h >= 2")
+        .count()
+    )
+    print(
+        f"bloom decontamination (4 Mbit, 4 hashes): {time.time()-t0:.1f}s "
+        f"({n_contam} train docs flagged)"
+    )
+
+    # count-min over the bigram stream (pre-aggregated counts in,
+    # 4x1024 cells out)
+    t0 = time.time()
+    counts = (
+        docs.select(F.explode(word_ngrams("text", 2)).alias("ng"))
+        .groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = cms_build(counts, "ng", "n").cache()
+    cells.count()
+    top = counts.orderBy(F.col("n").desc(), "ng").limit(100)
+    est = cms_estimate(top.select("ng"), "ng", cells)
+    mx = est.agg(F.max("cms_n")).first()[0]
+    print(
+        f"count-min sketch (4x1024) build + top-100 estimates: "
+        f"{time.time()-t0:.1f}s (max estimate {mx})"
+    )
+    cells.unpersist()
 
 
 if __name__ == "__main__":
