@@ -29,6 +29,13 @@ Lake / Iceberg document publicly:
 Reads pay the anti-join while tombstones exist — the classic
 merge-on-read trade. Add dirs accept ``partition_by`` so cell pruning
 keeps working on appended data.
+
+Schema evolution (additive + numeric widening, the Iceberg-public
+rules): an append may introduce new columns or widen an existing
+numeric column within its family (int -> bigint, float -> double);
+the manifest records the MERGED schema and ``read()`` aligns every
+file to it (null-fill / cast-up) with a pure projection Catalyst
+folds into the scan — history is never rewritten.
 """
 
 from __future__ import annotations
@@ -39,6 +46,53 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+# numeric widening ranks (Iceberg-style type promotion: a column may
+# widen within its family — int -> bigint, float -> double — and the
+# recorded schema keeps the widest type seen; reads cast per file)
+_INT_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+_FLOAT_RANK = {"float": 1, "double": 2}
+
+
+def _promote(a, b):
+    """Widest of two types within one numeric family; None if the
+    pair is not promotable."""
+    sa, sb = a.simpleString(), b.simpleString()
+    for rank in (_INT_RANK, _FLOAT_RANK):
+        if sa in rank and sb in rank:
+            return a if rank[sa] >= rank[sb] else b
+    return None
+
+
+def _merged_schema_json(prev_json: str | None, append_df: DataFrame | None) -> str | None:
+    """Union of the table's recorded schema and an append's schema,
+    by field name (lakehouse schema evolution: new columns append,
+    existing columns may only widen within their numeric family).
+    Order: existing fields first, new fields in append order."""
+    if append_df is None:
+        return prev_json
+    if prev_json is None:
+        return append_df.schema.json()
+    from pyspark.sql.types import StructField, StructType
+
+    prev_schema = StructType.fromJson(json.loads(prev_json))
+    fields = {f.name: f for f in prev_schema.fields}
+    order = [f.name for f in prev_schema.fields]
+    for f in append_df.schema.fields:
+        old = fields.get(f.name)
+        if old is None:
+            fields[f.name] = f
+            order.append(f.name)
+        elif old.dataType != f.dataType:
+            wide = _promote(old.dataType, f.dataType)
+            if wide is None:
+                raise ValueError(
+                    f"schema evolution cannot change column {f.name!r}: "
+                    f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                )
+            fields[f.name] = StructField(f.name, wide, True)
+    return StructType([fields[n] for n in order]).json()
 
 
 class DeltaSnapshotStore:
@@ -155,12 +209,11 @@ class DeltaSnapshotStore:
                 "committed_at": time.time(),
                 "metadata": metadata or {},
                 # recorded so a version whose log holds only tombstone
-                # dirs (pure delete) stays readable as an empty table
-                "schema": (
-                    append_df.schema.json()
-                    if append_df is not None
-                    else prev.get("schema")
-                ),
+                # dirs (pure delete) stays readable as an empty table;
+                # MERGED with the previous schema so appends may evolve
+                # the table (add columns) without rewriting history —
+                # read() null-fills old files (see _align)
+                "schema": _merged_schema_json(prev.get("schema"), append_df),
             }
             m["latest"] = version
             # last-moment ownership re-check: if a peer broke our claim
@@ -311,9 +364,35 @@ class DeltaSnapshotStore:
         for d, seq in info["adds"]:
             applicable = tuple(td for td, ts in tombs if ts > seq)
             groups.setdefault(applicable, []).append(d)
+
+        # schema evolution: files written before a column existed are
+        # null-filled and every part is aligned to the recorded merged
+        # schema (a pure projection Catalyst folds into the scan)
+        target = None
+        if info.get("schema"):
+            from pyspark.sql.types import StructType
+
+            target = StructType.fromJson(json.loads(info["schema"]))
+
+        def _align(df: DataFrame) -> DataFrame:
+            if target is None or df.schema == target:
+                return df
+            have = {f.name: f.dataType for f in df.schema.fields}
+            cols = []
+            for f in target.fields:
+                dt = have.get(f.name)
+                if dt is None:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                elif dt != f.dataType:
+                    # file written before the column widened
+                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.col(f.name))
+            return df.select(*cols)
+
         parts: list[DataFrame] = []
         for applicable, dirs in groups.items():
-            adds = [self._spark.read.parquet(d) for d in dirs]
+            adds = [_align(self._spark.read.parquet(d)) for d in dirs]
             df = adds[0]
             for a in adds[1:]:
                 df = df.unionByName(a)

@@ -261,3 +261,49 @@ def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
     store.compact()
     assert _state(store) == {(0, 0.0), (1, 1.0)}
     assert store.log_depth() == (1, 0)
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Appends may add columns without rewriting history: old files
+    read back null-filled, time travel keeps each version's schema,
+    type changes are rejected, and compaction preserves the evolved
+    schema."""
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"))
+    v0 = store.commit_full(_df(spark, [(0, 0.0), (1, 1.0)]))
+    wide = spark.createDataFrame(
+        [(2, 2.0, "good")], "vec_id long, v double, quality string"
+    )
+    store.commit_append(wide)
+    got = {(r.vec_id, r.v, r.quality) for r in store.read().collect()}
+    assert got == {(0, 0.0, None), (1, 1.0, None), (2, 2.0, "good")}
+    # time travel: v0 predates the column
+    assert "quality" not in store.read(v0).columns
+
+    # deletes still anti-join correctly across the evolved log
+    store.commit_delete(spark.createDataFrame([(0,)], "vec_id long"))
+    got = {(r.vec_id, r.quality) for r in store.read().collect()}
+    assert got == {(1, None), (2, "good")}
+
+    # type change is refused
+    with pytest.raises(ValueError, match="schema evolution"):
+        store.commit_append(
+            spark.createDataFrame([(9, 9.0, 5)], "vec_id long, v double, quality long")
+        )
+
+    # numeric widening is allowed (int -> bigint), old files cast up
+    store.commit_append(
+        spark.createDataFrame([(3, 3.0, "ok", 7)], "vec_id long, v double, quality string, score int")
+    )
+    store.commit_append(
+        spark.createDataFrame(
+            [(4, 4.0, "ok", 1 << 40)], "vec_id long, v double, quality string, score long"
+        )
+    )
+    assert dict(store.read().dtypes)["score"] == "bigint"
+    got = {(r.vec_id, r.score) for r in store.read().collect()}
+    assert got == {(1, None), (2, None), (3, 7), (4, 1 << 40)}
+
+    # compaction folds the log but keeps the evolved schema
+    store.compact()
+    got = {(r.vec_id, r.v, r.quality) for r in store.read().collect()}
+    assert got == {(1, 1.0, None), (2, 2.0, "good"), (3, 3.0, "ok"), (4, 4.0, "ok")}
