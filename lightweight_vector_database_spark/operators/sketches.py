@@ -62,6 +62,22 @@ def bloom_positions(c: Column, m_bits: int = BLOOM_BITS) -> list[Column]:
     return [_md5_chunk(c, 1 + 6 * i, 6) % m_bits for i in range(BLOOM_HASHES)]
 
 
+def _pos_fan(df: DataFrame, col: str, m_bits: int, keep: list[str]) -> DataFrame:
+    """One md5 per row (named column, not relying on codegen CSE),
+    then explode the k positions — a single pass over the input."""
+    h = df.select(*keep, F.md5(F.col(col)).alias("_h"))
+    pos = F.explode(
+        F.array(
+            *[
+                F.conv(F.substring(F.col("_h"), 1 + 6 * i, 6), 16, 10).cast("long")
+                % m_bits
+                for i in range(BLOOM_HASHES)
+            ]
+        )
+    ).alias("pos")
+    return h.select(*keep, pos)
+
+
 def bloom_build(items: DataFrame, col: str, m_bits: int = BLOOM_BITS) -> DataFrame:
     """Aggregate a Bloom filter over ``items[col]`` (distinct-ness not
     required — duplicates only re-set bits). Returns the word relation
@@ -69,9 +85,8 @@ def bloom_build(items: DataFrame, col: str, m_bits: int = BLOOM_BITS) -> DataFra
     small enough to broadcast, merge (bit_or on word), or persist.
     Size ``m_bits`` to the expected set: ~16 bits/item keeps the
     false-positive rate ~3e-4 with 4 hashes."""
-    pos = F.explode(F.array(*bloom_positions(F.col(col), m_bits))).alias("pos")
     return (
-        items.select(pos)
+        _pos_fan(items, col, m_bits, [])
         .select(
             (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
             _one_shl(F.col("pos") % BLOOM_WORD_BITS).alias("m"),
@@ -94,9 +109,7 @@ def bloom_probe(
     is grouped back). The join is a broadcast hash join against the
     word relation — effectively map-side; no shuffle of the probes
     beyond the final regroup on their own key."""
-    fan = probes.select(
-        *key_cols, F.explode(F.array(*bloom_positions(F.col(col), m_bits))).alias("pos")
-    ).select(
+    fan = _pos_fan(probes, col, m_bits, key_cols).select(
         *key_cols,
         (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
         _one_shl(F.col("pos") % BLOOM_WORD_BITS).alias("m"),
@@ -119,23 +132,48 @@ def cms_bucket(c: Column, row: int) -> Column:
     return _md5_chunk(salted, 1, 4) % CMS_WIDTH
 
 
+def _cms_fan(df: DataFrame, item_col: str, n_expr: Column) -> DataFrame:
+    """One pass over the input: explode the depth (row, bucket) probes
+    per item (no per-row union, no re-scan of the source)."""
+    return df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_bucket(F.col(item_col), r).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+        n_expr.alias("n"),
+    ).select("p.row", "p.bucket", "n")
+
+
 def cms_build(counts: DataFrame, item_col: str, n_col: str) -> DataFrame:
-    """Count-min cells from per-item counts (pre-aggregate the raw
-    stream first — the sketch build then shuffles at most
-    depth x width cells). Returns ``(row, bucket, cell_n)``; two
-    sketches merge by summing cell_n on (row, bucket)."""
-    rows = [
-        counts.select(
-            F.lit(r).alias("row"),
-            cms_bucket(F.col(item_col), r).alias("bucket"),
-            F.col(n_col).alias("n"),
-        )
-        for r in range(CMS_DEPTH)
-    ]
-    fan = rows[0]
-    for r in rows[1:]:
-        fan = fan.unionByName(r)
-    return fan.groupBy("row", "bucket").agg(F.sum("n").alias("cell_n"))
+    """Count-min cells from per-item counts (when the caller already
+    has them). Returns ``(row, bucket, cell_n)``; two sketches merge
+    by summing cell_n on (row, bucket)."""
+    return (
+        _cms_fan(counts, item_col, F.col(n_col))
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").alias("cell_n"))
+    )
+
+
+def cms_build_stream(items: DataFrame, item_col: str) -> DataFrame:
+    """Count-min cells straight from the RAW item stream — the shape
+    that matters when the item space is too large to pre-aggregate:
+    the map-side partial collapses each partition to <= depth x width
+    cells, so the only shuffle is a few thousand rows regardless of
+    how many distinct items exist (a per-item groupBy would shuffle
+    the whole key space first)."""
+    return (
+        _cms_fan(items, item_col, F.lit(1).cast("long"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").alias("cell_n"))
+    )
 
 
 def cms_estimate(items: DataFrame, item_col: str, cells: DataFrame) -> DataFrame:

@@ -95,6 +95,25 @@ def test_cms_overestimates_only_and_merges(spark, docs):
     assert a == b
 
 
+def test_cms_stream_build_equals_count_build(spark, docs):
+    """Sketching the raw stream (map-side partials, no key-space
+    shuffle) must produce the same cells as sketching pre-aggregated
+    counts."""
+    from lightweight_vector_database_spark.functions import text as T
+
+    bigrams = docs.select(F.explode(T.word_ngrams("text", 2)).alias("ng"))
+    counts = bigrams.groupBy("ng").agg(F.count(F.lit(1)).alias("n"))
+    a = {
+        (r.row, r.bucket): r.cell_n
+        for r in SK.cms_build(counts, "ng", "n").collect()
+    }
+    b = {
+        (r.row, r.bucket): r.cell_n
+        for r in SK.cms_build_stream(bigrams, "ng").collect()
+    }
+    assert a == b
+
+
 def test_cms_topk_query_shape(spark, sf_dir):
     rows = _cms_topk(spark, sf_dir).collect()
     assert 0 < len(rows) <= 50
