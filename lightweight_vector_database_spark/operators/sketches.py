@@ -100,30 +100,39 @@ def bloom_probe(
     probes: DataFrame,
     col: str,
     words: DataFrame,
-    key_cols: list[str],
     m_bits: int = BLOOM_BITS,
 ) -> DataFrame:
-    """Membership test for each probe row: ``bloom_hit`` is true iff
-    all k bits for ``probes[col]`` are set in ``words``. ``key_cols``
-    must uniquely identify a probe row (the probe fans out k ways and
-    is grouped back). The join is a broadcast hash join against the
-    word relation — effectively map-side; no shuffle of the probes
-    beyond the final regroup on their own key."""
-    fan = _pos_fan(probes, col, m_bits, key_cols).select(
-        *key_cols,
-        (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
-        _one_shl(F.col("pos") % BLOOM_WORD_BITS).alias("m"),
-    )
-    hit = (
-        fan.join(F.broadcast(words), "word", "left")
-        .select(
-            *key_cols,
-            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")) != 0).alias("set_"),
+    """Membership test: returns ``probes`` with a ``bloom_hit``
+    column, true iff all k bits for ``probes[col]`` are set in
+    ``words``. Row-preserving and shuffle-free on the probe side: the
+    k positions become k broadcast hash joins against the tiny word
+    relation (no explode fan, no regroup of the probe key space) —
+    at 100 TB the probe stream is touched exactly once, map-side."""
+    out = probes.withColumn("_h", F.md5(F.col(col)))
+    set_checks = []
+    for i in range(BLOOM_HASHES):
+        pos = (
+            F.conv(F.substring(F.col("_h"), 1 + 6 * i, 6), 16, 10).cast("long")
+            % m_bits
         )
-        .groupBy(*key_cols)
-        .agg((F.count_if(F.col("set_")) == BLOOM_HASHES).alias("bloom_hit"))
-    )
-    return hit
+        w = words.select(
+            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        out = out.withColumn(f"_word{i}", (pos / BLOOM_WORD_BITS).cast("long"))
+        out = out.withColumn(f"_m{i}", _one_shl(pos % BLOOM_WORD_BITS))
+        out = out.join(
+            F.broadcast(w), out[f"_word{i}"] == w[f"_w{i}"], "left"
+        )
+        set_checks.append(
+            F.coalesce(F.col(f"_b{i}"), F.lit(0)).bitwiseAND(F.col(f"_m{i}")) != 0
+        )
+    hit = set_checks[0]
+    for c in set_checks[1:]:
+        hit = hit & c
+    drop = ["_h"] + [
+        n for i in range(BLOOM_HASHES) for n in (f"_word{i}", f"_m{i}", f"_w{i}", f"_b{i}")
+    ]
+    return out.withColumn("bloom_hit", hit).drop(*drop)
 
 
 def cms_bucket(c: Column, row: int) -> Column:

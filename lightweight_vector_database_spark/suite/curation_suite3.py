@@ -147,7 +147,7 @@ def _bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = bloom_build(grams.filter(F.col("doc_id") < _TEST_CUT).select("ng"), "ng")
     train = grams.filter(F.col("doc_id") >= _TEST_CUT)
-    hits = bloom_probe(train, "ng", words, ["doc_id", "ng"])
+    hits = bloom_probe(train, "ng", words)
     return (
         hits.groupBy("doc_id")
         .agg(

@@ -34,7 +34,7 @@ def test_bloom_never_misses_members(spark):
     probes = spark.createDataFrame([(x,) for x in members + absent], ITEMS)
     hits = {
         r.item: r.bloom_hit
-        for r in SK.bloom_probe(probes, "item", bloom, ["item"]).collect()
+        for r in SK.bloom_probe(probes, "item", bloom).collect()
     }
     # one-sided error: every true member hits
     assert all(hits[m] for m in members)

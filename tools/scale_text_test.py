@@ -122,7 +122,7 @@ def main() -> None:
         grams.filter(F.col("doc_id") < 1000).select("ng"), "ng", m_bits
     )
     hits = bloom_probe(
-        grams.filter(F.col("doc_id") >= 1000), "ng", words, ["doc_id", "ng"], m_bits
+        grams.filter(F.col("doc_id") >= 1000), "ng", words, m_bits
     )
     n_contam = (
         hits.groupBy("doc_id")
