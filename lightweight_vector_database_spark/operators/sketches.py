@@ -107,7 +107,11 @@ def bloom_probe(
     ``words``. Row-preserving and shuffle-free on the probe side: the
     k positions become k broadcast hash joins against the tiny word
     relation (no explode fan, no regroup of the probe key space) —
-    at 100 TB the probe stream is touched exactly once, map-side."""
+    at 100 TB the probe stream is touched exactly once, map-side.
+    The word-relation subplan is instantiated once per hash (k small
+    shuffles of the BUILD side only); it is tiny by construction, but
+    ``words.persist()`` collapses those to one if the member set is
+    unusually large."""
     out = probes.withColumn("_h", F.md5(F.col(col)))
     set_checks = []
     for i in range(BLOOM_HASHES):
