@@ -54,17 +54,12 @@ def _md5_chunk(c: Column, start: int, width: int) -> Column:
     return F.conv(F.substring(F.md5(c), start, width), 16, 10).cast("long")
 
 
-def bloom_positions(c: Column, m_bits: int = BLOOM_BITS) -> list[Column]:
-    """k independent positions in [0, m_bits) from disjoint 24-bit md5
-    hex spans (4 x 6 of md5's 32 hex chars). ``m_bits`` must be a
-    power of two <= 2^24 so the modulo stays uniform."""
-    assert m_bits <= 1 << 24 and m_bits & (m_bits - 1) == 0
-    return [_md5_chunk(c, 1 + 6 * i, 6) % m_bits for i in range(BLOOM_HASHES)]
-
-
 def _pos_fan(df: DataFrame, col: str, m_bits: int, keep: list[str]) -> DataFrame:
-    """One md5 per row (named column, not relying on codegen CSE),
-    then explode the k positions — a single pass over the input."""
+    """k positions in [0, m_bits) from disjoint 24-bit spans of ONE
+    md5 per row (named column, not relying on codegen CSE), exploded
+    in a single pass. ``m_bits`` must be a power of two <= 2^24 so
+    the modulo stays uniform."""
+    assert m_bits <= 1 << 24 and m_bits & (m_bits - 1) == 0
     h = df.select(*keep, F.md5(F.col(col)).alias("_h"))
     pos = F.explode(
         F.array(
@@ -112,6 +107,7 @@ def bloom_probe(
     shuffles of the BUILD side only); it is tiny by construction, but
     ``words.persist()`` collapses those to one if the member set is
     unusually large."""
+    assert m_bits <= 1 << 24 and m_bits & (m_bits - 1) == 0
     out = probes.withColumn("_h", F.md5(F.col(col)))
     set_checks = []
     for i in range(BLOOM_HASHES):
