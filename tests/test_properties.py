@@ -141,3 +141,51 @@ def test_zorder_matches_numpy_interleave(sql, pts):
     got = {(r.x, r.y): r.zk for r in df.select("x", "y", key.alias("zk")).collect()}
     for (x, y), zk in got.items():
         assert zk == morton(x, y)
+
+
+item_txt = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    members=st.lists(item_txt, min_size=1, max_size=30, unique=True),
+    others=st.lists(item_txt, min_size=1, max_size=30, unique=True),
+)
+def test_bloom_membership_no_false_negatives(sql, members, others):
+    """One-sided error is a hard invariant: a Bloom filter may
+    overcount, it must NEVER miss a true member — for any member set."""
+    from lightweight_vector_database_spark.operators import sketches as SK
+
+    mdf = sql.createDataFrame([(m,) for m in members], "item string")
+    words = SK.bloom_build(mdf, "item")
+    probes = sql.createDataFrame(
+        [(x,) for x in set(members) | set(others)], "item string"
+    )
+    hits = {
+        r.item: r.bloom_hit
+        for r in SK.bloom_probe(probes, "item", words).collect()
+    }
+    assert all(hits[m] for m in members)
+
+
+@settings(max_examples=8, deadline=None)
+@given(stream=st.lists(item_txt, min_size=1, max_size=60))
+def test_cms_never_underestimates_vs_counter(sql, stream):
+    """Count-min point estimates dominate the true multiplicity for
+    any input multiset (min over rows of summed cells >= true count)."""
+    from collections import Counter
+
+    from lightweight_vector_database_spark.operators import sketches as SK
+
+    df = sql.createDataFrame([(x,) for x in stream], "item string")
+    cells = SK.cms_build_stream(df, "item")
+    items = sql.createDataFrame([(x,) for x in set(stream)], "item string")
+    est = {
+        r.item: r.cms_n for r in SK.cms_estimate(items, "item", cells).collect()
+    }
+    for k, n in Counter(stream).items():
+        assert est[k] >= n
