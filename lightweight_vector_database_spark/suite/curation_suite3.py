@@ -198,6 +198,57 @@ FROM hits GROUP BY 1
 )
 
 
+# --- deterministic train/val/test split -------------------------------------
+
+# 90/5/5 by the first 4 md5 hex digits of a salted doc key — the same
+# content-independent, seed-stable, engine-portable mechanism as
+# curation_mixture_sample, applied to holdout splitting: a doc's split
+# never changes as the corpus grows, so val/test stay uncontaminated
+# across re-runs and incremental ingests (floor(0.90 * 65536) = 0xe666,
+# floor(0.95 * 65536) = 0xf333).
+_TRAIN_HI = "e666"
+_VAL_HI = "f333"
+
+
+def _train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    split = (
+        F.when(key < _TRAIN_HI, F.lit("train"))
+        .when(key < _VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.groupBy("source", split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count("text")).alias("sum_tokens"),
+        )
+    )
+
+
+register(
+    "curation_train_split",
+    _train_split,
+    f"""
+WITH keyed AS (
+  SELECT source,
+         substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS k,
+         len(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT source,
+       CASE WHEN k < '{_TRAIN_HI}' THEN 'train'
+            WHEN k < '{_VAL_HI}' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
+FROM keyed GROUP BY 1, 2
+""",
+)
+
+
 # --- count-min sketch frequency estimation ----------------------------------
 
 _TOPK = 50
