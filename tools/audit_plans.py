@@ -17,7 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # Python boundaries that are intentional (documented Arrow paths)
 EXPECTED_PYTHON = {
     "knn_join_topk",  # partial top-k reduction (mapInPandas)
-    "dedup_minhash_candidates",  # none actually; verify
+    "dedup_minhash_candidates",  # tolerated, but the audit shows 0 Python ops (pure HOF fold)
     "multimodal_features",  # fake decoder mapInPandas
     "multimodal_frame_sample",
     "udaf_grouped_events",  # grouped-agg pandas UDAF
