@@ -30,11 +30,11 @@ def test_bloom_never_misses_members(spark):
     members = [f"member-{i}" for i in range(500)]
     absent = [f"absent-{i}" for i in range(500)]
     mdf = spark.createDataFrame([(m,) for m in members], ITEMS)
-    words = bloom = SK.bloom_build(mdf, "item")
+    words = SK.bloom_build(mdf, "item")
     probes = spark.createDataFrame([(x,) for x in members + absent], ITEMS)
     hits = {
         r.item: r.bloom_hit
-        for r in SK.bloom_probe(probes, "item", bloom).collect()
+        for r in SK.bloom_probe(probes, "item", words).collect()
     }
     # one-sided error: every true member hits
     assert all(hits[m] for m in members)
