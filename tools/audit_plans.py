@@ -26,6 +26,7 @@ EXPECTED_PYTHON = {
     "curation_compression_ratio",  # zlib is per-row Python by design (Arrow-batched)
     "udtf_repeated_terms",  # true Python UDTF (the op under test IS the Python boundary)
     "ann_ivfpq_refined",  # arrow cell+residual encode (build step); ADC serving is codegen
+    "knn_join_grid_indexed",  # batched matmul strategy (mapInPandas) — the documented high-throughput kNN-join path
 }
 
 
