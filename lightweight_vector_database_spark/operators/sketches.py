@@ -78,9 +78,13 @@ def bloom_build(items: DataFrame, col: str, m_bits: int = BLOOM_BITS) -> DataFra
     required — duplicates only re-set bits). Returns the word relation
     ``(word: long, bits: long)`` with at most m_bits/32 rows —
     small enough to broadcast, merge (bit_or on word), or persist.
-    Size ``m_bits`` to the expected set: ~16 bits/item keeps the
-    false-positive rate ~3e-4 with 4 hashes."""
-    return (
+    Size ``m_bits`` to the expected set: with 4 hashes, ~29 bits/item
+    gives a ~3e-4 false-positive rate, ~16 bits/item ~2.4e-3
+    (p = (1 - e^(-4n/m))^4). The filter size is stamped into the
+    ``bits`` column metadata so ``bloom_probe`` always reduces
+    positions mod the size the filter was BUILT with — a mismatch
+    would silently produce false negatives."""
+    words = (
         _pos_fan(items, col, m_bits, [])
         .select(
             (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
@@ -89,13 +93,14 @@ def bloom_build(items: DataFrame, col: str, m_bits: int = BLOOM_BITS) -> DataFra
         .groupBy("word")
         .agg(F.bit_or("m").alias("bits"))
     )
+    return words.withMetadata("bits", {"m_bits": m_bits})
 
 
 def bloom_probe(
     probes: DataFrame,
     col: str,
     words: DataFrame,
-    m_bits: int = BLOOM_BITS,
+    m_bits: int | None = None,
 ) -> DataFrame:
     """Membership test: returns ``probes`` with a ``bloom_hit``
     column, true iff all k bits for ``probes[col]`` are set in
@@ -106,7 +111,22 @@ def bloom_probe(
     The word-relation subplan is instantiated once per hash (k small
     shuffles of the BUILD side only); it is tiny by construction, but
     ``words.persist()`` collapses those to one if the member set is
-    unusually large."""
+    unusually large.
+
+    ``m_bits`` is normally omitted and read from the metadata
+    ``bloom_build`` stamped on ``words`` — probing with a different
+    size than the filter was built with is the one way to get a false
+    NEGATIVE, so an explicit mismatching value is an error."""
+    built = None
+    for f in words.schema.fields:
+        if f.name == "bits" and "m_bits" in (f.metadata or {}):
+            built = int(f.metadata["m_bits"])
+    if m_bits is None:
+        m_bits = built if built is not None else BLOOM_BITS
+    elif built is not None and m_bits != built:
+        raise ValueError(
+            f"bloom_probe m_bits={m_bits} != filter's build size {built}"
+        )
     assert m_bits <= 1 << 24 and m_bits & (m_bits - 1) == 0
     out = probes.withColumn("_h", F.md5(F.col(col)))
     set_checks = []
@@ -141,10 +161,14 @@ def cms_bucket(c: Column, row: int) -> Column:
     return _md5_chunk(salted, 1, 4) % CMS_WIDTH
 
 
-def _cms_fan(df: DataFrame, item_col: str, n_expr: Column) -> DataFrame:
-    """One pass over the input: explode the depth (row, bucket) probes
-    per item (no per-row union, no re-scan of the source)."""
-    return df.select(
+def _cms_fan(df: DataFrame, item_col: str, keep: list[Column]) -> DataFrame:
+    """The single source of the sketch's probe geometry: one pass over
+    the input exploding the depth (row, bucket) pairs per item (no
+    per-row union, no re-scan of the source), carrying ``keep``
+    columns through. Build and estimate both go through here so their
+    salts/buckets can never drift apart."""
+    fanned = df.select(
+        *keep,
         F.explode(
             F.array(
                 *[
@@ -156,8 +180,9 @@ def _cms_fan(df: DataFrame, item_col: str, n_expr: Column) -> DataFrame:
                 ]
             )
         ).alias("p"),
-        n_expr.alias("n"),
-    ).select("p.row", "p.bucket", "n")
+    )
+    keep_names = [c for c in fanned.columns if c != "p"]
+    return fanned.select(*keep_names, "p.row", "p.bucket")
 
 
 def cms_build(counts: DataFrame, item_col: str, n_col: str) -> DataFrame:
@@ -165,7 +190,7 @@ def cms_build(counts: DataFrame, item_col: str, n_col: str) -> DataFrame:
     has them). Returns ``(row, bucket, cell_n)``; two sketches merge
     by summing cell_n on (row, bucket)."""
     return (
-        _cms_fan(counts, item_col, F.col(n_col))
+        _cms_fan(counts, item_col, [F.col(n_col).alias("n")])
         .groupBy("row", "bucket")
         .agg(F.sum("n").alias("cell_n"))
     )
@@ -178,10 +203,8 @@ def cms_build_stream(items: DataFrame, item_col: str) -> DataFrame:
     cells, so the only shuffle is a few thousand rows regardless of
     how many distinct items exist (a per-item groupBy would shuffle
     the whole key space first)."""
-    return (
-        _cms_fan(items, item_col, F.lit(1).cast("long"))
-        .groupBy("row", "bucket")
-        .agg(F.sum("n").alias("cell_n"))
+    return cms_build(
+        items.withColumn("__one", F.lit(1).cast("long")), item_col, "__one"
     )
 
 
@@ -189,20 +212,7 @@ def cms_estimate(items: DataFrame, item_col: str, cells: DataFrame) -> DataFrame
     """Point estimate for each item: min over depth rows of its cell.
     Broadcast join against the (<= depth x width)-row cell relation,
     then a regroup on the item — never touches the raw stream."""
-    fan = items.select(
-        item_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        cms_bucket(F.col(item_col), r).alias("bucket"),
-                    )
-                    for r in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("p"),
-    ).select(item_col, "p.row", "p.bucket")
+    fan = _cms_fan(items, item_col, [F.col(item_col)])
     return (
         fan.join(F.broadcast(cells), ["row", "bucket"], "left")
         .groupBy(item_col)

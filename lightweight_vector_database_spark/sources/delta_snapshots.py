@@ -183,20 +183,35 @@ class DeltaSnapshotStore:
                 # concurrent commit's rows. Abort; caller re-reads.
                 self._release_claim(claim, token)
                 return None
-            if _rewrite or m["latest"] < 0:
-                prev = {
-                    "adds": [],
-                    "tombstones": [],
-                    # a rewrite resets the file log but the table's
-                    # schema lives on
-                    "schema": (
-                        self._entry(m, m["latest"]).get("schema")
-                        if m["latest"] >= 0
-                        else None
-                    ),
-                }
-            else:
-                prev = self._entry(m, m["latest"])
+            try:
+                if _rewrite or m["latest"] < 0:
+                    prev = {
+                        "adds": [],
+                        "tombstones": [],
+                        # an explicit rewrite with data REPLACES the
+                        # schema (the one way to retype or drop a
+                        # column); a data-less rewrite (truncate) keeps
+                        # the table's schema so it stays readable
+                        "schema": (
+                            self._entry(m, m["latest"]).get("schema")
+                            if m["latest"] >= 0 and append_df is None
+                            else None
+                        ),
+                    }
+                else:
+                    prev = self._entry(m, m["latest"])
+                # recorded so a version whose log holds only tombstone
+                # dirs (pure delete) stays readable as an empty table;
+                # MERGED with the previous schema so appends may evolve
+                # the table (add columns) without rewriting history —
+                # read() null-fills old files (see _align). May raise
+                # on an incompatible evolution — inside the try so the
+                # claim is released rather than leaked (a leaked claim
+                # stalls every writer for STALE_CLAIM_SECONDS).
+                new_schema = _merged_schema_json(prev.get("schema"), append_df)
+            except Exception:
+                self._release_claim(claim, token)
+                raise
             adds = [list(x) for x in prev["adds"]]
             tombs = [list(x) for x in prev["tombstones"]]
             if new_add is not None:
@@ -208,12 +223,7 @@ class DeltaSnapshotStore:
                 "tombstones": tombs,
                 "committed_at": time.time(),
                 "metadata": metadata or {},
-                # recorded so a version whose log holds only tombstone
-                # dirs (pure delete) stays readable as an empty table;
-                # MERGED with the previous schema so appends may evolve
-                # the table (add columns) without rewriting history —
-                # read() null-fills old files (see _align)
-                "schema": _merged_schema_json(prev.get("schema"), append_df),
+                "schema": new_schema,
             }
             m["latest"] = version
             # last-moment ownership re-check: if a peer broke our claim

@@ -134,8 +134,11 @@ FROM m
 
 # --- Bloom-filter decontamination (sketch scale path) -----------------------
 
-_NGRAM_N = 8
-_TEST_CUT = 50  # doc_id < 50 plays the held-out benchmark set
+# the superset-of-exact invariant (tests/test_sketches.py) compares
+# this query against curation_suite2's exact inverted-index join, so
+# both MUST measure the same population: share its constants
+from .curation_suite2 import _NGRAM_N, _TEST_CUT  # noqa: E402
+
 _MIN_HITS = 2
 
 

@@ -36,23 +36,29 @@ def _runs_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy("user_id").orderBy(*order)
     w_type = Window.partitionBy("user_id", "event_type").orderBy(*order)
     # island id = rn_all - rn_within_type: constant exactly over a
-    # maximal run of equal event_type
+    # maximal run of equal event_type. rn itself also orders the runs:
+    # runs are disjoint consecutive rn blocks, so min(rn) is an
+    # unambiguous temporal run order (ordering by (run_start,
+    # min(event_id)) instead can invert runs that share a start ts,
+    # because min(event_id) is taken over the WHOLE run, not its
+    # first row).
     grouped = ev.select(
         "user_id",
         "event_type",
         "ts",
         "event_id",
         "value",
+        F.row_number().over(w_all).alias("rn"),
         (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
     )
-    w_run = Window.partitionBy("user_id").orderBy(F.col("run_start"), F.col("first_event"))
+    w_run = Window.partitionBy("user_id").orderBy(F.col("first_rn"))
     return (
         grouped.groupBy("user_id", "event_type", "island")
         .agg(
             F.min("ts").alias("run_start"),
             F.max("ts").alias("run_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.min("event_id").alias("first_event"),
+            F.min("rn").alias("first_rn"),
             F.round(F.sum("value"), 6).alias("run_value"),
         )
         .withColumn("run_idx", F.row_number().over(w_run).cast("long"))
@@ -74,6 +80,7 @@ register(
     """
 WITH g AS (
   SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
          - row_number() OVER (PARTITION BY user_id, event_type
                               ORDER BY ts, event_id) AS island
@@ -81,13 +88,13 @@ WITH g AS (
 ), runs AS (
   SELECT user_id, event_type,
          min(ts) AS run_start, max(ts) AS run_end,
-         count(*) AS n_events, min(event_id) AS first_event,
+         count(*) AS n_events, min(rn) AS first_rn,
          round(sum(value), 6) AS run_value
   FROM g GROUP BY user_id, event_type, island
 )
 SELECT user_id,
        row_number() OVER (PARTITION BY user_id
-                          ORDER BY run_start, first_event) AS run_idx,
+                          ORDER BY first_rn) AS run_idx,
        event_type, run_start, run_end, n_events, run_value
 FROM runs
 """,

@@ -284,11 +284,16 @@ def test_schema_evolution_add_column(spark, tmp_path):
     got = {(r.vec_id, r.quality) for r in store.read().collect()}
     assert got == {(1, None), (2, "good")}
 
-    # type change is refused
+    # type change is refused — and the rejected commit must RELEASE
+    # its version claim (a leaked claim stalls every later writer for
+    # STALE_CLAIM_SECONDS)
     with pytest.raises(ValueError, match="schema evolution"):
         store.commit_append(
             spark.createDataFrame([(9, 9.0, 5)], "vec_id long, v double, quality long")
         )
+    import glob
+
+    assert glob.glob(str(tmp_path / "d" / "_claim_v*")) == []
 
     # numeric widening is allowed (int -> bigint), old files cast up
     store.commit_append(
@@ -307,3 +312,11 @@ def test_schema_evolution_add_column(spark, tmp_path):
     store.compact()
     got = {(r.vec_id, r.v, r.quality) for r in store.read().collect()}
     assert got == {(1, 1.0, None), (2, 2.0, "good"), (3, 3.0, "ok"), (4, 4.0, "ok")}
+
+    # an explicit full rewrite REPLACES the schema — the one way to
+    # retype or drop a column (appends can only add/widen)
+    store.commit_full(
+        spark.createDataFrame([(1, 1.0, 5)], "vec_id long, v double, quality long")
+    )
+    assert dict(store.read().dtypes)["quality"] == "bigint"
+    assert "score" not in store.read().columns

@@ -45,6 +45,18 @@ def test_bloom_never_misses_members(spark):
     # the word relation is tiny — that's what makes it broadcastable
     assert words.count() <= SK.BLOOM_BITS // SK.BLOOM_WORD_BITS
 
+    # probing with a different size than the filter was built with is
+    # the one way to get a false negative — it must be refused, and an
+    # omitted m_bits must resolve to the build size via metadata
+    big = SK.bloom_build(mdf, "item", m_bits=1 << 20)
+    with pytest.raises(ValueError, match="build size"):
+        SK.bloom_probe(probes, "item", big, m_bits=1 << 16)
+    hits_big = {
+        r.item: r.bloom_hit
+        for r in SK.bloom_probe(probes, "item", big).collect()
+    }
+    assert all(hits_big[m] for m in members)
+
 
 def test_bloom_contamination_superset_of_exact(spark, sf_dir):
     """Bloom decontamination can overflag (false positives) but must
@@ -141,15 +153,17 @@ def test_cms_streaming_maintenance_equals_batch(spark, docs, tmp_path):
             .groupBy("ng")
             .agg(F.count(F.lit(1)).alias("n"))
         )
+        import os
+
         delta = SK.cms_build(counts, "ng", "n")
-        try:
+        if os.path.exists(cells_dir):
             prev = spark.read.parquet(cells_dir)
             merged = (
                 prev.unionByName(delta)
                 .groupBy("row", "bucket")
                 .agg(F.sum("cell_n").alias("cell_n"))
             )
-        except Exception:
+        else:
             merged = delta
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(cells_dir)
 

@@ -112,7 +112,8 @@ def main() -> None:
     )
 
     # Bloom decontamination: doc_id < 1000 plays the benchmark set
-    # (~73k distinct 8-grams); 4 Mbit filter keeps ~16 bits/item.
+    # (~73k distinct 8-grams); a 4 Mbit filter is ~57 bits/item ->
+    # false-positive rate ~2e-5 with 4 hashes.
     t0 = time.time()
     m_bits = 1 << 22
     grams = docs.select(
