@@ -252,6 +252,59 @@ FROM keyed GROUP BY 1, 2
 )
 
 
+# --- fixed-size per-stratum sampling -----------------------------------------
+
+_SAMPLE_K = 5
+
+
+def _stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k docs per source, drawn by ranking a salted md5 key —
+    the quota-sampling primitive that complements the hash-FRACTION
+    ops (mixture sample, train split): those keep a rate, this keeps a
+    fixed count per stratum. Deterministic and engine-portable like
+    the rest of the family, and served by the generic per-group top-k
+    operator, whose map-side partial reduction keeps the shuffle at
+    #partitions x k x #strata rows at scale."""
+    from ..operators.topk import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))).alias(
+            "draw_key"
+        ),
+    )
+    out = topk_per_group(
+        keyed,
+        ["source"],
+        "draw_key",
+        k=_SAMPLE_K,
+        ascending=True,
+        tiebreak="doc_id",
+        rank_col="draw_rank",
+    )
+    return out.select(
+        "source", "doc_id", F.col("draw_rank").cast("long").alias("draw_rank")
+    )
+
+
+register(
+    "curation_stratified_sample_k",
+    _stratified_sample_k,
+    f"""
+SELECT source, doc_id, draw_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS draw_rank
+  FROM documents
+) WHERE draw_rank <= {_SAMPLE_K}
+""",
+)
+
+
 # --- count-min sketch frequency estimation ----------------------------------
 
 _TOPK = 50
