@@ -252,6 +252,63 @@ FROM keyed GROUP BY 1, 2
 )
 
 
+# --- cross-document n-gram novelty -------------------------------------------
+
+
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: the fraction of its distinct word 8-grams
+    whose FIRST corpus occurrence (by doc_id order) is this doc — the
+    cross-document self-repetition signal that catches boilerplate
+    and template farms dedup misses (docs similar to MANY others
+    without any single near-duplicate). Shape: one inverted-index
+    aggregate on the gram (min doc_id) joined back, then a per-doc
+    aggregate — both with map-side partials; the gram relation is the
+    same one the contamination queries build, so at scale the
+    min-doc index is a shareable byproduct."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.word_ngrams("text", _NGRAM_N))).alias("ng"),
+    )
+    first = grams.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("doc_id") == F.col("first_doc")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty_frac"),
+        )
+    )
+
+
+register(
+    "curation_ngram_novelty",
+    _ngram_novelty,
+    f"""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(w[i:i + {_NGRAM_N} - 1], ' ')
+                 FOR i IN range(1, greatest(len(w) - {_NGRAM_N} + 1, 0) + 1)]) AS ng
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), first AS (
+  SELECT ng, min(doc_id) AS first_doc FROM g GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_grams,
+       count(*) FILTER (WHERE doc_id = first_doc) AS n_novel,
+       round(count(*) FILTER (WHERE doc_id = first_doc) * 1.0 / count(*), 6)
+         AS novelty_frac
+FROM g JOIN first USING (ng)
+GROUP BY 1
+""",
+)
+
+
 # --- fixed-size per-stratum sampling -----------------------------------------
 
 _SAMPLE_K = 5
