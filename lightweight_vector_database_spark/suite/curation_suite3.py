@@ -252,6 +252,70 @@ FROM keyed GROUP BY 1, 2
 )
 
 
+# --- containment pairs (asymmetric near-dup) ---------------------------------
+
+_CONTAIN_CUT = 0.5
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs where the smaller doc's trigram set is >= 50%
+    contained in the other — the ASYMMETRIC overlap metric that
+    catches quotes, excerpts, and templated supersets jaccard
+    under-scores (a short doc fully inside a long one has tiny
+    jaccard but containment 1.0). Small-scale exact baseline on the
+    same inverted-index shape as the jaccard pairs; at corpus scale
+    the same formula runs on minhash-LSH candidates instead of all
+    sharing pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.word_ngrams("text", 3))).alias("ng")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("id1"), "ng")
+    b = grams.select(F.col("doc_id").alias("id2"), "ng")
+    shared = (
+        a.join(b, "ng")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least(F.col("n1"), F.col("n2")), 6),
+        )
+        .filter(F.col("containment") >= _CONTAIN_CUT)
+        .select("id1", "id2", "shared", "containment")
+    )
+
+
+register(
+    "dedup_containment_pairs",
+    _containment_pairs,
+    f"""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(w[i:i + 2], ' ')
+                 FOR i IN range(1, greatest(len(w) - 2, 0) + 1)]) AS ng
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+), sh AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+  FROM g a JOIN g b USING (ng) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id1, id2, shared,
+       round(shared * 1.0 / least(s1.n, s2.n), 6) AS containment
+FROM sh JOIN sz s1 ON sh.id1 = s1.doc_id JOIN sz s2 ON sh.id2 = s2.doc_id
+WHERE round(shared * 1.0 / least(s1.n, s2.n), 6) >= {_CONTAIN_CUT}
+""",
+)
+
+
 # --- cross-document n-gram novelty -------------------------------------------
 
 
