@@ -24,11 +24,15 @@ Five families, each with an explicit 100 TB story:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.distance import cosine_distance
 from ..functions.text import content_sha256, tokens, word_ngrams
+
+_LOG = logging.getLogger(__name__)
 
 # --- exact ---------------------------------------------------------------
 
@@ -297,15 +301,99 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
+def _cap_band_sides(
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket: int | None,
+    oversize: str = "drop",
+    id_col: str = "id",
+    label: str = "lsh",
+) -> tuple[DataFrame, DataFrame]:
+    """Bound the Σ bucket² pair blowup of a banded self-join.
+
+    A boilerplate-heavy corpus (near-identical templates, legal
+    headers, SEO spam) lands thousands of docs in ONE (band, bucket):
+    the self-join then emits bucket² pairs for it — at 100 TB that one
+    bucket is the whole job. This is the analogue of the reference's
+    bounded ``max_leaf_size`` (kd_tree_database.py:98): no unbounded
+    per-cell work, ever. Two strategies for buckets over ``max_bucket``:
+
+    - ``oversize='drop'``: exclude the bucket from BOTH join sides.
+      Pairs below the cap are untouched (tested pair-set equality);
+      the dropped membership mass is logged — never a silent cap.
+      Members of a mega-bucket are near-certain duplicates of each
+      other; a follow-up exact pass on just those (tiny) groups
+      recovers them if needed.
+    - ``oversize='star'``: keep only the bucket's min-id member on the
+      probe side, all members on the build side — b-1 star edges
+      instead of b(b-1)/2, linear in bucket size. Preserves
+      connected-component reachability (every member still linked to
+      the representative), so LSH->CC clustering loses nothing; pair
+      ENUMERATION semantics change (non-star pairs of the mega-bucket
+      are not emitted), and downstream exact filters (hamming/jaccard)
+      apply to the star edges only.
+
+    Cost: one count aggregate per (band, bucket) — same key the join
+    shuffles on — joined back to the banded relation. The stats
+    relation is persisted when the dropped-mass log runs (one small
+    action) so the main query reuses it.
+    """
+    if max_bucket is None:
+        return banded, banded
+    if max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (a pair needs 2 members)")
+    if oversize not in ("drop", "star"):
+        raise ValueError(f"oversize must be 'drop' or 'star', got {oversize!r}")
+    stats = banded.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__bmin")
+    )
+    # "no silent caps": surface the dropped mass. One small aggregate
+    # action over the persisted stats; the pair join below reuses it.
+    stats = stats.persist()
+    d = (
+        stats.filter(F.col("__bsz") > max_bucket)
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(F.sum("__bsz"), F.lit(0)).alias("members"),
+        )
+        .first()
+    )
+    if d is not None and d["nb"]:
+        _LOG.warning(
+            "%s: %d bucket(s) over max_bucket=%d (%d memberships) %s",
+            label,
+            d["nb"],
+            max_bucket,
+            d["members"],
+            "dropped from candidate generation"
+            if oversize == "drop"
+            else "reduced to star edges on the min-id representative",
+        )
+    joined = banded.join(stats, keys)
+    if oversize == "drop":
+        kept = joined.filter(F.col("__bsz") <= max_bucket).drop("__bsz", "__bmin")
+        return kept, kept
+    a_side = joined.filter(
+        (F.col("__bsz") <= max_bucket) | (F.col(id_col) == F.col("__bmin"))
+    ).drop("__bsz", "__bmin")
+    return a_side, joined.drop("__bsz", "__bmin")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
     id_col: str = "id",
     sig_len: int | None = None,
+    max_bucket: int | None = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` bands, bucket by
     (band index, band hash), emit distinct (id1 < id2) pairs sharing a
     bucket. Shuffle cost is linear in rows x bands.
+
+    ``max_bucket`` bounds per-bucket pair generation (see
+    ``_cap_band_sides``) — without it a boilerplate mega-bucket costs
+    bucket² pairs, the classic 100 TB LSH failure mode.
 
     Pass ``sig_len`` when known to avoid a probe job on ``signatures``."""
     if sig_len is None:
@@ -328,8 +416,11 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a = banded.select("band", "bucket", F.col("id").alias("id1"))
-    b = banded.select("band", "bucket", F.col("id").alias("id2"))
+    a_src, b_src = _cap_band_sides(
+        banded, ["band", "bucket"], max_bucket, oversize, label="lsh_candidate_pairs"
+    )
+    a = a_src.select("band", "bucket", F.col("id").alias("id1"))
+    b = b_src.select("band", "bucket", F.col("id").alias("id2"))
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
@@ -345,16 +436,21 @@ def minhash_dedup_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     ngram: int = 1,
+    max_bucket: int | None = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """MinHash LSH near-dup candidates with estimated jaccard (fraction
-    of agreeing signature positions).
+    of agreeing signature positions). ``max_bucket``/``oversize`` bound
+    oversized LSH buckets (see ``_cap_band_sides``).
 
     Signatures are cached: the 32-permutation expression is expensive
     enough that recomputing it for the bucket join and both est-jaccard
     joins would triple the work (at any scale you'd persist the
     signature table anyway — it IS the index)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, ngram).cache()
-    cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes)
+    cands = lsh_candidate_pairs(
+        sigs, bands, sig_len=num_hashes, max_bucket=max_bucket, oversize=oversize
+    )
     s1 = sigs.select(F.col("id").alias("id1"), F.col("signature").alias("__s1"))
     s2 = sigs.select(F.col("id").alias("id2"), F.col("signature").alias("__s2"))
     est = F.size(
@@ -426,6 +522,8 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """EXACT near-dup pairs at hamming <= ``max_hamming`` without an
     all-pairs join: band the 64-bit simhash into ``bands`` equal bit
@@ -439,6 +537,9 @@ def simhash_candidate_pairs(
     The join shuffles on the band key: at 100 TB the pair space is
     bounded by per-bucket collisions, not n^2. Raise ``bands`` to
     widen the guaranteed radius at the cost of more candidates.
+    ``max_bucket`` bounds per-bucket pair work (``_cap_band_sides``);
+    NOTE under a cap the pigeonhole-exactness guarantee applies only
+    to pairs whose shared bucket is under the cap.
     """
     if max_hamming > bands - 1:
         raise ValueError(
@@ -464,10 +565,13 @@ def simhash_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.key")
-    a = banded.select(
+    a_src, b_src = _cap_band_sides(
+        banded, ["band", "key"], max_bucket, oversize, label="simhash_candidate_pairs"
+    )
+    a = a_src.select(
         F.col("id").alias("id1"), F.col("simhash").alias("__h1"), "band", "key"
     )
-    b = banded.select(
+    b = b_src.select(
         F.col("id").alias("id2"), F.col("simhash").alias("__h2"), "band", "key"
     )
     return (
@@ -559,6 +663,8 @@ def embedding_srp_pairs(
     num_bits: int = 32,
     dim: int = 64,
     seed: int = 7,
+    max_bucket: int | None = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """EXACT embedding near-dup pairs at SRP-hamming <= ``max_hamming``
     without an all-pairs join — the scale path ``embedding_topk_pairs``
@@ -570,7 +676,11 @@ def embedding_srp_pairs(
 
     The join shuffles on the band key: pair space is bounded by
     per-bucket collisions, not n^2 — at 100 TB this is the difference
-    between a dedup pass and an impossibility.
+    between a dedup pass and an impossibility. ``max_bucket`` bounds
+    per-bucket pair work too (``_cap_band_sides``): a cluster of
+    near-identical embeddings (re-encoded boilerplate) otherwise pays
+    bucket² in EVERY band it collides in. Under a cap the pigeonhole
+    exactness applies only to pairs with an under-cap shared bucket.
     """
     if num_bits % bands != 0:
         raise ValueError("num_bits must divide evenly into bands")
@@ -603,11 +713,14 @@ def embedding_srp_pairs(
             )
         ).alias("bk"),
     ).select("id", "__v", "sig", "bk.band", "bk.key")
-    a = banded.select(
+    a_src, b_src = _cap_band_sides(
+        banded, ["band", "key"], max_bucket, oversize, label="embedding_srp_pairs"
+    )
+    a = a_src.select(
         F.col("id").alias("id1"), F.col("__v").alias("__v1"),
         F.col("sig").alias("__s1"), "band", "key",
     )
-    b = banded.select(
+    b = b_src.select(
         F.col("id").alias("id2"), F.col("__v").alias("__v2"),
         F.col("sig").alias("__s2"), "band", "key",
     )

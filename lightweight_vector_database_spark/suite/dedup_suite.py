@@ -187,14 +187,18 @@ def _minhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cte(num_hashes: int = 32, bands: int = 8) -> str:
+def _minhash_cte(
+    num_hashes: int = 32, bands: int = 8, max_bucket: int | None = None
+) -> str:
     """DuckDB CTE body reproducing the MinHash pipeline with the same
     (a, b) params baked in, ending in ``pairs (id1, id2, est)`` —
     candidate pairs with the UNROUNDED agreement estimate. Differences
     from the Spark plan are representational only: band buckets join
     on the band's value string instead of its xxhash64 (equal content
     <=> equal bucket), and the signature fold is k list_min's instead
-    of one fold — same values."""
+    of one fold — same values. ``max_bucket`` mirrors the drop-mode
+    bucket cap (operators/dedup._cap_band_sides): buckets over the cap
+    are excluded from BOTH sides of the pair join."""
     from ..operators.dedup import _MERSENNE31 as P
     from ..operators.dedup import _perm_params
 
@@ -213,6 +217,18 @@ def _minhash_cte(num_hashes: int = 32, bands: int = 8) -> str:
         )
         for band in range(bands)
     )
+    cap_ctes = ""
+    cand_src = "bands"
+    if max_bucket is not None:
+        cap_ctes = f"""bstat AS (
+  SELECT band, key, count(*) AS bsz FROM bands GROUP BY 1, 2
+),
+kept AS (
+  SELECT b.doc_id, b.band, b.key FROM bands b
+  JOIN bstat USING (band, key) WHERE bsz <= {max_bucket}
+),
+"""
+        cand_src = "kept"
     return f"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 g AS (
   SELECT doc_id,
@@ -235,9 +251,9 @@ sig AS (
 bands AS (
   {band_selects}
 ),
-cand AS (
+{cap_ctes}cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM bands a JOIN bands b
+  FROM {cand_src} a JOIN {cand_src} b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ),
 pairs AS (
@@ -256,6 +272,37 @@ register(
     _minhash_cands,
     f"""
 WITH {_minhash_cte()}
+SELECT id1, id2, round(est, 6) AS est_jaccard FROM pairs
+""",
+)
+
+
+_CAP = 2  # sf0.01 has 8 size-3 buckets, so this cap genuinely drops mass
+
+
+def _minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-CAPPED LSH candidate path — the 100 TB hardening of
+    `dedup_minhash_candidates`: buckets over ``max_bucket`` members are
+    dropped (with their membership mass logged) before the pair join,
+    bounding per-bucket work at max_bucket² where a boilerplate
+    mega-bucket would otherwise pay bucket². A pair survives iff ANY
+    of its shared buckets is under the cap — the DuckDB oracle
+    replicates exactly that semantics (same cap on the band CTE), so
+    the cap itself is value-checked, not just the happy path."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.minhash_dedup_candidates(
+        docs, num_hashes=32, bands=8, ngram=3, max_bucket=_CAP
+    )
+    return out.select(
+        "id1", "id2", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
+    )
+
+
+register(
+    "dedup_minhash_capped",
+    _minhash_capped,
+    f"""
+WITH {_minhash_cte(max_bucket=_CAP)}
 SELECT id1, id2, round(est, 6) AS est_jaccard FROM pairs
 """,
 )

@@ -286,3 +286,129 @@ def test_lsh_clusters_invariants(spark, sf_dir):
     assert edges  # fixture sanity: the threshold keeps some edges
     for e in edges:
         assert label[e.id1] == label[e.id2]
+
+
+# --- bucket caps (Σ bucket² bound for boilerplate mega-buckets) ------------
+
+
+def _mega_bucket_docs(spark, clique: int = 40):
+    """Planted mega-bucket: ``clique`` IDENTICAL docs (land in the same
+    LSH bucket in EVERY band) + distinct docs with one true near-dup
+    pair outside the clique."""
+    boiler = [(i, "the same boilerplate template text repeated verbatim")
+              for i in range(clique)]
+    distinct = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 100
+        (102, "completely different words nothing shared here at all"),
+        (103, "yet another unrelated document body with its own tokens"),
+    ]
+    return spark.createDataFrame(boiler + distinct, SCHEMA)
+
+
+def test_lsh_cap_drop_preserves_under_cap_pairs(spark, caplog):
+    import logging
+
+    docs = _mega_bucket_docs(spark)
+    kw = dict(num_hashes=32, bands=8, ngram=1)
+    uncapped = {(r.id1, r.id2) for r in D.minhash_dedup_candidates(docs, **kw).collect()}
+    with caplog.at_level(logging.WARNING,
+                         logger="lightweight_vector_database_spark.operators.dedup"):
+        capped = {
+            (r.id1, r.id2)
+            for r in D.minhash_dedup_candidates(docs, max_bucket=10, **kw).collect()
+        }
+    clique_pairs = {(a, b) for (a, b) in uncapped if a < 40 and b < 40}
+    assert len(clique_pairs) == 40 * 39 / 2  # uncapped pays the quadratic cost
+    # capped: the mega-bucket's quadratic pair set is gone...
+    assert not any(a < 40 and b < 40 for (a, b) in capped)
+    # ...and every under-cap pair is preserved exactly
+    assert capped == uncapped - clique_pairs
+    assert (100, 101) in capped
+    # the dropped mass was logged — never a silent cap
+    assert any("max_bucket" in r.message for r in caplog.records)
+
+
+def test_lsh_cap_star_keeps_clique_connected(spark):
+    docs = _mega_bucket_docs(spark)
+    kw = dict(num_hashes=32, bands=8, ngram=1)
+    star = {
+        (r.id1, r.id2)
+        for r in D.minhash_dedup_candidates(
+            docs, max_bucket=10, oversize="star", **kw
+        ).collect()
+    }
+    # linear, not quadratic: clique contributes exactly its star edges
+    clique_star = {(a, b) for (a, b) in star if a < 40 and b < 40}
+    assert clique_star == {(0, i) for i in range(1, 40)}
+    assert (100, 101) in star  # under-cap pairs intact
+    # est_jaccard on star edges is still the true signature agreement
+    est = {
+        (r.id1, r.id2): r.est_jaccard
+        for r in D.minhash_dedup_candidates(
+            docs, max_bucket=10, oversize="star", **kw
+        ).collect()
+    }
+    assert est[(0, 1)] == 1.0  # identical docs agree on every slot
+
+
+def test_simhash_cap_drop_and_star(spark):
+    docs = _mega_bucket_docs(spark, clique=30)
+    uncapped = {(r.id1, r.id2) for r in D.simhash_candidate_pairs(docs).collect()}
+    dropped = {
+        (r.id1, r.id2)
+        for r in D.simhash_candidate_pairs(docs, max_bucket=8).collect()
+    }
+    star = {
+        (r.id1, r.id2)
+        for r in D.simhash_candidate_pairs(
+            docs, max_bucket=8, oversize="star"
+        ).collect()
+    }
+    clique = {(a, b) for (a, b) in uncapped if a < 30 and b < 30}
+    assert len(clique) == 30 * 29 / 2
+    assert dropped == uncapped - clique
+    assert {(a, b) for (a, b) in star if a < 30 and b < 30} == {
+        (0, i) for i in range(1, 30)
+    }
+
+
+def test_srp_cap_drop_pair_equality(spark):
+    # identical embeddings -> identical SRP signature -> one mega-bucket
+    # per band; two distinct near-dup vectors stay under the cap
+    base = [0.1 * ((i % 7) - 3) for i in range(64)]
+    near = list(base)
+    near[0] += 0.001
+    rows = [(i, base) for i in range(25)] + [(100, near), (101, [-x for x in base])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(max_hamming=1, bands=4, num_bits=32)
+    uncapped = {(r.id1, r.id2) for r in D.embedding_srp_pairs(emb, **kw).collect()}
+    capped = {
+        (r.id1, r.id2)
+        for r in D.embedding_srp_pairs(emb, max_bucket=10, **kw).collect()
+    }
+    # 100's perturbed vector lands in the SAME signature bucket as the
+    # clique, so the mega-bucket is {0..24, 100} and every pair inside
+    # it (including the i-100 near-dup pairs) rides the cap
+    bucket = set(range(25)) | {100}
+    clique = {(a, b) for (a, b) in uncapped if a in bucket and b in bucket}
+    assert len(clique) == 26 * 25 / 2
+    assert capped == uncapped - clique
+    # star mode keeps 100 reachable from the representative instead
+    star = {
+        (r.id1, r.id2)
+        for r in D.embedding_srp_pairs(
+            emb, max_bucket=10, oversize="star", **kw
+        ).collect()
+    }
+    assert (0, 100) in star
+    # (100 never pairs with 101: opposite signs differ in every bit)
+    assert (100, 101) not in uncapped
+
+
+def test_cap_validation(spark):
+    docs = _mega_bucket_docs(spark, clique=3)
+    with pytest.raises(ValueError, match="max_bucket"):
+        D.minhash_dedup_candidates(docs, max_bucket=1).collect()
+    with pytest.raises(ValueError, match="oversize"):
+        D.minhash_dedup_candidates(docs, max_bucket=5, oversize="sample").collect()
