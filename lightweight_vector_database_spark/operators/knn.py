@@ -179,6 +179,9 @@ def _partial_topk(
     return scored.mapInPandas(local_topk, schema=schema)
 
 
+MATMUL_MAX_PROBES_PER_PASS = 10_000
+
+
 def knn_join_matmul(
     probes: DataFrame,
     base: DataFrame,
@@ -187,6 +190,7 @@ def knn_join_matmul(
     probe_vec_col: str = "probe_vec",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_probes_per_pass: int = MATMUL_MAX_PROBES_PER_PASS,
 ) -> DataFrame:
     """Batched kNN-join for LARGE batches: one mapInPandas pass over
     the base table with every probe in the task closure.
@@ -203,8 +207,18 @@ def knn_join_matmul(
     window ranks k per probe. Squared-Euclidean only.
 
     Base rows never shuffle; output of the map phase is k*B rows per
-    partition, so the window input is tiny. The probe batch must fit
-    in a task closure (fine up to ~10^4 probes x dim 64).
+    partition, so the window input is tiny.
+
+    The probe batch rides the task closure, which bounds it: over
+    ``max_probes_per_pass`` probes (default 10^4 — ~5 MB of closure at
+    dim 64, plus the B x batch distance matrix in task memory) the
+    probes are CHUNKED into ceil(P/bound) independent map passes whose
+    outputs union before the shared window. Each pass re-scans the
+    base (chunks x scans total) — for probe sets that large, consider
+    the index-partitioned path (plans/grid_index.knn_join_indexed)
+    instead; the chunking here makes the closure bound enforced rather
+    than documented-only. Results are identical regardless of
+    chunking: each probe's candidate set is computed independently.
     """
     import pandas as pd
 
@@ -212,37 +226,51 @@ def knn_join_matmul(
     if not probe_rows:
         return knn_join(probes, base, k, probe_id_col=probe_id_col,
                         probe_vec_col=probe_vec_col, vec_col=vec_col, id_col=id_col)
-    pids = np.array([r[0] for r in probe_rows], dtype=np.int64)
-    P = np.stack([np.asarray(list(r[1]), dtype=np.float64) for r in probe_rows])
-    p_sq = (P**2).sum(axis=1)
-    nb = len(pids)
+    if max_probes_per_pass < 1:
+        raise ValueError("max_probes_per_pass must be >= 1")
+    all_pids = np.array([r[0] for r in probe_rows], dtype=np.int64)
+    all_P = np.stack([np.asarray(list(r[1]), dtype=np.float64) for r in probe_rows])
     keep = min(2 * k, 10**9)  # fp-boundary padding for candidate selection
+    src = base.select(id_col, vec_col)
 
-    def fn(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            ids = pdf[id_col].to_numpy()
-            D = (M**2).sum(axis=1)[:, None] - 2.0 * (M @ P.T) + p_sq[None, :]
-            kk = min(keep, len(ids))
-            sel = np.argpartition(D, kk - 1, axis=0)[:kk] if kk < len(ids) else (
-                np.arange(len(ids))[:, None].repeat(nb, axis=1)
-            )
-            out_pid, out_id, out_dist = [], [], []
-            for bi in range(nb):
-                rows = sel[:, bi]
-                exact = ((M[rows] - P[bi][None, :]) ** 2).sum(axis=1)
-                out_pid.extend([pids[bi]] * len(rows))
-                out_id.extend(ids[rows].tolist())
-                out_dist.extend(exact.tolist())
-            yield pd.DataFrame(
-                {probe_id_col: out_pid, id_col: out_id, "dist": out_dist}
-            )
+    def scored_chunk(pids: np.ndarray, P: np.ndarray) -> DataFrame:
+        p_sq = (P**2).sum(axis=1)
+        nb = len(pids)
 
-    scored = base.select(id_col, vec_col).mapInPandas(
-        fn, f"{probe_id_col} long, {id_col} long, dist double"
-    )
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                ids = pdf[id_col].to_numpy()
+                D = (M**2).sum(axis=1)[:, None] - 2.0 * (M @ P.T) + p_sq[None, :]
+                kk = min(keep, len(ids))
+                sel = np.argpartition(D, kk - 1, axis=0)[:kk] if kk < len(ids) else (
+                    np.arange(len(ids))[:, None].repeat(nb, axis=1)
+                )
+                out_pid, out_id, out_dist = [], [], []
+                for bi in range(nb):
+                    rows = sel[:, bi]
+                    exact = ((M[rows] - P[bi][None, :]) ** 2).sum(axis=1)
+                    out_pid.extend([pids[bi]] * len(rows))
+                    out_id.extend(ids[rows].tolist())
+                    out_dist.extend(exact.tolist())
+                yield pd.DataFrame(
+                    {probe_id_col: out_pid, id_col: out_id, "dist": out_dist}
+                )
+
+        return src.mapInPandas(
+            fn, f"{probe_id_col} long, {id_col} long, dist double"
+        )
+
+    chunks = [
+        scored_chunk(all_pids[i : i + max_probes_per_pass],
+                     all_P[i : i + max_probes_per_pass])
+        for i in range(0, len(all_pids), max_probes_per_pass)
+    ]
+    scored = chunks[0]
+    for extra in chunks[1:]:
+        scored = scored.unionAll(extra)
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("dist").asc(), F.col(id_col).asc()
     )

@@ -112,6 +112,26 @@ def _knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("knn_grid_indexed", _knn_grid, _knn_oracle("euclidean_sq", _PROBE))
 
 
+def _knn_chebyshev_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-infinity kNN served through the grid index — completes the
+    prune-every-metric parity with the reference (every metric class,
+    distance_metric.py:95-104, prunes via kd_tree_database.py:180):
+    chebyshev has closed-form box bounds (lower = max per-dim gap,
+    upper = max per-dim farthest corner) in GridIndex.lower/
+    upper_bound_dists, so the candidate-cell cut is exact and the
+    result equals the brute scan (same oracle as knn_chebyshev)."""
+    snap, stats = _indexed_snapshot(spark, sf_dir)
+    out = knn_indexed(snap, _INDEX, _PROBE, k=10, metric="chebyshev", stats=stats)
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
+register(
+    "knn_chebyshev_indexed",
+    _knn_chebyshev_indexed,
+    _knn_oracle("chebyshev", _PROBE),
+)
+
+
 def warm_index(spark: SparkSession, sf_dir: str) -> None:
     """Run the index *build + deploy* step: write (or reuse) the
     cell-partitioned snapshot, load its per-cell counts, and execute

@@ -129,3 +129,43 @@ def _hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (no DuckDB twin); exact_users is the in-row cross-check and the
 # estimate invariants are pinned in tests/test_sketches.py
 register("sketch_hll_user_cardinality", _hll_cardinality)
+
+
+def _salted_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew machinery (operators/skew.salted_agg) on a REAL hot
+    path: per-customer order stats via two-level aggregation — partial
+    agg on (custkey, salt) spreads any hot key over 16 reducers, final
+    agg on custkey merges the partials. At 100 TB a power-law customer
+    (or the TPC-H q18 big-spender tail) makes the single-level groupBy
+    reducer the straggler; the salted plan's first exchange hashes on
+    (key, salt) so no reducer ever sees more than ~1/16 of a hot key.
+    Results are partitioning-independent == the plain GROUP BY oracle;
+    the two-level plan shape is pinned in tests/test_plan_properties.py."""
+    from ..operators.skew import salted_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = salted_agg(
+        orders,
+        ["o_custkey"],
+        {
+            "n_orders": (F.count(F.lit(1)), F.sum("n_orders")),
+            "revenue": (F.sum("o_totalprice"), F.round(F.sum("revenue"), 2)),
+            "max_price": (F.max("o_totalprice"), F.max("max_price")),
+        },
+        salt_buckets=16,
+    )
+    return out.filter(F.col("n_orders") >= 8).select(
+        "o_custkey", "n_orders", "revenue", "max_price"
+    )
+
+
+register(
+    "agg_salted_customer_totals",
+    _salted_customer_totals,
+    """
+SELECT o_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY o_custkey HAVING count(*) >= 8
+""",
+)

@@ -135,3 +135,74 @@ def test_knn_join_matmul_matches_window(spark, sf_dir):
         for r in knn_join_matmul(probes, emb, 4).collect()
     }
     assert mm == ref  # exact distances recomputed -> bit-identical
+
+
+def test_knn_join_matmul_chunked_matches_window(spark, sf_dir):
+    """Chunking is purely physical: forcing a tiny max_probes_per_pass
+    (many union'd passes) must give results identical to the window
+    path and to the single-pass matmul."""
+    from lightweight_vector_database_spark.operators.knn import (
+        knn_join,
+        knn_join_matmul,
+    )
+    from lightweight_vector_database_spark.probes import probe_vector
+    from lightweight_vector_database_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = spark.createDataFrame(
+        [(i, [float(x) for x in probe_vector(seed=200 + i)]) for i in range(23)],
+        "probe_id long, probe_vec array<double>",
+    )
+    ref = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.dist, 9))
+        for r in knn_join(probes, emb, 3, strategy="window").collect()
+    }
+    chunked = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.dist, 9))
+        for r in knn_join_matmul(probes, emb, 3, max_probes_per_pass=7).collect()
+    }
+    single = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.dist, 9))
+        for r in knn_join_matmul(probes, emb, 3).collect()
+    }
+    assert chunked == ref and single == ref
+
+
+def test_knn_join_matmul_100k_probes_chunks(spark):
+    """The closure bound is ENFORCED, not documented: 10^5 probes run
+    as ceil(P/10^4) = 10 chunked passes and produce the same result as
+    one (explicitly oversized) single pass."""
+    import numpy as np
+
+    from lightweight_vector_database_spark.operators.knn import knn_join_matmul
+
+    rng = np.random.default_rng(17)
+    dim = 8
+    base_rows = [(int(i), rng.standard_normal(dim).tolist()) for i in range(400)]
+    base = spark.createDataFrame(base_rows, "vec_id long, embedding array<double>")
+    n_probes = 100_000
+    pv = rng.standard_normal((n_probes, dim))
+    probes = spark.createDataFrame(
+        [(int(i), pv[i].tolist()) for i in range(n_probes)],
+        "probe_id long, probe_vec array<double>",
+    )
+    out = knn_join_matmul(probes, base, k=2)  # default bound -> 10 passes
+    got = out.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("probe_id").alias("np"),
+        F.sum(F.col("vec_id") * F.col("rank")).alias("chk"),
+        F.sum("dist").alias("dsum"),
+    ).first()
+    assert got.n == 2 * n_probes and got.np == n_probes
+    # spot-check a probe against the single-pass plan (bound lifted)
+    sub = probes.filter(F.col("probe_id") < 50)
+    a = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.dist, 9))
+        for r in knn_join_matmul(sub, base, k=2,
+                                 max_probes_per_pass=10**6).collect()
+    }
+    b = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.dist, 9))
+        for r in out.filter(F.col("probe_id") < 50).collect()
+    }
+    assert a == b

@@ -131,3 +131,16 @@ def test_q21_duplicated_fact_join_reuses_exchange(spark, sf_dir):
     df.collect()  # AQE finalizes reuse decisions at execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_salted_agg_is_two_level(spark, sf_dir):
+    """agg_salted_customer_totals: the salted plan must show TWO
+    aggregation levels — partial+final on (custkey, salt), then
+    partial+final on custkey (4 HashAggregates, 2 Exchanges) — so the
+    first shuffle hashes on (key, salt) and a hot key spreads over the
+    salt buckets instead of landing on one reducer."""
+    plan = _plan(spark, sf_dir, "agg_salted_customer_totals")
+    assert plan.count("HashAggregate") >= 4
+    assert plan.count("Exchange") >= 2
+    assert "__salt" in plan  # the salt key participates in the first agg
+    assert "Python" not in plan and "Arrow" not in plan
