@@ -1,11 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The real decode libraries (PIL/torchaudio/ffmpeg) are NOT in this
-container, so the pixel/sample decode step is stubbed — but everything
-Spark-side is real and tested: the schema, the Arrow batch shape
-through ``mapInPandas``, the partitioning, and the row-explosion for
-frame sampling. Swapping ``_fake_decode`` for a real decoder changes
-no plan.
+Two decode tiers:
+
+- REAL codecs needing no native libs: RIFF/WAVE through the stdlib
+  ``wave`` module (``synth_wav_media`` / ``wav_features``) and binary
+  PPM images parsed by hand (``synth_ppm_media`` / ``ppm_features``) —
+  actual container bytes written into and decoded out of the Spark
+  binary column, with closed-form payloads so features are exactly
+  SQL-oracled.
+- Formats whose decoders (PIL/torchaudio/ffmpeg) are NOT in this
+  container keep the deterministic ``_fake_decode`` stand-in — the
+  schema, Arrow batch shape through ``mapInPandas``, partitioning, and
+  frame-sampling row explosion are identical either way, so swapping
+  in a real decoder changes no plan.
 
 At 100 TB: media payloads dominate row size -> the iterator-of-batches
 ``mapInPandas`` form matters (bounded memory per task, controlled by
@@ -104,6 +111,168 @@ def resize_meta(media: DataFrame, width: int, height: int) -> DataFrame:
     decode step (payload passes through unchanged here)."""
     return media.withColumn("width", F.lit(width).cast("int")).withColumn(
         "height", F.lit(height).cast("int")
+    )
+
+
+# --- real codecs (stdlib-only) ----------------------------------------------
+#
+# The container has no PIL/ffmpeg, but two formats need no native libs:
+# RIFF/WAVE (stdlib ``wave``) and binary PPM (a 3-line header + raw
+# pixels). These make the decode step REAL — actual container bytes are
+# written into and parsed back out of the Spark binary column through
+# the same iterator-of-batches mapInPandas plumbing the fake decoder
+# uses — while staying exactly oracle-checkable because the synthesized
+# samples/pixels are closed-form in (doc_id, len(text)).
+
+
+def synth_wav_media(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """(media_id, payload) — a REAL 16-bit mono PCM WAV per document,
+    written with the stdlib ``wave`` codec (44-byte RIFF header +
+    little-endian frames, not a stand-in). Deterministic samples:
+    n = len(text) % 100 + 50, s[i] = ((doc_id*31 + i*7) % 256 - 128)
+    * 256 — closed-form, so the decoded features have an exact SQL
+    oracle."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                n = len(txt) % 100 + 50
+                i = np.arange(n, dtype=np.int64)
+                s = (int(did) * 31 + i * 7) % 256 - 128
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes((s * 256).astype("<i2").tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def wav_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode: parse the RIFF/WAVE payload with the stdlib
+    ``wave`` reader (it validates the RIFF magic, fmt chunk, and PCM
+    encoding — corrupt bytes raise) and compute sample-domain features:
+    (media_id, sample_rate, n_samples, mean_amp, rms_amp). Swap-in
+    point for torchaudio/ffmpeg is this one function; the batch shape,
+    schema, and narrow-dependency plan are the production ones."""
+    import io
+    import math
+    import wave as wave_mod
+
+    import numpy as np
+    import pandas as pd
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs, ns, means, rmss = [], [], [], []
+            for p in pdf[payload_col]:
+                with wave_mod.open(io.BytesIO(bytes(p)), "rb") as w:
+                    sr = w.getframerate()
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                srs.append(sr)
+                ns.append(len(s))
+                means.append(float(s.mean()) if len(s) else 0.0)
+                rmss.append(math.sqrt(float((s * s).mean())) if len(s) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": srs,
+                    "n_samples": ns,
+                    "mean_amp": means,
+                    "rms_amp": rmss,
+                }
+            )
+
+    return media.mapInPandas(
+        dec,
+        "media_id long, sample_rate int, n_samples long, "
+        "mean_amp double, rms_amp double",
+    )
+
+
+def synth_ppm_media(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(media_id, payload) — a REAL binary PPM (P6) image per document:
+    ``P6\\n{w} {h}\\n255\\n`` header + w*h*3 raw pixel bytes.
+    Deterministic: w = doc_id%4+2, h = doc_id%3+2, byte j =
+    (doc_id*7 + j) % 256 — closed-form for the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 4 + 2, did % 3 + 2
+                j = np.arange(w * h * 3, dtype=np.int64)
+                pix = ((did * 7 + j) % 256).astype(np.uint8).tobytes()
+                payloads.append(f"P6\n{w} {h}\n255\n".encode("ascii") + pix)
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(gen, "media_id long, payload binary")
+
+
+def ppm_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image decode: parse the PPM header (magic, dimensions,
+    maxval — malformed bytes raise) and the raw pixel plane, returning
+    (media_id, width, height, mean_r, mean_g, mean_b). This is an
+    actual bytes-on-the-wire image parse, not a hash stand-in; a
+    JPEG/PNG decoder slots into the same function."""
+    import numpy as np
+    import pandas as pd
+
+    def parse(p: bytes) -> tuple[int, int, float, float, float]:
+        if not p.startswith(b"P6"):
+            raise ValueError("not a binary PPM (P6) payload")
+        # header = 3 whitespace-separated tokens after the magic
+        parts = p.split(b"\n", 3)
+        if len(parts) < 4:
+            raise ValueError("truncated PPM header")
+        w, h = (int(t) for t in parts[1].split())
+        if int(parts[2]) != 255:
+            raise ValueError("only maxval 255 supported")
+        pix = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
+        rgb = pix.reshape(-1, 3).astype(np.float64)
+        return w, h, float(rgb[:, 0].mean()), float(rgb[:, 1].mean()), float(rgb[:, 2].mean())
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "mean_r": [r[2] for r in rows],
+                    "mean_g": [r[3] for r in rows],
+                    "mean_b": [r[4] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(
+        dec,
+        "media_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
     )
 
 

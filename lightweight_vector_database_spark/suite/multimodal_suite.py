@@ -116,3 +116,90 @@ SELECT media_id, CAST(fi AS INT) AS frame_idx,
 FROM f
 """,
 )
+
+
+def _wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip: per-doc deterministic PCM samples
+    are written as actual RIFF/WAVE bytes (stdlib `wave` writer) into
+    the binary column, then DECODED back by the `wave` reader — header
+    validation, frame extraction, and sample-domain features all on
+    real container bytes. Exact oracle: the samples are closed-form in
+    (doc_id, len(text)), so DuckDB recomputes mean/rms without ever
+    seeing the WAV container (which is precisely what the round-trip
+    proves: encode -> binary column -> decode is lossless)."""
+    from ..operators.multimodal import synth_wav_media, wav_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_wav_media(docs)
+    out = wav_features(media)
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms_amp", 6).alias("rms_amp"),
+    )
+
+
+register(
+    "multimodal_wav_decode",
+    _wav_decode,
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, length(text) % 100 + 50 AS n FROM documents
+), s AS (
+  SELECT media_id, n,
+         list_transform(range(0, n),
+           i -> CAST(((media_id * 31 + i * 7) % 256 - 128) * 256 AS DOUBLE)) AS smp
+  FROM m
+)
+SELECT media_id, 16000 AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+       round(list_sum(smp) / n, 6) AS mean_amp,
+       round(sqrt(list_sum(list_transform(smp, x -> x * x)) / n), 6) AS rms_amp
+FROM s
+""",
+)
+
+
+def _ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round-trip: P6 PPM headers + raw pixel planes
+    written into the binary column, then parsed back (magic, dims,
+    maxval validated) with per-channel means. Same exactness argument
+    as the WAV twin."""
+    from ..operators.multimodal import ppm_features, synth_ppm_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ppm_features(synth_ppm_media(docs))
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+register(
+    "multimodal_ppm_decode",
+    _ppm_decode,
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 4 + 2 AS INT) AS width,
+         CAST(doc_id % 3 + 2 AS INT) AS height
+  FROM documents
+)
+SELECT media_id, width, height,
+       round(list_sum(list_transform(range(0, width * height),
+         k -> CAST((media_id * 7 + 3 * k) % 256 AS DOUBLE))) / (width * height), 6)
+         AS mean_r,
+       round(list_sum(list_transform(range(0, width * height),
+         k -> CAST((media_id * 7 + 3 * k + 1) % 256 AS DOUBLE))) / (width * height), 6)
+         AS mean_g,
+       round(list_sum(list_transform(range(0, width * height),
+         k -> CAST((media_id * 7 + 3 * k + 2) % 256 AS DOUBLE))) / (width * height), 6)
+         AS mean_b
+FROM m
+""",
+)

@@ -73,3 +73,70 @@ def test_frame_sample_stays_jvm_side(media):
     # operator runs over the video table at 100 TB)
     plan = M.frame_sample(media)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# --- real codecs (WAV via stdlib wave, PPM by hand) -------------------------
+
+
+def test_wav_payload_is_real_riff_and_decodes(spark):
+    import io
+    import wave as wave_mod
+
+    from lightweight_vector_database_spark.operators.multimodal import (
+        synth_wav_media,
+        wav_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "x" * 23), (12, "y" * 130)], "doc_id long, text string"
+    )
+    media = synth_wav_media(docs)
+    rows = {r.media_id: bytes(r.payload) for r in media.collect()}
+    # the payload is an actual RIFF/WAVE container, parseable by the
+    # stdlib codec outside Spark
+    assert rows[7][:4] == b"RIFF" and rows[7][8:12] == b"WAVE"
+    with wave_mod.open(io.BytesIO(rows[7]), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 16000)
+        assert w.getnframes() == 23 % 100 + 50
+    feats = {r.media_id: r for r in wav_features(media).collect()}
+    # doc 12: n = 130 % 100 + 50 = 80 samples, closed-form mean
+    n = 80
+    samples = [((12 * 31 + i * 7) % 256 - 128) * 256 for i in range(n)]
+    assert feats[12].n_samples == n
+    assert feats[12].mean_amp == sum(samples) / n
+    assert feats[12].rms_amp == (sum(x * x for x in samples) / n) ** 0.5
+
+
+def test_wav_decode_rejects_corrupt_payload(spark):
+    from lightweight_vector_database_spark.operators.multimodal import wav_features
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a wav at all"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="(?i)riff|wave|not"):
+        wav_features(bad).collect()
+
+
+def test_ppm_roundtrip_and_header_validation(spark):
+    from lightweight_vector_database_spark.operators.multimodal import (
+        ppm_features,
+        synth_ppm_media,
+    )
+
+    docs = spark.createDataFrame([(5,), (10,)], "doc_id long")
+    media = synth_ppm_media(docs)
+    raw = {r.media_id: bytes(r.payload) for r in media.collect()}
+    # doc 5: w = 5%4+2 = 3, h = 5%3+2 = 4 -> header + 36 pixel bytes
+    assert raw[5].startswith(b"P6\n3 4\n255\n")
+    assert len(raw[5]) == len(b"P6\n3 4\n255\n") + 3 * 4 * 3
+    feats = {r.media_id: r for r in ppm_features(media).collect()}
+    assert (feats[5].width, feats[5].height) == (3, 4)
+    reds = [(5 * 7 + 3 * k) % 256 for k in range(12)]
+    assert feats[5].mean_r == sum(reds) / 12
+    # corrupt magic raises
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"P5\n2 2\n255\n" + b"\0" * 4))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="P6"):
+        ppm_features(bad).collect()
