@@ -96,6 +96,38 @@ def bloom_build(items: DataFrame, col: str, m_bits: int = BLOOM_BITS) -> DataFra
     return words.withMetadata("bits", {"m_bits": m_bits})
 
 
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Union Bloom filters built with the SAME m_bits: element-wise
+    bit_or on word, with the ``m_bits`` metadata re-stamped on the
+    result (a bare groupBy+bit_or silently DROPS column metadata, which
+    would make the merged filter unusable by ``bloom_probe``'s size
+    guard). This is the per-partition/per-epoch merge step of the
+    100 TB pattern in the module docstring. Raises if any input lacks
+    the size stamp or the sizes disagree — merging differently-sized
+    filters is meaningless bit soup."""
+    if not filters:
+        raise ValueError("bloom_merge needs at least one filter")
+    sizes = []
+    for fdf in filters:
+        size = None
+        for f in fdf.schema.fields:
+            if f.name == "bits" and "m_bits" in (f.metadata or {}):
+                size = int(f.metadata["m_bits"])
+        if size is None:
+            raise ValueError(
+                "bloom_merge: an input filter carries no m_bits metadata; "
+                "rebuild it with bloom_build or re-stamp via withMetadata"
+            )
+        sizes.append(size)
+    if len(set(sizes)) != 1:
+        raise ValueError(f"bloom_merge: mismatched filter sizes {sizes}")
+    merged = filters[0]
+    for extra in filters[1:]:
+        merged = merged.unionByName(extra)
+    out = merged.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    return out.withMetadata("bits", {"m_bits": sizes[0]})
+
+
 def bloom_probe(
     probes: DataFrame,
     col: str,
@@ -116,13 +148,27 @@ def bloom_probe(
     ``m_bits`` is normally omitted and read from the metadata
     ``bloom_build`` stamped on ``words`` — probing with a different
     size than the filter was built with is the one way to get a false
-    NEGATIVE, so an explicit mismatching value is an error."""
+    NEGATIVE, so an explicit mismatching value is an error, and so is
+    a words relation that carries NO size at all (column metadata is
+    easily lost — e.g. re-aggregating with a bare
+    ``groupBy('word').agg(bit_or)`` drops it, as can some writers;
+    silently assuming the default size would probe mod the wrong m and
+    produce exactly the false negatives the guard exists to prevent).
+    Merge filters with ``bloom_merge`` (re-stamps the size) or pass
+    ``m_bits`` explicitly when the provenance is known."""
     built = None
     for f in words.schema.fields:
         if f.name == "bits" and "m_bits" in (f.metadata or {}):
             built = int(f.metadata["m_bits"])
     if m_bits is None:
-        m_bits = built if built is not None else BLOOM_BITS
+        if built is None:
+            raise ValueError(
+                "bloom_probe: the words relation carries no m_bits metadata "
+                "(lost in a merge or rewrite?) and none was passed — probing "
+                "with a guessed size risks silent false negatives. Merge "
+                "filters with bloom_merge, or pass m_bits explicitly."
+            )
+        m_bits = built
     elif built is not None and m_bits != built:
         raise ValueError(
             f"bloom_probe m_bits={m_bits} != filter's build size {built}"

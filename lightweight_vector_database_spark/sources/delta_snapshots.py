@@ -324,8 +324,32 @@ class DeltaSnapshotStore:
         df: DataFrame,
         partition_by: list[str] | None = None,
         metadata: dict | None = None,
+        strict: bool = False,
     ) -> int:
-        """Append ONLY ``df``'s rows — O(batch), never O(table)."""
+        """Append ONLY ``df``'s rows — O(batch), never O(table).
+
+        ``strict=True`` additionally requires the append to supply
+        EVERY column of the recorded schema (Delta/Iceberg behavior):
+        by default a writer bug that drops a column becomes silent
+        nulls on read (old columns are null-filled by _align), which
+        strict mode turns into a commit-time error instead. New columns
+        are still allowed either way (schema evolution)."""
+        if strict:
+            sj = None
+            m = self._load_manifest()
+            if m["latest"] >= 0:
+                sj = self._entry(m, m["latest"]).get("schema")
+            if sj:
+                from pyspark.sql.types import StructType
+
+                recorded = {f.name for f in StructType.fromJson(json.loads(sj))}
+                missing = recorded - {f.name for f in df.schema.fields}
+                if missing:
+                    raise ValueError(
+                        f"strict append is missing recorded column(s) "
+                        f"{sorted(missing)} — they would read back as "
+                        "silent nulls"
+                    )
         return self.commit_mutation(
             append_df=df, partition_by=partition_by, metadata=metadata
         )
@@ -407,8 +431,29 @@ class DeltaSnapshotStore:
             for a in adds[1:]:
                 df = df.unionByName(a)
             if applicable:
-                # tombstone dirs are flat (no partitioning) -> one scan
-                t = self._spark.read.parquet(*applicable).select(self.id_col)
+                # tombstone dirs are flat (no partitioning), but may
+                # have been written under DIFFERENT physical id types
+                # (schema evolution widened id_col, e.g. int->bigint):
+                # a single multi-path scan would make the anti-join key
+                # type depend on whichever file's schema the reader
+                # picks. Read per-dir and align each to the recorded id
+                # type instead; the unions are trivial (id-only rows).
+                id_type = None
+                if target is not None:
+                    for f in target.fields:
+                        if f.name == self.id_col:
+                            id_type = f.dataType
+                tparts = []
+                for td in applicable:
+                    t = self._spark.read.parquet(td).select(self.id_col)
+                    if id_type is not None and t.schema[0].dataType != id_type:
+                        t = t.select(
+                            F.col(self.id_col).cast(id_type).alias(self.id_col)
+                        )
+                    tparts.append(t)
+                t = tparts[0]
+                for extra in tparts[1:]:
+                    t = t.unionByName(extra)
                 df = df.join(t, self.id_col, "left_anti")
             parts.append(df)
         out = parts[0]

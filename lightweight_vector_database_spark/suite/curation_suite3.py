@@ -47,6 +47,16 @@ _DUP_TRI_CUT = 0.15  # natural fixture max is ~0.077; augmented docs >= 0.25
 
 
 def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc.
+
+    NOTE on ``top_bigram_frac`` = 2 * top_bigram_count / n_tokens: for
+    OVERLAPPING repeats ("a a a a" -> bigram "a a" occurs 3 times in 4
+    tokens) the numerator double-counts shared tokens, so the value can
+    exceed 1.0 (bounded by 2.0) — it is a repetition INTENSITY score,
+    not a true covered-token fraction (which would need interval
+    merging per doc). The Gopher-style cut only needs monotonicity, and
+    the overcount is engine-identical on both sides of the oracle; tune
+    downstream thresholds against THIS definition, not a [0,1] range."""
     docs = load_table(spark, sf_dir, "documents")
     aug = F.when(
         F.col("doc_id") % 7 == 0,

@@ -215,3 +215,49 @@ def test_repetition_flag_separates_augmented_docs(spark, sf_dir):
             assert r.dup_trigram_frac < 0.15
         assert 0.0 <= r.top_bigram_frac <= 2.0
         assert r.n_tokens > 0
+
+
+def test_bloom_probe_requires_size_provenance(spark):
+    """A words relation with no m_bits metadata (e.g. metadata lost in
+    a re-aggregation) must raise, not silently probe mod the default
+    size — that's the exact silent-false-negative the guard prevents."""
+    import pytest
+
+    from lightweight_vector_database_spark.operators import sketches as SK
+
+    items = spark.createDataFrame([("a",), ("b",)], "item string")
+    words = SK.bloom_build(items, "item", m_bits=1 << 12)
+    # strip the metadata the way a naive merge would
+    stripped = words.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    probes = spark.createDataFrame([("a",), ("z",)], "item string")
+    with pytest.raises(ValueError, match="m_bits metadata"):
+        SK.bloom_probe(probes, "item", stripped)
+    # explicit size recovers it
+    got = {r.item: r.bloom_hit for r in
+           SK.bloom_probe(probes, "item", stripped, m_bits=1 << 12).collect()}
+    assert got["a"] is True
+
+
+def test_bloom_merge_restamps_and_unions(spark):
+    import pytest
+
+    from lightweight_vector_database_spark.operators import sketches as SK
+
+    a = SK.bloom_build(
+        spark.createDataFrame([("x",), ("y",)], "item string"), "item",
+        m_bits=1 << 12,
+    )
+    b = SK.bloom_build(
+        spark.createDataFrame([("z",)], "item string"), "item", m_bits=1 << 12
+    )
+    merged = SK.bloom_merge(a, b)
+    probes = spark.createDataFrame([("x",), ("z",), ("q",)], "item string")
+    got = {r.item: r.bloom_hit for r in
+           SK.bloom_probe(probes, "item", merged).collect()}  # metadata intact
+    assert got["x"] is True and got["z"] is True
+    # union semantics: no member of either side is ever a false negative
+    c = SK.bloom_build(
+        spark.createDataFrame([("w",)], "item string"), "item", m_bits=1 << 10
+    )
+    with pytest.raises(ValueError, match="mismatched"):
+        SK.bloom_merge(a, c)

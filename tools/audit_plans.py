@@ -17,8 +17,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # Python boundaries that are intentional (documented Arrow paths)
 EXPECTED_PYTHON = {
     "knn_join_topk",  # partial top-k reduction (mapInPandas)
-    "dedup_minhash_candidates",  # tolerated, but the audit shows 0 Python ops (pure HOF fold)
+    # dedup_minhash_candidates is deliberately NOT listed: its plan is a
+    # pure HOF fold with 0 Python ops, and keeping a stale allowlist
+    # entry would hide a future regression that introduces one
     "multimodal_features",  # fake decoder mapInPandas
+    "multimodal_wav_decode",  # real stdlib wave codec (mapInPandas encode+decode)
+    "multimodal_ppm_decode",  # real PPM parser (mapInPandas encode+decode)
     "multimodal_frame_sample",
     "udaf_grouped_events",  # grouped-agg pandas UDAF
     "grouped_map_zscore",  # applyInPandas grouped map
