@@ -76,14 +76,20 @@ def _indexed_snapshot(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict
         root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".index_snapshots")
         os.makedirs(root, exist_ok=True)
-        name = f"emb_{os.path.basename(sf_dir.rstrip('/'))}_d{_INDEX.depth}"
+        # v2 layout: repartition("cell_id") before the partitioned write
+        # -> ONE file per cell instead of one per (cell, write task).
+        # The r5->r6 profile measured the old 10-files-per-cell layout
+        # costing ~5x the flat scan on the futility-fallback brute path
+        # (1690 tiny files at sf1) — the classic small-file problem;
+        # compacting the snapshot is the fix, at any scale.
+        name = f"emb_{os.path.basename(sf_dir.rstrip('/'))}_d{_INDEX.depth}_v2"
         path = os.path.join(root, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             emb = load_table(spark, sf_dir, "embeddings")
             tmp = tempfile.mkdtemp(dir=root, prefix=name + ".tmp")
-            build_index(emb, _INDEX).write.mode("overwrite").partitionBy(
-                "cell_id"
-            ).parquet(tmp)
+            build_index(emb, _INDEX).repartition("cell_id").write.mode(
+                "overwrite"
+            ).partitionBy("cell_id").parquet(tmp)
             # atomic publish so a concurrent reader never sees a partial dir
             try:
                 os.rename(tmp, path)
