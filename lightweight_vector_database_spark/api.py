@@ -328,11 +328,23 @@ class SparkVectorDatabase(Generic[T]):
         with open(os.path.join(path, "_DB_CONFIG.json"), "w") as f:
             json.dump(cfg, f)
 
+    # load() materializes the snapshot on the driver by design (it
+    # rehydrates the single-machine reference-parity facade); this caps
+    # how large a snapshot it will pull rather than driver-OOMing.
+    MAX_LOAD_ROWS = 5_000_000
+
     @classmethod
     def load(
         cls, spark: SparkSession, path: str, version: int | None = None
     ) -> "SparkVectorDatabase":
-        """Restore a saved database (optionally a past version)."""
+        """Restore a saved database (optionally a past version).
+
+        DRIVER-SIDE by design: this facade mirrors the reference's
+        in-memory database (SURVEY.md §2A), so the snapshot is
+        collected into the driver store. Snapshots over MAX_LOAD_ROWS
+        raise with guidance instead of OOMing the driver — at that
+        size, query the snapshot with the distributed operators
+        (operators/knn, plans/grid_index) directly."""
         import json
         import os
         import pickle
@@ -350,7 +362,17 @@ class SparkVectorDatabase(Generic[T]):
             index_depth=cfg["depth"],
         )
         store = SnapshotStore(spark, path)
-        for r in store.read(version).collect():
+        snap = store.read(version)
+        n = snap.count()
+        if n > cls.MAX_LOAD_ROWS:
+            raise ValueError(
+                f"snapshot at {path!r} holds {n} rows > MAX_LOAD_ROWS "
+                f"({cls.MAX_LOAD_ROWS}): load() rehydrates the driver-side "
+                "facade and would OOM the driver. Query the snapshot with "
+                "the distributed operators instead (operators/knn, "
+                "plans/grid_index), or raise MAX_LOAD_ROWS deliberately."
+            )
+        for r in snap.collect():
             pos = np.asarray(r.embedding, dtype=np.float32)
             pos.setflags(write=False)
             db._store[r.vec_id] = (pos, pickle.loads(bytes(r.metadata)))

@@ -63,6 +63,13 @@ def _udtf_repeated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a Counter) — the escape hatch for table-generating logic that
     doesn't decompose into explode+groupBy — while the oracle shows the
     relational equivalent for this particular function.
+
+    API-SURFACE DEMO — DO NOT USE AT SCALE: this is the suite's one
+    deliberate row-at-a-time Python boundary (BatchEvalPython; the
+    only way to exercise Spark's Python UDTF API). The production form
+    of THIS function is the codegen explode+groupBy twin
+    (`udtf_bigram_explode` is the bench path); reach for a real UDTF
+    only when the logic genuinely cannot decompose relationally.
     """
     from pyspark.sql.functions import udtf
 

@@ -161,3 +161,18 @@ def test_save_load_roundtrip(spark, rng, tmp_path):
     db2.save(path)
     old = SparkVectorDatabase.load(spark, path, version=v)
     assert len(old) == 20
+
+
+def test_load_refuses_oversized_snapshot(spark, rng, tmp_path, monkeypatch):
+    """load() is driver-side by design; a snapshot over MAX_LOAD_ROWS
+    must raise with guidance, not OOM the driver."""
+    db = _setup_test_db(spark)
+    for i in range(5):
+        db.insert(rng.random(4).astype(np.float32), {"i": i})
+    path = str(tmp_path / "bigsnap")
+    db.save(path)
+    monkeypatch.setattr(SparkVectorDatabase, "MAX_LOAD_ROWS", 3)
+    with pytest.raises(ValueError, match="MAX_LOAD_ROWS"):
+        SparkVectorDatabase.load(spark, path)
+    monkeypatch.undo()
+    assert len(SparkVectorDatabase.load(spark, path)) == 5
