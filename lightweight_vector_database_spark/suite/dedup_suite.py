@@ -430,6 +430,55 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
 
 
+_SIMHASH_CAP = 100  # sf0.01 has one 159-member band bucket; this drops it
+
+
+def _simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-capped simhash pairs — the scale-hardened twin of
+    `dedup_simhash_pairs`: band buckets over the cap (the fixture has a
+    159-member one, 159² = ~25k join pairs from ONE bucket) are dropped
+    from both join sides before the pair join, with the dropped mass
+    logged. The oracle REPLICATES the banding + cap in SQL — unlike the
+    uncapped query's brute-force oracle, this one value-checks the
+    bucket mechanics themselves (band keys, bucket counts, cap filter).
+    DuckDB's arithmetic >> matches Spark's shiftrightunsigned here
+    because the & mask keeps only low bits, which both shifts agree on."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_candidate_pairs(
+        docs, "doc_id", "text", max_bucket=_SIMHASH_CAP
+    ).orderBy("id1", "id2")
+
+
+def _simhash_capped_oracle() -> str:
+    width = 16
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, (simhash >> {b * width}) & 65535 AS key FROM sh"
+        for b in range(4)
+    )
+    return f"""
+WITH {_simhash_sql_core()},
+bands AS (
+  {band_selects}
+),
+bstat AS (SELECT band, key, count(*) AS bsz FROM bands GROUP BY 1, 2),
+kept AS (
+  SELECT b.id, b.band, b.key FROM bands b
+  JOIN bstat USING (band, key) WHERE bsz <= {_SIMHASH_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT c.id1, c.id2,
+       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INTEGER) AS hamming
+FROM cand c JOIN sh s1 ON s1.id = c.id1 JOIN sh s2 ON s2.id = c.id2
+WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+"""
+
+
+register("dedup_simhash_capped", _simhash_capped, _simhash_capped_oracle())
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS via iterative connected components over the
     jaccard>=0.95 pair graph (operators/graph.py driver-loop joins);
@@ -545,3 +594,72 @@ WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
 
 
 register("embedding_srp_pairs", _embedding_srp, _srp_oracle())
+
+
+_SRP_CAP = 32  # sf0.01 SRP band buckets reach 48 members; this cap bites
+
+
+def _embedding_srp_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-capped SRP pairs — the registered scale path for
+    embedding near-dup on boilerplate-heavy corpora (re-encoded
+    templates collapse to one signature and pay bucket² in EVERY band
+    without the cap; the sf3 breadth run demonstrates the uncapped
+    blowup). The oracle replicates banding + bucket counts + cap in
+    SQL, value-checking the cap mechanics end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_srp_pairs(
+        emb, max_hamming=1, bands=4, num_bits=32, max_bucket=_SRP_CAP
+    )
+
+
+def _srp_capped_oracle(
+    max_hamming: int = 1, bands: int = 4, num_bits: int = 32, dim: int = 64
+) -> str:
+    planes = D._srp_planes(num_bits, dim)
+    bits = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(c) for c in plane) + "]::DOUBLE[]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j}::BIGINT ELSE 0 END)")
+    sig = " + ".join(bits)
+    width = num_bits // bands
+    mask = (1 << width) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, (s >> {b * width}) & {mask} AS key FROM sig"
+        for b in range(bands)
+    )
+    x = "CAST(s1.embedding[i] AS DOUBLE)"
+    y = "CAST(s2.embedding[i] AS DOUBLE)"
+    rng = f"range(1, {dim + 1})"
+    dotp = f"list_sum(list_transform({rng}, i -> {x} * {y}))"
+    na = f"sqrt(list_sum(list_transform({rng}, i -> {x} * {x})))"
+    nb = f"sqrt(list_sum(list_transform({rng}, i -> {y} * {y})))"
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, ({sig}) AS s FROM embeddings
+),
+bands AS (
+  {band_selects}
+),
+bstat AS (SELECT band, key, count(*) AS bsz FROM bands GROUP BY 1, 2),
+kept AS (
+  SELECT b.vec_id, b.band, b.key FROM bands b
+  JOIN bstat USING (band, key) WHERE bsz <= {_SRP_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.id1, c.id2,
+       CAST(bit_count(xor(s1.s, s2.s)) AS INT) AS hamming,
+       round(1.0 - ({dotp}) / (({na}) * ({nb})), 6) AS cos_dist
+FROM cand c JOIN sig s1 ON s1.vec_id = c.id1 JOIN sig s2 ON s2.vec_id = c.id2
+WHERE bit_count(xor(s1.s, s2.s)) <= {max_hamming}
+"""
+
+
+register("embedding_srp_capped", _embedding_srp_capped, _srp_capped_oracle())

@@ -44,6 +44,13 @@ QUADRATIC_BASELINES = {
     # dedup_clusters CC (tools/cc_scale_test.py: 1M nodes in 52s).
     "dedup_connected_clusters": "edges from all-pairs exact jaccard "
     "(scale path: LSH edges + CC, see cc_scale_test.py)",
+    # measured, not hypothetical: at sf3 the replicated-vector fixture
+    # makes every SRP bucket a 30x mega-bucket and the UNCAPPED banded
+    # self-join died after 609s (SCALE_ALL_sf3 r6) — the exact bucket²
+    # failure mode operators/dedup._cap_band_sides exists for
+    "embedding_srp_pairs": "uncapped banded self-join; replicated "
+    "fixture vectors make every bucket a mega-bucket (died at sf3, "
+    "609s; scale path: embedding_srp_capped)",
 }
 
 
