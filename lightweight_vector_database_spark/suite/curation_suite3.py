@@ -326,6 +326,74 @@ WHERE round(shared * 1.0 / least(s1.n, s2.n), 6) >= {_CONTAIN_CUT}
 )
 
 
+def _containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for containment: the exact containment formula
+    evaluated ONLY on minhash-LSH candidate pairs instead of every
+    gram-sharing pair — candidates are linear in corpus size (banded
+    join), and the per-pair trigram intersection is one codegen
+    array_intersect on the two gram arrays, so the quadratic
+    inverted-index join (`dedup_containment_pairs`, 486s at sf3)
+    disappears entirely. Same value semantics per scored pair (exact
+    set intersection, not the minhash estimate); coverage is the LSH
+    candidate set, i.e. jaccard-similar pairs — for catch-all
+    asymmetric containment of tiny-inside-huge docs, band the SHORT
+    side's grams instead (same operator, different keying).
+    The DuckDB oracle replicates candidates + intersection exactly."""
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_dedup_candidates(
+        docs, num_hashes=32, bands=8, ngram=3
+    ).select("id1", "id2")
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(T.word_ngrams("text", 3)).alias("g"),
+    ).withColumn("n", F.size("g").cast("long"))
+    g1 = sets.select(
+        F.col("doc_id").alias("id1"), F.col("g").alias("g1"), F.col("n").alias("n1")
+    )
+    g2 = sets.select(
+        F.col("doc_id").alias("id2"), F.col("g").alias("g2"), F.col("n").alias("n2")
+    )
+    return (
+        cands.join(g1, "id1")
+        .join(g2, "id2")
+        .withColumn(
+            "shared", F.size(F.array_intersect("g1", "g2")).cast("long")
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least(F.col("n1"), F.col("n2")), 6),
+        )
+        .filter(F.col("containment") >= _CONTAIN_CUT)
+        .select("id1", "id2", "shared", "containment")
+    )
+
+
+def _containment_lsh_oracle() -> str:
+    from .dedup_suite import _minhash_cte
+
+    return f"""
+WITH {_minhash_cte()},
+gset AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT c.id1, c.id2,
+       len(list_intersect(a.grams, b.grams)) AS shared,
+       round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+             least(len(a.grams), len(b.grams)), 6) AS containment
+FROM cand c JOIN gset a ON a.doc_id = c.id1 JOIN gset b ON b.doc_id = c.id2
+WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+            least(len(a.grams), len(b.grams)), 6) >= {_CONTAIN_CUT}
+"""
+
+
+register("dedup_containment_lsh", _containment_lsh, _containment_lsh_oracle())
+
+
 # --- cross-document n-gram novelty -------------------------------------------
 
 

@@ -188,7 +188,10 @@ def _minhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_cte(
-    num_hashes: int = 32, bands: int = 8, max_bucket: int | None = None
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int | None = None,
+    oversize: str = "drop",
 ) -> str:
     """DuckDB CTE body reproducing the MinHash pipeline with the same
     (a, b) params baked in, ending in ``pairs (id1, id2, est)`` —
@@ -218,8 +221,12 @@ def _minhash_cte(
         for band in range(bands)
     )
     cap_ctes = ""
-    cand_src = "bands"
-    if max_bucket is not None:
+    cand_cte = """cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+    if max_bucket is not None and oversize == "drop":
         cap_ctes = f"""bstat AS (
   SELECT band, key, count(*) AS bsz FROM bands GROUP BY 1, 2
 ),
@@ -228,7 +235,27 @@ kept AS (
   JOIN bstat USING (band, key) WHERE bsz <= {max_bucket}
 ),
 """
-        cand_src = "kept"
+        cand_cte = """cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+    elif max_bucket is not None:  # star: probe side = under-cap OR bucket min
+        cap_ctes = f"""bstat AS (
+  SELECT band, key, count(*) AS bsz, min(doc_id) AS bmin
+  FROM bands GROUP BY 1, 2
+),
+aside AS (
+  SELECT b.doc_id, b.band, b.key FROM bands b
+  JOIN bstat USING (band, key)
+  WHERE bsz <= {max_bucket} OR b.doc_id = bmin
+),
+"""
+        cand_cte = """cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM aside a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
     return f"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 g AS (
   SELECT doc_id,
@@ -251,11 +278,7 @@ sig AS (
 bands AS (
   {band_selects}
 ),
-{cap_ctes}cand AS (
-  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM {cand_src} a JOIN {cand_src} b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
+{cap_ctes}{cand_cte},
 pairs AS (
   SELECT c.id1, c.id2,
          list_sum(list_transform(range(1, {num_hashes + 1}),
@@ -333,6 +356,53 @@ register(
     _lsh_clusters,
     f"""
 WITH RECURSIVE {_minhash_cte()},
+fil AS (
+  SELECT id1, id2 FROM pairs WHERE est >= {_LSH_CLUSTER_THR}
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM fil UNION ALL SELECT id2, id1 FROM fil
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster,
+       d.doc_id = coalesce(c.component, d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+""",
+)
+
+
+def _lsh_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-capped LSH clustering — the boilerplate-proof variant of
+    `dedup_lsh_clusters`: oversized LSH buckets contribute only their
+    b-1 star edges (min-id representative) instead of b(b-1)/2 pairs,
+    so a mega-bucket costs linear work while its members stay
+    CC-reachable through the representative. The DuckDB oracle
+    replicates the star semantics exactly (probe side = under-cap rows
+    OR the bucket min, build side = all rows), then the same recursive
+    min-reachable-label CC — value-checking star mode end to end, not
+    just in pytest."""
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_dedup_candidates(
+        docs, num_hashes=32, bands=8, ngram=3, max_bucket=_CAP, oversize="star"
+    )
+    edges = cands.filter(F.col("est_jaccard") >= _LSH_CLUSTER_THR)
+    return dedup_clusters(docs, edges).select("doc_id", "cluster", "is_keeper")
+
+
+register(
+    "dedup_lsh_clusters_star",
+    _lsh_clusters_star,
+    f"""
+WITH RECURSIVE {_minhash_cte(max_bucket=_CAP, oversize="star")},
 fil AS (
   SELECT id1, id2 FROM pairs WHERE est >= {_LSH_CLUSTER_THR}
 ),

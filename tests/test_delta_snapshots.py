@@ -394,3 +394,43 @@ def test_multiprocess_writers_with_concurrent_vacuum(spark, tmp_path):
     # versions strictly sequential: base + 8 appends -> latest == 8
     assert store.latest_version() == 1 + 2 * n_per - 1
     assert not [f for f in os.listdir(path) if f.startswith("_claim")]
+
+
+def test_strict_append_rejects_missing_columns(spark, tmp_path):
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"))
+    store.commit_full(_df(spark, [(0, 0.0)]))
+    narrow = spark.createDataFrame([(1,)], "vec_id long")
+    with pytest.raises(ValueError, match="missing recorded column"):
+        store.commit_append(narrow, strict=True)
+    # non-strict: same append commits, old column reads back null
+    store.commit_append(narrow)
+    rows = {r.vec_id: r.v for r in store.read().collect()}
+    assert rows == {0: 0.0, 1: None}
+    # strict append with ALL recorded columns (plus a new one) is fine
+    wide = spark.createDataFrame(
+        [(2, 2.0, "x")], "vec_id long, v double, tag string"
+    )
+    store.commit_append(wide, strict=True)
+    assert store.read().filter(F.col("tag") == "x").count() == 1
+
+
+def test_tombstones_align_across_widened_id_type(spark, tmp_path):
+    """Tombstone dirs written while id was INT must anti-join correctly
+    after the id column widens to BIGINT (per-dir read + cast to the
+    recorded type; a single multi-path scan would pick one file's
+    physical type arbitrarily)."""
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"))
+    store.commit_full(
+        spark.createDataFrame([(0, 0.0), (1, 1.0), (2, 2.0)], "vec_id int, v double")
+    )
+    # tombstone written under the INT id schema
+    store.commit_delete(spark.createDataFrame([(1,)], "vec_id int"))
+    # append widens vec_id to BIGINT (recorded schema promotes)
+    store.commit_append(
+        spark.createDataFrame([(10, 10.0)], "vec_id bigint, v double")
+    )
+    # tombstone written under the BIGINT id schema -> two tombstone
+    # dirs with DIFFERENT physical id types apply to the base add dir
+    store.commit_delete(spark.createDataFrame([(2,)], "vec_id bigint"))
+    assert _state(store) == {(0, 0.0), (10, 10.0)}
+    assert dict(store.read().dtypes)["vec_id"] == "bigint"
