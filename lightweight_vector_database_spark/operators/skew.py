@@ -1,7 +1,7 @@
 """Skew mitigation operators — the 100 TB survival kit.
 
 AQE's skew-join splitting handles sort-merge join skew automatically,
-but two patterns still need explicit salting at scale:
+but three patterns still need explicit handling at scale:
 
 - ``salted_agg``: high-cardinality-value aggregation where one key
   dominates (power-law keys). Two-level aggregation: partial agg on
@@ -11,9 +11,13 @@ but two patterns still need explicit salting at scale:
 - ``salted_join``: broadcast is plan A for skewed joins; when the
   build side is too big to broadcast, explode it N ways and salt the
   probe side, so the hot key's rows land in N tasks instead of one.
+- ``hot_cold_join``: the surgical variant when the hot-key SET is
+  small and known (or samplable via ``top_frequent_keys``): broadcast
+  only the hot keys' build rows, shuffle-join the cold remainder —
+  no build-side replication at all.
 
-Both are pure DataFrame transforms; correctness is partitioning-
-independent (tested by comparing against the unsalted plan).
+All are pure DataFrame transforms; correctness is partitioning-
+independent (tested by comparing against the plain plan).
 """
 
 from __future__ import annotations
@@ -93,8 +97,8 @@ def salted_join(
 def top_frequent_keys(
     df: DataFrame, key: str, min_share: float = 0.01, sample_fraction: float = 0.05
 ) -> list:
-    """Detect hot keys from a sample — the input to a targeted
-    hot/cold split (broadcast the hot keys' rows, shuffle the rest)."""
+    """Detect hot keys from a sample — the input to ``hot_cold_join``
+    (broadcast the hot keys' rows, shuffle the rest)."""
     total = df.count()
     if total == 0:
         return []
@@ -102,3 +106,52 @@ def top_frequent_keys(
     counts = sampled.groupBy(key).agg(F.count(F.lit(1)).alias("n")).collect()
     sample_n = sum(r.n for r in counts) or 1
     return [r[0] for r in counts if r.n / sample_n >= min_share]
+
+
+def hot_cold_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    hot_keys: Sequence | None = None,
+    how: str = "inner",
+    min_share: float = 0.01,
+) -> DataFrame:
+    """Targeted skew join: split the probe side on the detected hot
+    keys, BROADCAST the (few) hot keys' build rows so the hot traffic
+    never shuffles, and shuffle-join only the cold remainder. Output ==
+    plain join (tested); cost model: the hot partition would otherwise
+    serialize one reducer, and unlike ``salted_join`` the cold side
+    pays NO replication at all — the surgical option when the hot set
+    is small and known (or samplable via ``top_frequent_keys``).
+
+    Single-column keys only (the split predicate is an IN-list on one
+    column); ``how`` restricted to left-preserving joins for the same
+    unmatched-row-duplication reason as ``salted_join``: the right
+    side is partitioned into hot/cold by key, so inner/left/semi/anti
+    distribute over the union while right/full would not.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"hot_cold_join supports {sorted(allowed)}; got {how!r}"
+        )
+    on = list(on)
+    if len(on) != 1:
+        raise ValueError("hot_cold_join splits on exactly one key column")
+    k = on[0]
+    if hot_keys is None:
+        hot_keys = top_frequent_keys(left, k, min_share=min_share)
+    hot_keys = list(hot_keys)
+    if not hot_keys:
+        return left.join(right, on, how)
+    # null keys never match an IN-list: route them to the cold branch
+    # explicitly so left-preserving joins keep their rows
+    is_hot = F.col(k).isin(hot_keys)
+    hot = left.filter(is_hot).join(
+        F.broadcast(right.filter(F.col(k).isin(hot_keys))), on, how
+    )
+    cold = left.filter(~is_hot | F.col(k).isNull()).join(
+        right.filter(~F.col(k).isin(hot_keys)), on, how
+    )
+    return hot.unionByName(cold)

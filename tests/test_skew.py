@@ -93,3 +93,62 @@ def test_salted_join_left_preserves_unmatched_left(spark, skewed):
         for r in salted_join(skewed, dims, ["k"], salt_buckets=4, how="left").collect()
     }
     assert plain == salted
+
+
+def _pairs(df):
+    return sorted((r.k, r.v, r.tag) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    # build side: keys 0..50 tagged, so half the cold keys are unmatched
+    return spark.range(51).select(
+        F.col("id").alias("k"), F.concat(F.lit("t"), F.col("id")).alias("tag")
+    ).cache()
+
+
+def test_hot_cold_join_equals_plain_inner(spark, skewed, dim):
+    from lightweight_vector_database_spark.operators.skew import hot_cold_join
+
+    plain = _pairs(skewed.join(dim, ["k"]))
+    split = _pairs(hot_cold_join(skewed, dim, ["k"], hot_keys=[0]))
+    auto = _pairs(hot_cold_join(skewed, dim, ["k"]))  # detect via sample
+    assert split == plain and auto == plain
+
+
+def test_hot_cold_join_left_keeps_unmatched_and_nulls(spark, dim):
+    from lightweight_vector_database_spark.operators.skew import hot_cold_join
+
+    left = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (99, 3.0), (None, 4.0)], "k long, v double"
+    )
+    key = lambda r: (r.k is None, r.k, r.v, r.tag or "")  # noqa: E731
+    plain = sorted(
+        ((r.k, r.v, r.tag) for r in left.join(dim, ["k"], "left").collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1], t[2] or ""),
+    )
+    split = sorted(
+        ((r.k, r.v, r.tag)
+         for r in hot_cold_join(left, dim, ["k"], hot_keys=[0], how="left").collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1], t[2] or ""),
+    )
+    assert split == plain  # unmatched key 99 and the NULL key both kept
+
+
+def test_hot_cold_join_plan_broadcasts_hot_branch(spark, skewed, dim):
+    from lightweight_vector_database_spark.operators.skew import hot_cold_join
+
+    plan = (
+        hot_cold_join(skewed, dim, ["k"], hot_keys=[0])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # the hot branch never shuffles
+
+
+def test_hot_cold_join_rejects_bad_args(spark, skewed, dim):
+    from lightweight_vector_database_spark.operators.skew import hot_cold_join
+
+    with pytest.raises(ValueError, match="supports"):
+        hot_cold_join(skewed, dim, ["k"], hot_keys=[0], how="full")
+    with pytest.raises(ValueError, match="one key"):
+        hot_cold_join(skewed, dim, ["k", "v"], hot_keys=[0])
