@@ -169,3 +169,48 @@ SELECT o_custkey, count(*) AS n_orders,
 FROM orders GROUP BY o_custkey HAVING count(*) >= 8
 """,
 )
+
+
+def _hot_cold_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The targeted skew join (operators/skew.hot_cold_join) on the
+    orders->customer hot path: the most frequent custkeys' build rows
+    broadcast (hot traffic never shuffles), cold remainder shuffle-
+    joins. Output == the plain join — the oracle is exactly that —
+    with the hot-key set FIXED (top-3 by true frequency, deterministic)
+    so the physical split is pinned while results stay plan-independent."""
+    from ..operators.skew import hot_cold_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    hot = [
+        r.o_custkey
+        for r in orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_custkey"))
+        .limit(3)
+        .collect()
+    ]
+    joined = hot_cold_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        customer,
+        ["c_custkey"],
+        hot_keys=hot,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+register(
+    "join_hot_cold_orders",
+    _hot_cold_orders,
+    """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)

@@ -189,3 +189,49 @@ def test_cms_never_underestimates_vs_counter(sql, stream):
     }
     for k, n in Counter(stream).items():
         assert est[k] >= n
+
+
+# --- bucket-cap invariants (model-based) ------------------------------------
+
+sig4 = st.lists(st.integers(min_value=0, max_value=3), min_size=4, max_size=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(sigs=st.lists(sig4, min_size=2, max_size=12), cap=st.integers(2, 4))
+def test_lsh_cap_matches_reference_model(sql, sigs, cap):
+    """Against a pure-Python model of banded LSH with bucket caps:
+    drop emits a pair iff SOME shared bucket is under the cap; star
+    additionally emits pairs whose smaller id is a shared bucket's
+    min. Tiny value domain (0..3) forces heavy bucket collisions."""
+    from lightweight_vector_database_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    bands = 2
+    rpb = 4 // bands
+    rows = [(i, [int(x) for x in s]) for i, s in enumerate(sigs)]
+    df = sql.createDataFrame(rows, "id long, signature array<bigint>")
+
+    buckets: dict[tuple, list[int]] = {}
+    for i, s in enumerate(sigs):
+        for b in range(bands):
+            buckets.setdefault((b, tuple(s[b * rpb : (b + 1) * rpb])), []).append(i)
+
+    def expected(mode):
+        out = set()
+        for members in buckets.values():
+            if len(members) <= cap:
+                out |= {(a, b) for a in members for b in members if a < b}
+            elif mode == "star":
+                m = min(members)
+                out |= {(m, x) for x in members if x != m}
+        return out
+
+    for mode in ("drop", "star"):
+        got = {
+            (r.id1, r.id2)
+            for r in lsh_candidate_pairs(
+                df, bands=bands, sig_len=4, max_bucket=cap, oversize=mode
+            ).collect()
+        }
+        assert got == expected(mode), mode
