@@ -63,26 +63,46 @@ def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.repeat(F.lit(_REP_PHRASE), _REP_N)),
     ).otherwise(F.col("text"))
     base = docs.select("doc_id", aug.alias("t"))
-    # duplicate-trigram fraction is a map-only array expression; the
-    # top-bigram count is the honest distributed form (explode + two
-    # aggregates with map-side partials), not a per-doc O(n^2) scan
+    # ALL per-doc signals are map-only array expressions — including
+    # the top-bigram count, computed as the longest run in the SORTED
+    # bigram array (one O(n log n) sort + O(n) fold per doc, inside the
+    # JVM). The earlier explode + two-aggregate form shuffled every
+    # bigram occurrence (45M rows at sf3); A/B measured the fold at
+    # 1.5-2.5x faster with identical values, and the whole query is now
+    # shuffle-free (narrow dependency — the 100 TB shape for a per-doc
+    # quality scorer).
+    sorted_bgs = F.array_sort(T.word_ngrams("t", 2))
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    top_run = F.aggregate(
+        sorted_bgs,
+        acc0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )["best"]
     stats = base.select(
         "doc_id",
         T.token_count("t").alias("n_tokens"),
         F.size(T.word_ngrams("t", 3)).cast("long").alias("n_tri"),
         F.size(F.array_distinct(T.word_ngrams("t", 3))).cast("long").alias("n_tri_d"),
+        top_run.alias("tb"),
     )
-    top = (
-        base.select("doc_id", F.explode(T.word_ngrams("t", 2)).alias("ng"))
-        .groupBy("doc_id", "ng")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("tb"))
-    )
-    m = stats.join(top, "doc_id", "left").select(
+    m = stats.select(
         "doc_id",
         "n_tokens",
-        F.coalesce(F.col("tb"), F.lit(0)).cast("long").alias("top_bigram_n"),
+        F.col("tb").cast("long").alias("top_bigram_n"),
         F.round(
             F.when(
                 F.col("n_tokens") > 0,
