@@ -26,8 +26,37 @@ def write_parquet(
 
 
 def write_indexed_snapshot(assigned: DataFrame, path: str) -> None:
-    """Vector snapshot partitioned by grid cell (see module doc)."""
-    write_parquet(assigned, path, partition_by=["cell_id"])
+    """Vector snapshot partitioned by grid cell (see module doc).
+
+    Repartitions on ``cell_id`` first so each cell lands in ONE file
+    instead of one per (cell x write task): the r6 profile measured the
+    uncompacted layout costing ~5x on the serving scan (1690 tiny files
+    vs 169 at sf1) — the classic small-file problem. At larger scale,
+    pair this with spark.sql.files.maxRecordsPerFile to split a hot
+    cell into several size-bounded files rather than one giant one."""
+    write_parquet(
+        assigned.repartition("cell_id"), path, partition_by=["cell_id"]
+    )
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Training-data export: gzip-compressed JSONL shards with a
+    bounded record count per file — the contract most training loaders
+    want (shard-parallel reads, no single giant file, no 10^5 tiny
+    ones). maxRecordsPerFile splits oversized task outputs at write
+    time without an extra shuffle; upstream partitioning controls the
+    lower bound on shard count."""
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", "gzip")
+        .json(path)
+    )
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -143,3 +143,43 @@ def test_zorder_layout_skips_files_on_both_dims(spark, sf_dir, tmp):
     # z-order: substantial skipping on BOTH dims
     assert frac["zorder"]["pk"] <= 0.5
     assert frac["zorder"]["sk"] <= 0.5
+
+
+def test_write_jsonl_shards_bounds_records_per_file(spark, tmp_path):
+    import glob
+    import gzip
+    import json as _json
+
+    from lightweight_vector_database_spark.sources.sinks import write_jsonl_shards
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    ).coalesce(2)
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(df, out, max_records_per_file=150)
+    files = sorted(glob.glob(out + "/part-*.json.gz"))
+    assert len(files) >= 7  # 1000 rows / 150 cap -> at least ceil
+    seen = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            lines = fh.read().splitlines()
+        assert 0 < len(lines) <= 150  # the per-file bound holds
+        seen.extend(_json.loads(ln)["doc_id"] for ln in lines)
+    assert sorted(seen) == list(range(1000))  # lossless export
+
+
+def test_indexed_snapshot_is_one_file_per_cell(spark, tmp_path):
+    import glob
+
+    from lightweight_vector_database_spark.sources.sinks import (
+        write_indexed_snapshot,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 7).alias("cell_id")
+    ).repartition(16)  # many write tasks -> uncompacted would fan out
+    out = str(tmp_path / "snap")
+    write_indexed_snapshot(df, out)
+    for cell_dir in glob.glob(out + "/cell_id=*"):
+        parts = glob.glob(cell_dir + "/part-*.parquet")
+        assert len(parts) == 1, cell_dir  # compacted: one file per cell
