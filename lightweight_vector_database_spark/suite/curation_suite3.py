@@ -422,20 +422,27 @@ def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose FIRST corpus occurrence (by doc_id order) is this doc — the
     cross-document self-repetition signal that catches boilerplate
     and template farms dedup misses (docs similar to MANY others
-    without any single near-duplicate). Shape: one inverted-index
-    aggregate on the gram (min doc_id) joined back, then a per-doc
-    aggregate — both with map-side partials; the gram relation is the
-    same one the contamination queries build, so at scale the
-    min-doc index is a shareable byproduct."""
+    without any single near-duplicate). Shape: ONE shuffle of the gram
+    stream — an unordered window (partitionBy ng, no orderBy, so no
+    sort: a whole-partition min) marks each occurrence with the gram's
+    first doc in place, then the per-doc aggregate. The earlier
+    groupBy+join-back form shuffled the gram stream twice; A/B measured
+    the window at 2.5x faster with identical values (13.6s -> 5.2s at
+    sf3). Hot-gram skew is identical in both forms (the gram's rows
+    co-locate either way); at corpus scale the min-doc index is still
+    a shareable byproduct — materialize the marked relation."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(T.word_ngrams("text", _NGRAM_N))).alias("ng"),
     )
-    first = grams.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
+    marked = grams.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("ng"))
+    )
     return (
-        grams.join(first, "ng")
-        .groupBy("doc_id")
+        marked.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.count_if(F.col("doc_id") == F.col("first_doc")).alias("n_novel"),
