@@ -379,6 +379,32 @@ def _cap_band_sides(
     return a_side, joined.drop("__bsz", "__bmin")
 
 
+def banded_signatures(
+    signatures: DataFrame, bands: int, sig_len: int, id_col: str = "id"
+) -> DataFrame:
+    """(id, band, bucket) — one row per signature band, bucket =
+    xxhash64 of the band's slice. Stateless expression-only transform,
+    so it works identically on batch AND streaming DataFrames (the
+    stream-static near-dup join in streaming/neardup.py keys on it)."""
+    rows_per_band = sig_len // bands
+    if rows_per_band == 0:
+        raise ValueError("bands exceeds signature length")
+    return signatures.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
@@ -399,23 +425,7 @@ def lsh_candidate_pairs(
     if sig_len is None:
         sig_len_row = signatures.select(F.size("signature").alias("n")).first()
         sig_len = sig_len_row.n if sig_len_row else 0
-    rows_per_band = sig_len // bands
-    if rows_per_band == 0:
-        raise ValueError("bands exceeds signature length")
-    banded = signatures.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = banded_signatures(signatures, bands, sig_len, id_col)
     a_src, b_src = _cap_band_sides(
         banded, ["band", "bucket"], max_bucket, oversize, label="lsh_candidate_pairs"
     )

@@ -380,3 +380,56 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # discarded and did not resurrect (or duplicate) the emitted window;
     # the 11:00/12:00 windows are still open (not emitted in append mode)
     assert got == {("2024-01-01 10:00:00", 1)}
+
+
+def test_stream_near_dup_flags_equal_batch(spark, sf_dir):
+    """Stream-static LSH near-dup admission check: the streamed
+    documents' band collisions against the static corpus index must
+    equal the same operator run on the batch table (the signature and
+    banding expressions are stateless, so stream == batch exactly),
+    and the streaming plan must be append-mode stateless (no state
+    store rows)."""
+    import hashlib
+    import os
+
+    from lightweight_vector_database_spark.sources import load_table
+    from lightweight_vector_database_spark.streaming.neardup import (
+        corpus_band_index,
+        stream_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = corpus_band_index(docs)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = f"/tmp/lvdb_docstream_{tag}"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/documents.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    stream_docs = spark.readStream.schema(
+        "doc_id long, url string, source string, lang string, ts timestamp, "
+        "text string"
+    ).parquet(stage).select("doc_id", "text")
+
+    out = stream_near_dup_pairs(stream_docs, index)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_t")
+        .outputMode("append")  # stateless stream-static join
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM neardup_t").collect()}
+
+    batch = {
+        tuple(r)
+        for r in stream_near_dup_pairs(
+            docs.select("doc_id", "text"), index
+        ).collect()
+    }
+    assert got == batch and got  # non-empty: fixture has near-dups
+    # symmetric collisions: (a,b) collide <=> (b,a) collide
+    pairs = {(a, b) for a, b, _ in got}
+    assert pairs == {(b, a) for a, b in pairs}
