@@ -531,6 +531,85 @@ SELECT source, doc_id, draw_rank FROM (
 )
 
 
+def _bloom_merged_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-shard MERGE form of Bloom decontamination — the actual
+    100 TB deployment shape: one filter built per source shard (per
+    day / per dump in production), combined with ``bloom_merge``
+    (cell-wise bit_or + re-stamped m_bits metadata), probed once.
+    bit_or is associative, so the merged filter is bit-identical to a
+    single build over the union — which is exactly what the oracle
+    computes, making the merge path itself value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.sketches import bloom_merge
+
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(T.word_ngrams("text", _NGRAM_N))).alias("ng"),
+    )
+    test = grams.filter(F.col("doc_id") < _TEST_CUT)
+    sources = sorted(
+        r.source for r in test.select("source").distinct().collect()
+    )
+    filters = [
+        bloom_build(test.filter(F.col("source") == s).select("ng"), "ng")
+        for s in sources
+    ]
+    words = bloom_merge(*filters)
+    train = grams.filter(F.col("doc_id") >= _TEST_CUT).select("doc_id", "ng")
+    hits = bloom_probe(train, "ng", words)
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("bloom_hit")).alias("n_bloom_hits"),
+        )
+        .select(
+            F.col("doc_id").alias("train_doc"),
+            "n_grams",
+            "n_bloom_hits",
+            (F.col("n_bloom_hits") >= _MIN_HITS).alias("contaminated"),
+        )
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(w[i:i + {_NGRAM_N} - 1], ' ')
+                 FOR i IN range(1, greatest(len(w) - {_NGRAM_N} + 1, 0) + 1)]) AS ng
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), pos AS (
+  SELECT doc_id, ng,
+         unnest([('0x' || substr(md5(ng), 1 + 6 * i, 6))::BIGINT % 65536
+                 FOR i IN range(0, 4)]) AS pos
+  FROM g
+), bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM pos WHERE doc_id < {_TEST_CUT} GROUP BY 1
+), probe AS (
+  SELECT doc_id, ng, pos // 32 AS word,
+         1::BIGINT << CAST(pos % 32 AS INT) AS m
+  FROM pos WHERE doc_id >= {_TEST_CUT}
+), hits AS (
+  SELECT doc_id, ng,
+         count(*) FILTER (WHERE coalesce(bits, 0) & m <> 0) = 4 AS hit
+  FROM probe LEFT JOIN bloom USING (word) GROUP BY 1, 2
+)
+SELECT doc_id AS train_doc, count(*) AS n_grams,
+       count(*) FILTER (WHERE hit) AS n_bloom_hits,
+       count(*) FILTER (WHERE hit) >= {_MIN_HITS} AS contaminated
+FROM hits GROUP BY 1
+"""
+
+register(
+    "curation_bloom_merged_contamination",
+    _bloom_merged_contamination,
+    _BLOOM_ORACLE,
+)
+
+
 # --- count-min sketch frequency estimation ----------------------------------
 
 _TOPK = 50

@@ -500,6 +500,36 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
 
 
+def _stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH TWIN of the streaming near-dup admission check
+    (streaming/neardup.stream_near_dup_pairs): band collisions of each
+    document against the corpus band index, self-matches excluded, one
+    row per colliding band. The operator is stateless expressions +
+    one stream-static join, so this batch run is value-identical to
+    the streaming run (pinned by tests/test_streaming.py); the oracle
+    rebuilds the same signatures/bands in SQL."""
+    from ..streaming.neardup import corpus_band_index, stream_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = corpus_band_index(docs)
+    out = stream_near_dup_pairs(docs.select("doc_id", "text"), index)
+    return out.select(
+        "doc_id", "corpus_id", F.col("band").cast("long").alias("band")
+    )
+
+
+register(
+    "dedup_stream_admission_pairs",
+    _stream_admission,
+    f"""
+WITH {_minhash_cte()}
+SELECT a.doc_id, b.doc_id AS corpus_id, CAST(a.band AS BIGINT) AS band
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id != b.doc_id
+""",
+)
+
+
 _SIMHASH_CAP = 100  # sf0.01 has one 159-member band bucket; this drops it
 
 
