@@ -579,3 +579,76 @@ SELECT vec_id, label, round(cos_dist, 6) AS cos_dist FROM (
 
 
 register("knn_cosine_indexed", _knn_cosine_indexed, _cosine_oracle())
+
+
+# --- indexed radius search (one-pass cell pruning, exact) -------------------
+
+
+def _radius_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query through the grid index — the index's cleanest win
+    (the bound is known upfront: candidates = cells with box lower
+    bound <= radius, ONE pass, no verification needed). Served from the
+    cell-partitioned snapshot so the IN-list prunes partitions. Exact
+    -> same brute-scan oracle as `radius_search` (different probe)."""
+    from ..plans.grid_index import radius_search_indexed
+
+    snap, stats = _indexed_snapshot(spark, sf_dir)
+    out = radius_search_indexed(snap, _INDEX, _PROBE, radius=4.2, stats=stats)
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
+def _radius_indexed_oracle() -> str:
+    from ..probes import sql_array
+
+    x = "CAST(embedding[i] AS DOUBLE)"
+    p = "CAST(p[i] AS DOUBLE)"
+    dist = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> ({x} - {p}) * ({x} - {p})))"
+    )
+    return f"""
+WITH probe AS (SELECT {sql_array(_PROBE)} AS p)
+SELECT vec_id, label, round(dist, 6) AS dist FROM (
+  SELECT vec_id, label, {dist} AS dist
+  FROM embeddings CROSS JOIN probe
+) WHERE dist <= 4.2
+ORDER BY dist, vec_id
+"""
+
+
+register("radius_search_indexed", _radius_indexed, _radius_indexed_oracle())
+
+
+# --- adaptive (variable-depth) index serving --------------------------------
+
+_ADAPTIVE_MEMO: dict[tuple[int, str], tuple] = {}
+
+
+def _knn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN through the ADAPTIVE grid index (reference leaf-split rule,
+    kd_tree_database.py:94-104, as a build-time refinement): hot
+    regions get deep leaves, sparse regions stay shallow. fit() runs
+    one count-by-cell job per dataset (memoized — it IS the index
+    build); serving goes through the same knn_indexed machinery with
+    per-depth bound decoding. Exact -> brute-scan oracle."""
+    from ..plans.grid_index import AdaptiveGridIndex, knn_indexed
+
+    key = (id(spark), sf_dir)
+    if key not in _ADAPTIVE_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = AdaptiveGridIndex(
+            _LOWER, _UPPER, num_splits=2, max_depth=8, max_leaf_size=64
+        )
+        idx.fit(emb)
+        assigned, stats = idx.assign(emb)
+        _ADAPTIVE_MEMO[key] = (idx, assigned.cache(), stats)
+    idx, assigned, stats = _ADAPTIVE_MEMO[key]
+    out = knn_indexed(assigned, idx, probe_vector(seed=21), k=10, stats=stats)
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
+register(
+    "knn_adaptive_indexed",
+    _knn_adaptive,
+    _knn_oracle("euclidean_sq", probe_vector(seed=21)),
+)
