@@ -30,7 +30,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.distance import cosine_distance
-from ..functions.text import content_sha256, tokens, word_ngrams
+from ..functions.text import (
+    content_sha256,
+    tokens,
+    winnow_fingerprints,
+    word_ngrams,
+)
 
 _LOG = logging.getLogger(__name__)
 
@@ -110,6 +115,62 @@ def jaccard_pairs(
     if threshold is not None:
         pairs = pairs.filter(F.col("jaccard") >= threshold)
     return pairs
+
+
+# --- winnowing fingerprints -------------------------------------------------
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id1, id2, shared_fps) for document pairs sharing at least
+    ``min_shared`` winnowing fingerprints (functions/text.py::
+    winnow_fingerprints — local min-hash sampling of k-gram hashes,
+    Schleimer et al. SIGMOD 2003).
+
+    Complements the whole-document MinHash/SimHash family: winnowing
+    guarantees detection of any shared run of >= w + k - 1 tokens
+    (local overlap — quotes, boilerplate blocks, partial copies)
+    rather than global set similarity. The fingerprint computation is
+    shuffle-free per document; pair generation is the same bounded
+    inverted-index join as ``jaccard_pairs``, shuffling only the
+    ~2/(w+1)-sampled fingerprints instead of every gram — at 100 TB
+    that sampling factor is the win. ``max_df`` drops fingerprints
+    appearing in more than that many documents (ubiquitous boilerplate
+    grams — the same Σ df² hazard as LSH mega-buckets), with the
+    dropped mass logged, never silent.
+    """
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(text_col, k, w)).alias("fp"),
+    ).distinct()
+    if max_df is not None:
+        df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+        hot = df_counts.filter(F.col("__df") > max_df)
+        dropped = hot.agg(
+            F.count(F.lit(1)).alias("fps"), F.sum("__df").alias("mass")
+        ).collect()[0]
+        if dropped["fps"]:
+            _LOG.warning(
+                "winnow_pairs: dropping %d fingerprints with df > %d "
+                "(membership mass %d) from pair generation",
+                dropped["fps"], max_df, dropped["mass"],
+            )
+        fps = fps.join(hot.select("fp"), "fp", "left_anti")
+    a = fps.select("fp", F.col("id").alias("id1"))
+    b = fps.select("fp", F.col("id").alias("id2"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
 
 
 # --- minhash + LSH ---------------------------------------------------------

@@ -763,3 +763,37 @@ WHERE bit_count(xor(s1.s, s2.s)) <= {max_hamming}
 
 
 register("embedding_srp_capped", _embedding_srp_capped, _srp_capped_oracle())
+
+
+# --- winnowing fingerprint pairs -------------------------------------------
+
+def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap near-dup pairs via winnowing fingerprints
+    (operators/dedup.py::winnow_pairs): documents sharing >= 2
+    selected k-gram hashes. Detects shared RUNS (>= w+k-1 tokens)
+    rather than global set similarity — the plagiarism/quotation case
+    the MinHash family misses. Join shuffles only the ~2/(w+1)-sampled
+    fingerprints; max_df bounds the hot-fingerprint blowup like the
+    LSH bucket caps."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnow_pairs(
+        docs, "doc_id", "text", k=3, w=4, min_shared=2, max_df=50
+    )
+
+
+def _winnow_pairs_oracle() -> str:
+    from .text_suite import _WINNOW_FPS_CTE
+
+    return f"""
+WITH {_WINNOW_FPS_CTE},
+e AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),
+dfc AS (SELECT f, count(*) AS fdf FROM e GROUP BY f),
+kept AS (SELECT e.doc_id, e.f FROM e JOIN dfc USING (f) WHERE fdf <= 50)
+SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared_fps
+FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+
+register("dedup_winnow_pairs", _winnow_pairs, _winnow_pairs_oracle())

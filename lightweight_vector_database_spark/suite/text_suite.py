@@ -180,6 +180,151 @@ FROM v
 register("doc_fingerprint_rolling", _rolling_fp, _rolling_fp_oracle())
 
 
+def _md5_horner(var: str) -> str:
+    """DuckDB expression for the first 8 md5 hex digits of ``var`` as
+    an integer — nibble Horner over the digest, bit-identical to
+    Spark's ``conv(substring(md5(x), 1, 8), 16, 10)``."""
+    nib = lambda p: (  # noqa: E731
+        f"(strpos('0123456789abcdef', substr(md5({var}), {p}, 1)) - 1)"
+    )
+    val = nib(1)
+    for i in range(2, 9):
+        val = f"({val} * 16 + {nib(i)})"
+    return val
+
+
+# (k=3, w=4) winnowing in DuckDB: k-grams -> md5-derived gram hashes ->
+# min of each 4-wide window -> sorted distinct. Mirrors
+# functions/text.py::winnow_fingerprints branch for branch.
+_WINNOW_FPS_CTE = f"""
+g AS (
+  SELECT doc_id, list_transform(range(1, len(w) - 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), h AS (
+  SELECT doc_id,
+         list_transform(grams, t -> {_md5_horner('t')} % 2147483647) AS hs
+  FROM g
+), fp AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+              WHEN len(hs) < 4 THEN [list_min(hs)]
+              ELSE list_sort(list_distinct(list_transform(
+                     range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))))
+         END AS fps
+  FROM h
+)"""
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.winnow_fingerprints("text").alias("fps"),
+    ).withColumn("n_fps", F.size("fps").cast("long"))
+
+
+register(
+    "doc_winnow_fingerprints",
+    _winnow_fps,
+    f"""
+WITH {_WINNOW_FPS_CTE}
+SELECT doc_id, fps, CAST(len(fps) AS BIGINT) AS n_fps FROM fp
+""",
+)
+
+
+# BM25 query terms — literal in query and oracle alike.
+_BM25_TERMS = ("vector", "hash", "broadcast", "shuffle")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scores for a fixed term set, top 20 documents.
+
+    Scale shape: the exploded-token stream is filtered to the query
+    terms BEFORE the (doc_id, term) shuffle — at 100 TB only postings
+    for |Q| terms move, not the corpus vocabulary. df and the corpus
+    stats are broadcast back. Per-term contributions are quantized to
+    integer micro-units before the per-doc sum so the result is
+    independent of summation order (engine-portable like _q6).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", T.token_count("text").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(0.25) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    comp = (
+        tf.join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "cu",
+            F.floor(
+                idf * (F.col("tf") * F.lit(2.2)) / denom * F.lit(1e6)
+            ).cast("long"),
+        )
+    )
+    return (
+        comp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            (F.sum("cu") / F.lit(1e6)).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+register(
+    "bm25_top_docs",
+    _bm25,
+    f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), s AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term IN ({', '.join(repr(t) for t in _BM25_TERMS)})
+  GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), comp AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln(1.0 + (s.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           * 1000000.0) AS BIGINT) AS cu
+  FROM tf
+  JOIN dfc USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN s
+)
+SELECT doc_id, count(*) AS n_terms, SUM(cu) / 1000000.0 AS bm25
+FROM comp GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+""",
+)
+
+
 def _bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(

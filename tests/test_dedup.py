@@ -412,3 +412,68 @@ def test_cap_validation(spark):
         D.minhash_dedup_candidates(docs, max_bucket=1).collect()
     with pytest.raises(ValueError, match="oversize"):
         D.minhash_dedup_candidates(docs, max_bucket=5, oversize="sample").collect()
+
+
+# --- winnowing --------------------------------------------------------------
+
+def _fps(spark, rows):
+    from lightweight_vector_database_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = df.select("doc_id", winnow_fingerprints("text").alias("fps")).collect()
+    return {r.doc_id: list(r.fps) for r in out}
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Schleimer et al. guarantee: a shared token run of length
+    >= w + k - 1 (= 6 for k=3, w=4) forces a shared fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"red green blue {shared} cyan magenta yellow"),
+        (3, "totally different words with no common run at all here"),
+    ]
+    fps = _fps(spark, rows)
+    assert set(fps[1]) & set(fps[2])
+    assert not (set(fps[1]) & set(fps[3]))
+
+
+def test_winnow_edge_cases(spark):
+    fps = _fps(
+        spark,
+        [
+            (1, "a b c"),          # exactly one 3-gram -> one fp
+            (2, "a b c d e"),      # 3 grams < w=4 -> single global min
+            (3, "a b"),            # no 3-gram -> empty
+            (4, "a b c d e f g h i j"),  # 8 grams -> windowed mins
+        ],
+    )
+    assert len(fps[1]) == 1
+    assert len(fps[2]) == 1
+    assert fps[3] == []
+    assert 1 <= len(fps[4]) <= 5  # 5 windows, distinct mins
+    assert fps[4] == sorted(set(fps[4]))  # sorted distinct
+
+
+def test_winnow_pairs_and_max_df(spark, caplog):
+    import logging
+
+    boiler = "common header line repeated on every single page today"
+    rows = [(i, f"{boiler} unique{i} filler{i} words{i}") for i in range(6)]
+    rows.append((10, "entirely unrelated document content goes right here"))
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    pairs = D.winnow_pairs(df, min_shared=1)
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    # every boilerplate pair found, the unrelated doc in none
+    assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= got
+    assert not any(10 in p for p in got)
+
+    # capping df below the boilerplate frequency drops those pairs, loudly
+    with caplog.at_level(logging.WARNING):
+        capped = D.winnow_pairs(df, min_shared=1, max_df=3)
+        capped_pairs = {(r.id1, r.id2) for r in capped.collect()}
+    assert capped_pairs == set()
+    assert any("dropping" in r.message for r in caplog.records)

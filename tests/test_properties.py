@@ -235,3 +235,42 @@ def test_lsh_cap_matches_reference_model(sql, sigs, cap):
             ).collect()
         }
         assert got == expected(mode), mode
+
+
+def test_bm25_matches_reference_formula(spark, sf_dir):
+    """bm25_top_docs vs a direct Python Okapi BM25 computation on the
+    same corpus (same micro-unit quantization)."""
+    import math
+
+    from lightweight_vector_database_spark.sources import load_table
+    from lightweight_vector_database_spark.suite.text_suite import (
+        _BM25_TERMS,
+        _bm25,
+    )
+
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: r.text.split(" ") for r in rows}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {
+        q: sum(1 for t in toks.values() if q in t) for q in _BM25_TERMS
+    }
+    expect = {}
+    for d, t in toks.items():
+        cu = 0
+        n_terms = 0
+        for q in _BM25_TERMS:
+            tf = t.count(q)
+            if not tf:
+                continue
+            n_terms += 1
+            idf = math.log(1.0 + (n_docs - df[q] + 0.5) / (df[q] + 0.5))
+            cu += math.floor(
+                idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl)) * 1e6
+            )
+        if n_terms:
+            expect[d] = (n_terms, cu / 1e6)
+    top = sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+
+    got = [(r.doc_id, (r.n_terms, r.bm25)) for r in _bm25(spark, sf_dir).collect()]
+    assert got == top
