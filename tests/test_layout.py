@@ -114,3 +114,83 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # and the layout loses no rows
     got = spark.read.parquet(zpath).filter(F.col("u").between(lo, hi))
     assert got.count() == 16 * 256
+
+
+def test_zbox_ranges_exact_against_model():
+    """min_level=0, generous max_ranges: the union of z-ranges contains
+    exactly the box cells."""
+    from lightweight_vector_database_spark.sources.layout import zbox_ranges
+
+    bits = 4
+    lo, hi = [3, 5], [11, 12]
+    ranges = zbox_ranges(lo, hi, bits, max_ranges=10_000)
+    covered = {
+        z for a, b in ranges for z in range(a, b + 1)
+    }
+    for a in range(16):
+        for b in range(16):
+            z = _interleave_py([a, b], bits)
+            in_box = lo[0] <= a <= hi[0] and lo[1] <= b <= hi[1]
+            assert (z in covered) == in_box, (a, b)
+
+
+def test_zbox_ranges_bounded_overcover():
+    """A tight max_ranges forces coarser blocks: still a SUPERSET of
+    the box, never more than max_ranges ranges."""
+    from lightweight_vector_database_spark.sources.layout import zbox_ranges
+
+    bits = 8
+    lo, hi = [3, 5], [200, 118]
+    ranges = zbox_ranges(lo, hi, bits, max_ranges=8)
+    assert 0 < len(ranges) <= 8
+    covered = []
+    for a, b in ranges:
+        assert a <= b
+        covered.append((a, b))
+    # superset: every box cell's z falls in some range
+    import random
+
+    rng = random.Random(7)
+    for _ in range(500):
+        a = rng.randint(lo[0], hi[0])
+        b = rng.randint(lo[1], hi[1])
+        z = _interleave_py([a, b], bits)
+        assert any(x <= z <= y for x, y in covered), (a, b)
+
+
+def test_zbox_read_path_prunes_and_matches(spark, tmp_path):
+    """Reading a z-ordered layout through zbox_filter AND the exact box
+    returns exactly the box rows while touching fewer files."""
+    from lightweight_vector_database_spark.sources.layout import (
+        zbox_filter,
+        zbox_ranges,
+    )
+
+    grid = spark.range(1 << 16).select(
+        (F.col("id") % 256).alias("u"),
+        F.expr("id div 256").alias("t"),
+    )
+    zpath = str(tmp_path / "zbox")
+    zorder_write(
+        grid, zpath, zorder_value([F.col("u"), F.col("t")], 8), num_files=64
+    )
+    lo, hi = [40, 96], [55, 159]
+    ranges = zbox_ranges(lo, hi, 8, max_ranges=32)
+    data = spark.read.parquet(zpath)
+    box = F.col("u").between(lo[0], hi[0]) & F.col("t").between(lo[1], hi[1])
+    via_z = data.filter(zbox_filter(F.col("zval"), ranges) & box)
+    assert via_z.count() == 16 * 64
+
+    plan = via_z._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "zval" in plan
+
+    # file skipping on the z column itself
+    z_hit = 0
+    files = sorted(glob.glob(f"{zpath}/part-*.parquet"))
+    for f in files:
+        mn, mx = duckdb.sql(
+            f"SELECT min(zval), max(zval) FROM read_parquet('{f}')"
+        ).fetchone()
+        if any(a <= mx and b >= mn for a, b in ranges):
+            z_hit += 1
+    assert z_hit < len(files) // 2
