@@ -21,6 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# The bit-interleave core (and its oracle-side SQL mirror) lives with
+# the other scalar builders; re-exported here because the layout
+# machinery is its main consumer.
+from ..functions.zorder import zorder_value, zorder_value_sql  # noqa: F401
+
 
 def quantize(c: Column, mn: Column, mx: Column, bits: int) -> Column:
     """Equal-width quantization of an integral column to [0, 2^bits).
@@ -32,38 +37,6 @@ def quantize(c: Column, mn: Column, mx: Column, bits: int) -> Column:
     """
     span = mx - mn + F.lit(1)
     return F.floor(((c - mn) * F.lit(1 << bits)) / span).cast("long")
-
-
-def zorder_value(qcols: list[Column], bits: int = 16) -> Column:
-    """Morton code of pre-quantized columns (each in [0, 2^bits)):
-    bit i of dim d lands at position i*D + d. Pure shifts and masks —
-    one codegen expression, 100 TB-safe. D * bits must be <= 63."""
-    ndims = len(qcols)
-    if ndims * bits > 63:
-        raise ValueError(f"{ndims} dims x {bits} bits exceeds a long")
-    total = F.lit(0).cast("long")
-    for d, q in enumerate(qcols):
-        q = q.cast("long")
-        for i in range(bits):
-            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
-            total = total.bitwiseOR(F.shiftleft(bit, i * ndims + d))
-    return total
-
-
-def zorder_value_sql(qexprs: list[str], bits: int = 16) -> str:
-    """DuckDB expression mirroring ``zorder_value`` bit for bit, for
-    the oracle side. ``qexprs`` are SQL expressions already quantized
-    to [0, 2^bits)."""
-    ndims = len(qexprs)
-    # DuckDB/Postgres give <<, & and | EQUAL precedence (left-assoc),
-    # so every term must be fully parenthesized or the ORs nest into
-    # the shifts.
-    terms = [
-        f"(((({q}) >> {i}) & 1) << {i * ndims + d})"
-        for d, q in enumerate(qexprs)
-        for i in range(bits)
-    ]
-    return "(" + " | ".join(terms) + ")"
 
 
 def zbox_ranges(

@@ -433,3 +433,59 @@ def test_stream_near_dup_flags_equal_batch(spark, sf_dir):
     # symmetric collisions: (a,b) collide <=> (b,a) collide
     pairs = {(a, b) for a, b, _ in got}
     assert pairs == {(b, a) for a, b in pairs}
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir):
+    """Left-outer stream-stream join with watermarks: purchases with no
+    click in the preceding hour must surface with a NULL click id once
+    the watermark passes their join window. Semantics pinned:
+    matched rows == the batch inner join; null-emission covers exactly
+    the unmatched purchases whose window closed before the final
+    watermark (newer ones stay pending state — never wrong rows)."""
+    purchases = (
+        stream_events(spark, sf_dir, watermark="2 hours")
+        .filter("event_type = 'purchase'")
+        .selectExpr("event_id AS p_id", "user_id", "ts AS p_ts")
+    )
+    clicks = (
+        stream_events(spark, sf_dir, watermark="2 hours")
+        .filter("event_type = 'click'")
+        .selectExpr("event_id AS c_id", "user_id AS c_user", "ts AS c_ts")
+    )
+    cond = F.expr(
+        "user_id = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+    )
+    q = (
+        purchases.join(clicks, cond, "left_outer")
+        .select("p_id", "c_id")
+        .writeStream.format("memory")
+        .queryName("ss_left_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark, "ss_left_t")
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS p_id", "user_id", "ts AS p_ts"
+    )
+    c = ev.filter("event_type = 'click'").selectExpr(
+        "event_id AS c_id", "user_id AS c_user", "ts AS c_ts"
+    )
+    inner = {tuple(r) for r in p.join(c, cond).select("p_id", "c_id").collect()}
+    left = {
+        tuple(r)
+        for r in p.join(c, cond, "left_outer").select("p_id", "c_id").collect()
+    }
+
+    # every matched pair is emitted, and nothing outside the batch
+    # left join ever appears
+    assert inner <= got <= left
+    # the null-emission path actually fired for closed windows
+    null_rows = {t for t in got if t[1] is None}
+    assert null_rows, "no watermark-closed unmatched purchases emitted"
+    # a purchase is either matched or null-emitted, never both
+    matched_ids = {t[0] for t in got if t[1] is not None}
+    assert not matched_ids & {t[0] for t in null_rows}
