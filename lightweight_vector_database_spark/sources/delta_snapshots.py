@@ -224,6 +224,10 @@ class DeltaSnapshotStore:
                 "committed_at": time.time(),
                 "metadata": metadata or {},
                 "schema": new_schema,
+                # rewrites (compaction/truncate) restate the table
+                # without log-level row identity — the change feed
+                # refuses to cross them (read_changes)
+                "rewrite": bool(_rewrite),
             }
             m["latest"] = version
             # last-moment ownership re-check: if a peer broke our claim
@@ -409,20 +413,7 @@ class DeltaSnapshotStore:
             target = StructType.fromJson(json.loads(info["schema"]))
 
         def _align(df: DataFrame) -> DataFrame:
-            if target is None or df.schema == target:
-                return df
-            have = {f.name: f.dataType for f in df.schema.fields}
-            cols = []
-            for f in target.fields:
-                dt = have.get(f.name)
-                if dt is None:
-                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-                elif dt != f.dataType:
-                    # file written before the column widened
-                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-                else:
-                    cols.append(F.col(f.name))
-            return df.select(*cols)
+            return self._align_df(df, target)
 
         parts: list[DataFrame] = []
         for applicable, dirs in groups.items():
@@ -458,6 +449,143 @@ class DeltaSnapshotStore:
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @staticmethod
+    def _align_df(df: DataFrame, target) -> DataFrame:
+        """Project ``df`` onto the recorded ``target`` schema:
+        null-fill columns that did not exist yet, cast-up columns
+        written before they widened. Pure projection — Catalyst folds
+        it into the scan."""
+        if target is None or df.schema == target:
+            return df
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for f in target.fields:
+            dt = have.get(f.name)
+            if dt is None:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif dt != f.dataType:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
+
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CDC change feed: the NET row changes in
+        ``(from_version, to_version]``, as full rows plus
+        ``_change_type`` ('insert' | 'delete') and ``_commit_version``
+        (the sequence that added / first tombstoned the row). The
+        Delta-Lake table_changes / Iceberg incremental-read surface.
+
+        Log-based, O(delta) on the insert side: only add/tombstone
+        dirs COMMITTED IN THE RANGE are read; a row added then
+        tombstoned inside the range nets out via the same
+        sequence-rule anti-join ``read`` uses. The delete side emits
+        preimages, which requires reading the ``from_version`` state
+        once — but joined against the (broadcast-small) tombstoned-id
+        set, so the table scan never shuffles. A same-id delete +
+        re-insert in the range appears as both (an update pair).
+
+        Raises if the range crosses a rewrite (compaction/truncate):
+        a rewrite restates the table without row-level log identity,
+        so the feed cannot be derived — diff ``read(v1)`` against
+        ``read(v2)`` instead, or read changes up to the rewrite and
+        from it separately. Vacuumed versions raise KeyError as usual
+        (CDC needs retained history, same as Delta's CDF).
+        """
+        m = self._load_manifest()
+        v2 = m["latest"] if to_version is None else to_version
+        v1 = from_version
+        if v1 > v2:
+            raise ValueError(f"from_version {v1} > to_version {v2}")
+        info2 = self._entry(m, v2)
+        for v in range(v1 + 1, v2 + 1):
+            if self._entry(m, v).get("rewrite"):
+                raise ValueError(
+                    f"version {v} is a rewrite (compaction/truncate); "
+                    "the change feed cannot cross it — diff read() "
+                    "states around it instead"
+                )
+
+        from pyspark.sql.types import StructType
+
+        target = (
+            StructType.fromJson(json.loads(info2["schema"]))
+            if info2.get("schema")
+            else None
+        )
+        id_type = None
+        if target is not None:
+            for f in target.fields:
+                if f.name == self.id_col:
+                    id_type = f.dataType
+
+        def _tag(df: DataFrame, kind: str, seq) -> DataFrame:
+            return df.withColumn("_change_type", F.lit(kind)).withColumn(
+                "_commit_version", F.lit(seq).cast("long")
+            )
+
+        new_adds = [(d, s) for d, s in info2["adds"] if v1 < s <= v2]
+        new_tombs = [(d, s) for d, s in info2["tombstones"] if v1 < s <= v2]
+
+        def _tomb_ids(dirs: list[tuple[str, int]]) -> DataFrame | None:
+            parts = []
+            for td, ts in dirs:
+                t = self._spark.read.parquet(td).select(self.id_col)
+                if id_type is not None and t.schema[0].dataType != id_type:
+                    t = t.select(
+                        F.col(self.id_col).cast(id_type).alias(self.id_col)
+                    )
+                parts.append(t.withColumn("__seq", F.lit(ts).cast("long")))
+            if not parts:
+                return None
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        pieces: list[DataFrame] = []
+        # insert side: range adds, minus range tombstones with a
+        # strictly greater sequence (read()'s rule — a commit never
+        # deletes its own replacement)
+        for d, seq in new_adds:
+            df = self._align_df(self._spark.read.parquet(d), target)
+            applicable = _tomb_ids([(td, ts) for td, ts in new_tombs if ts > seq])
+            if applicable is not None:
+                df = df.join(
+                    F.broadcast(applicable.select(self.id_col).distinct()),
+                    self.id_col,
+                    "left_anti",
+                )
+            pieces.append(_tag(df, "insert", seq))
+
+        # delete side: from_version rows whose id was tombstoned in
+        # the range (every range tombstone's sequence exceeds every
+        # from_version add's), attributed to the FIRST tombstone
+        tombs = _tomb_ids(new_tombs)
+        if tombs is not None and v1 >= 0:
+            first = tombs.groupBy(self.id_col).agg(
+                F.min("__seq").alias("_commit_version")
+            )
+            pre = self._align_df(self.read(v1), target)
+            deleted = pre.join(F.broadcast(first), self.id_col)
+            pieces.append(
+                deleted.withColumn("_change_type", F.lit("delete")).select(
+                    *[f.name for f in pre.schema.fields],
+                    "_change_type",
+                    "_commit_version",
+                )
+            )
+
+        if not pieces:
+            empty_base = self.read(v2).limit(0)
+            return _tag(empty_base, "insert", -1).limit(0)
+        out = pieces[0]
+        for p in pieces[1:]:
             out = out.unionByName(p)
         return out
 

@@ -434,3 +434,83 @@ def test_tombstones_align_across_widened_id_type(spark, tmp_path):
     store.commit_delete(spark.createDataFrame([(2,)], "vec_id bigint"))
     assert _state(store) == {(0, 0.0), (10, 10.0)}
     assert dict(store.read().dtypes)["vec_id"] == "bigint"
+
+
+# --- change feed (CDC read) -------------------------------------------------
+
+def _changes(store, v1, v2=None):
+    return {
+        (r.vec_id, r.v, r._change_type, r._commit_version)
+        for r in store.read_changes(v1, v2).collect()
+    }
+
+
+def test_read_changes_net_feed(spark, tmp_path):
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"))
+    v0 = store.commit_full(_df(spark, [(0, 0.0), (1, 1.0), (2, 2.0)]))
+    v1 = store.commit_append(_df(spark, [(3, 3.0), (4, 4.0)]))
+    v2 = store.commit_delete(_df(spark, [(1, 0.0)]).select("vec_id"))
+    v3 = store.commit_mutation(
+        append_df=_df(spark, [(5, 5.0)]),
+        delete_ids=_df(spark, [(2, 0.0)]).select("vec_id"),
+    )
+    got = _changes(store, v0)
+    assert got == {
+        (3, 3.0, "insert", v1),
+        (4, 4.0, "insert", v1),
+        (5, 5.0, "insert", v3),
+        (1, 1.0, "delete", v2),
+        (2, 2.0, "delete", v3),
+    }
+    # sub-range
+    assert _changes(store, v1, v2) == {(1, 1.0, "delete", v2)}
+    # empty range
+    assert _changes(store, v3, v3) == set()
+
+
+def test_read_changes_nets_out_within_range(spark, tmp_path):
+    """A row added AND tombstoned inside the range must not appear;
+    a same-id delete+reinsert appears as an update pair."""
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"))
+    v0 = store.commit_full(_df(spark, [(0, 0.0)]))
+    store.commit_append(_df(spark, [(9, 9.0)]))
+    v2 = store.commit_delete(_df(spark, [(9, 0.0)]).select("vec_id"))
+    assert _changes(store, v0, v2) == set()
+
+    # update pair: delete 0, re-add 0 with a new value, one commit
+    v3 = store.commit_mutation(
+        append_df=_df(spark, [(0, 42.0)]),
+        delete_ids=_df(spark, [(0, 0.0)]).select("vec_id"),
+    )
+    assert _changes(store, v2, v3) == {
+        (0, 42.0, "insert", v3),
+        (0, 0.0, "delete", v3),
+    }
+
+
+def test_read_changes_refuses_rewrites(spark, tmp_path):
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"))
+    v0 = store.commit_full(_df(spark, [(0, 0.0), (1, 1.0)]))
+    store.commit_delete(_df(spark, [(1, 0.0)]).select("vec_id"))
+    vc = store.compact()
+    v3 = store.commit_append(_df(spark, [(7, 7.0)]))
+    with pytest.raises(ValueError, match="rewrite"):
+        store.read_changes(v0)
+    # from the rewrite onward the feed works again
+    assert _changes(store, vc, v3) == {(7, 7.0, "insert", v3)}
+
+
+def test_read_changes_aligns_evolved_schema(spark, tmp_path):
+    """Preimages written before a column existed come back null-filled
+    to the to_version schema."""
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"))
+    v0 = store.commit_full(_df(spark, [(0, 0.0), (1, 1.0)]))
+    store.commit_append(
+        spark.createDataFrame([(2, 2.0, "x")], "vec_id long, v double, tag string")
+    )
+    v2 = store.commit_delete(_df(spark, [(0, 0.0)]).select("vec_id"))
+    rows = {
+        (r.vec_id, r.v, r.tag, r._change_type)
+        for r in store.read_changes(v0, v2).collect()
+    }
+    assert rows == {(2, 2.0, "x", "insert"), (0, 0.0, None, "delete")}
