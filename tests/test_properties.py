@@ -274,3 +274,82 @@ def test_bm25_matches_reference_formula(spark, sf_dir):
 
     got = [(r.doc_id, (r.n_terms, r.bm25)) for r in _bm25(spark, sf_dir).collect()]
     assert got == top
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(2, 8),
+    st.data(),
+)
+def test_zbox_ranges_superset_property(bits, data):
+    """For ANY box and ANY max_ranges, zbox_ranges covers every box
+    cell (the pruning-safety invariant), and with unlimited ranges it
+    covers NOTHING else (exactness). Pure driver-side — no Spark."""
+    from lightweight_vector_database_spark.sources.layout import zbox_ranges
+
+    hi_max = (1 << bits) - 1
+    lo = [data.draw(st.integers(0, hi_max)) for _ in range(2)]
+    hi = [data.draw(st.integers(lo[d], hi_max)) for d in range(2)]
+    max_ranges = data.draw(st.integers(1, 64))
+    ranges = zbox_ranges(lo, hi, bits, max_ranges=max_ranges)
+    assert len(ranges) <= max_ranges
+    assert all(a <= b for a, b in ranges)
+    assert all(b < a2 for (_, b), (a2, _) in zip(ranges, ranges[1:]))
+
+    def interleave(a, b):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    # superset: sample cells inside the box
+    import random
+
+    rng = random.Random(bits * 1000003 + lo[0])
+    for _ in range(30):
+        a = rng.randint(lo[0], hi[0])
+        b = rng.randint(lo[1], hi[1])
+        z = interleave(a, b)
+        assert any(x <= z <= y for x, y in ranges)
+
+    # exactness when uncapped: sample cells OUTSIDE the box
+    exact = zbox_ranges(lo, hi, bits, max_ranges=1 << 30)
+    for _ in range(30):
+        a = rng.randint(0, hi_max)
+        b = rng.randint(0, hi_max)
+        if lo[0] <= a <= hi[0] and lo[1] <= b <= hi[1]:
+            continue
+        z = interleave(a, b)
+        assert not any(x <= z <= y for x, y in exact)
+
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pre1=st.lists(_word, min_size=0, max_size=8),
+    pre2=st.lists(_word, min_size=0, max_size=8),
+    run=st.lists(_word, min_size=6, max_size=12),  # >= w + k - 1 = 6
+    suf1=st.lists(_word, min_size=0, max_size=8),
+    suf2=st.lists(_word, min_size=0, max_size=8),
+)
+def test_winnow_guarantee_property(sql, pre1, pre2, run, suf1, suf2):
+    """Hypothesis form of the winnowing guarantee: ANY two documents
+    sharing a >= w+k-1 token run share a fingerprint, whatever
+    surrounds the run."""
+    from lightweight_vector_database_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    d1 = " ".join(pre1 + run + suf1)
+    d2 = " ".join(pre2 + run + suf2)
+    df = sql.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    out = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert out[1] & out[2]
