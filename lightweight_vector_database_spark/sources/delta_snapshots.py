@@ -616,10 +616,22 @@ class DeltaSnapshotStore:
         self,
         partition_by: list[str] | None = None,
         metadata: dict | None = None,
+        cluster_by=None,
+        num_files: int | None = None,
     ) -> int:
         """Fold the log into one add dir (same visible rows, scan-only
         reads again). The one intentionally O(table) operation — run on
         the maintenance schedule, not per batch.
+
+        ``cluster_by`` (a Column, e.g. a Morton code from
+        sources/layout.py) additionally range-partitions the fold into
+        ``num_files`` sorted files on that key — the OPTIMIZE ZORDER
+        maintenance move: per-batch appends land unclustered and
+        erode file-stat pruning; the clustered fold restores tight
+        min/max footers in every interleaved dimension. The cluster
+        key is evaluated during the rewrite only, not stored (pass it
+        as a real column in your appends if the read path filters on
+        it).
 
         Safe against concurrent commits: the fold is a CONDITIONAL
         rewrite on the base version it read — if the log advanced while
@@ -629,6 +641,13 @@ class DeltaSnapshotStore:
         while True:
             base = self.latest_version()
             current = self.read(base)
+            if cluster_by is not None:
+                cols = [f.name for f in current.schema.fields]
+                clustered = current.withColumn("__cluster", cluster_by)
+                clustered = clustered.repartitionByRange(
+                    num_files or 32, "__cluster"
+                ).sortWithinPartitions("__cluster")
+                current = clustered.select(*cols)
             meta = metadata if metadata is not None else self.latest_metadata()
             v = self.commit_mutation(
                 append_df=current, partition_by=partition_by, metadata=meta,

@@ -514,3 +514,52 @@ def test_read_changes_aligns_evolved_schema(spark, tmp_path):
         for r in store.read_changes(v0, v2).collect()
     }
     assert rows == {(2, 2.0, "x", "insert"), (0, 0.0, None, "delete")}
+
+
+def test_compact_cluster_by_restores_locality(spark, tmp_path):
+    """OPTIMIZE ZORDER maintenance: random-order appends erode file
+    pruning; compact(cluster_by=<Morton code>) rewrites the fold into
+    range-partitioned sorted files whose min/max footers are tight in
+    both interleaved dimensions — verified from the files' ACTUAL
+    ranges."""
+    import glob
+    import json as _json
+
+    import duckdb
+
+    from lightweight_vector_database_spark.sources.layout import zorder_value
+
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"), id_col="rid")
+    grid = spark.range(1 << 14).selectExpr(
+        "id AS rid", "CAST(id % 128 AS BIGINT) AS u", "id div 128 AS t"
+    )
+    # three shuffled appends: each file spans nearly the full u range
+    for part in range(3):
+        chunk = grid.filter(F.col("rid") % 3 == part).repartition(4)
+        if store.latest_version() < 0:
+            store.commit_full(chunk)
+        else:
+            store.commit_append(chunk)
+
+    def u_hit_fraction() -> float:
+        m = _json.load(open(f"{tmp_path}/d/_MANIFEST.json"))
+        dirs = [d for d, _ in m["versions"][str(m["latest"])]["adds"]]
+        files = [f for d in dirs for f in glob.glob(f"{d}/part-*.parquet")]
+        hit = 0
+        for f in files:
+            mn, mx = duckdb.sql(
+                f"SELECT min(u), max(u) FROM read_parquet('{f}')"
+            ).fetchone()
+            if mn <= 50 and mx >= 40:  # a narrow u slice
+                hit += 1
+        return hit / len(files)
+
+    assert u_hit_fraction() == 1.0  # unclustered: every file overlaps
+
+    before = {(r.rid, r.u, r.t) for r in store.read().collect()}
+    store.compact(
+        cluster_by=zorder_value([F.col("u"), F.col("t")], 7), num_files=16
+    )
+    after = {(r.rid, r.u, r.t) for r in store.read().collect()}
+    assert after == before  # same visible rows
+    assert u_hit_fraction() <= 0.5  # clustered: the slice prunes
