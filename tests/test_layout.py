@@ -194,3 +194,19 @@ def test_zbox_read_path_prunes_and_matches(spark, tmp_path):
         if any(a <= mx and b >= mn for a, b in ranges):
             z_hit += 1
     assert z_hit < len(files) // 2
+
+
+def test_zbox_ranges_three_dims():
+    """The decomposition is dimension-generic: exact cover in 3-D."""
+    from lightweight_vector_database_spark.sources.layout import zbox_ranges
+
+    bits = 3
+    lo, hi = [1, 2, 0], [5, 7, 3]
+    ranges = zbox_ranges(lo, hi, bits, max_ranges=1 << 20)
+    covered = {z for a, b in ranges for z in range(a, b + 1)}
+    for a in range(8):
+        for b in range(8):
+            for c in range(8):
+                z = _interleave_py([a, b, c], bits)
+                in_box = all(l <= v <= h for l, v, h in zip(lo, (a, b, c), hi))
+                assert (z in covered) == in_box, (a, b, c)
