@@ -70,3 +70,28 @@ def stream_near_dup_pairs(
         .filter(F.col("id") != F.col("corpus_id"))
         .select(F.col("id").alias(id_col), "corpus_id", "band")
     )
+
+
+def extend_band_index(
+    store,
+    new_docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Incrementally maintain a PERSISTED band index: append the new
+    documents' (corpus_id, band, bucket) rows to a DeltaSnapshotStore
+    keyed by ``corpus_id``. O(new docs) per batch — the index is never
+    rebuilt; removing a document is ``store.commit_delete`` on its
+    corpus_id (the tombstone anti-join drops all its band rows).
+    ``store.read()`` is then the static side of
+    ``stream_near_dup_pairs``, so the admission check always probes
+    the up-to-date corpus. Returns the committed version."""
+    idx = corpus_band_index(
+        new_docs, num_hashes, bands, ngram, id_col, text_col
+    )
+    if store.latest_version() < 0:
+        return store.commit_full(idx)
+    return store.commit_append(idx)

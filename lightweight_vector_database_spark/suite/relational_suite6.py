@@ -214,3 +214,59 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
 )
+
+
+# --- single-pass column profiler -------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics in ONE scan: every column's
+    count/nulls/distinct/min/max/mean computed as a single wide
+    aggregate (map-side partials, one tiny agg row moves), then
+    unpivoted with stack(). At 100 TB the profiler is one pass over
+    the table — never a pass per column. Mean uses the floor-quantized
+    exact sum (_dsum) so it is summation-order independent."""
+    from .relational_suite import _dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__mn"),
+            F.max(c).cast("double").alias(f"{c}__mx"),
+            _dsum(F.col(c), 6).alias(f"{c}__sum"),
+        ]
+    row = li.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx, {c}__sum"
+        for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
+        "(col_name, n_nonnull, n_distinct, min_v, max_v, sum_v)",
+        "n AS n_rows",
+    ).selectExpr(
+        "col_name", "n_rows", "n_nonnull", "n_distinct",
+        "min_v", "max_v", "round(sum_v / n_nonnull, 6) AS mean_v",
+    )
+
+
+def _profile_sql() -> str:
+    from .relational_suite import _dsum_sql
+
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col_name, (SELECT count(*) FROM lineitem) AS n_rows,
+       count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_v, CAST(max({c}) AS DOUBLE) AS max_v,
+       round({_dsum_sql(c, 6)} / count({c}), 6) AS mean_v
+FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+register("profile_lineitem", _profile_lineitem, _profile_sql())

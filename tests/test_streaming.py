@@ -489,3 +489,42 @@ def test_stream_stream_left_outer_join(spark, sf_dir):
     # a purchase is either matched or null-emitted, never both
     matched_ids = {t[0] for t in got if t[1] is not None}
     assert not matched_ids & {t[0] for t in null_rows}
+
+
+def test_incremental_band_index_equals_rebuild(spark, sf_dir, tmp_path):
+    """extend_band_index: appending new docs to the persisted index
+    then deleting one must equal a from-scratch rebuild of the same
+    corpus — and the admission check against the maintained index
+    flags exactly the rebuilt index's collisions."""
+    from lightweight_vector_database_spark.sources.delta_snapshots import (
+        DeltaSnapshotStore,
+    )
+    from lightweight_vector_database_spark.streaming.neardup import (
+        corpus_band_index,
+        extend_band_index,
+        stream_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter("doc_id < 60")
+    b = docs.filter("doc_id >= 60 AND doc_id < 100")
+
+    store = DeltaSnapshotStore(spark, str(tmp_path / "idx"), id_col="corpus_id")
+    extend_band_index(store, a)
+    extend_band_index(store, b)
+    store.commit_delete(spark.createDataFrame([(7,)], "corpus_id long"))
+
+    rebuilt = corpus_band_index(docs.filter("doc_id < 100 AND doc_id != 7"))
+    got = {tuple(r) for r in store.read().collect()}
+    want = {tuple(r) for r in rebuilt.collect()}
+    assert got == want and got
+
+    probes = docs.filter("doc_id >= 100 AND doc_id < 130")
+    via_store = {
+        tuple(r)
+        for r in stream_near_dup_pairs(probes, store.read()).collect()
+    }
+    via_rebuild = {
+        tuple(r) for r in stream_near_dup_pairs(probes, rebuilt).collect()
+    }
+    assert via_store == via_rebuild
