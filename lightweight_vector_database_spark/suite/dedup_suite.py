@@ -797,3 +797,54 @@ HAVING count(*) >= 2
 
 
 register("dedup_winnow_pairs", _winnow_pairs, _winnow_pairs_oracle())
+
+
+def _winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap dedup end to end: winnowing-fingerprint pairs
+    (>= 2 shared fingerprints, df-capped) -> large/small-star connected
+    components -> min-id keeper per cluster. The pipeline a shared-
+    boilerplate/quotation dedup pass runs where whole-document MinHash
+    under-scores partial copies; every stage is the linear scale shape
+    (sampled fingerprints, capped join, O(log d) CC rounds)."""
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.winnow_pairs(
+        docs, "doc_id", "text", k=3, w=4, min_shared=2, max_df=50
+    ).select("id1", "id2")
+    return dedup_clusters(docs, edges).select("doc_id", "cluster", "is_keeper")
+
+
+def _winnow_clusters_oracle() -> str:
+    from .text_suite import _WINNOW_FPS_CTE
+
+    return f"""
+WITH RECURSIVE {_WINNOW_FPS_CTE},
+e AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),
+dfc AS (SELECT f, count(*) AS fdf FROM e GROUP BY f),
+kept AS (SELECT e.doc_id, e.f FROM e JOIN dfc USING (f) WHERE fdf <= 50),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT reach.node, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r
+),
+comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster,
+       d.doc_id = coalesce(c.component, d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+register("dedup_winnow_clusters", _winnow_clusters, _winnow_clusters_oracle())

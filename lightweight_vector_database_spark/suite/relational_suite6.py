@@ -227,7 +227,13 @@ def _profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (map-side partials, one tiny agg row moves), then
     unpivoted with stack(). At 100 TB the profiler is one pass over
     the table — never a pass per column. Mean uses the floor-quantized
-    exact sum (_dsum) so it is summation-order independent."""
+    exact sum (_dsum) so it is summation-order independent.
+
+    The exact multi-column countDistinct compiles to Spark's Expand
+    (one shuffle carrying #cols copies of the distinct keys) — the
+    exact-oracle choice here; at 100 TB swap in
+    approx_count_distinct per column and the whole profile collapses
+    to a single map-side-partial aggregate with no Expand."""
     from .relational_suite import _dsum
 
     li = load_table(spark, sf_dir, "lineitem")
