@@ -220,3 +220,55 @@ SELECT ({_ingest_profile_sql()}) AS cell_id, count(*) AS n, count(*) AS n_ids
 FROM embeddings GROUP BY 1
 """,
 )
+
+
+def _cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta store's CDC change feed, value-checked: build a
+    4-version store from deterministic modulo-sliced orders commits
+    (full -> append -> delete -> atomic delete+append), then return
+    `read_changes(v0)`. The oracle derives the identical net feed from
+    plain SQL set algebra over the same slices — pinning insert
+    attribution, preimage deletes, and commit-version stamping against
+    an engine that never saw the log."""
+    from pyspark.sql import functions as F
+
+    from ..sources.delta_snapshots import DeltaSnapshotStore
+    from ..sources.tables import load_table as _lt
+
+    d, created = _session_store_dir("cdcfeed", sf_dir)
+    store = DeltaSnapshotStore(spark, f"{d}/store", id_col="vec_id")
+    if created:
+        o = _lt(spark, sf_dir, "orders").selectExpr(
+            "o_orderkey AS vec_id", "o_totalprice AS price"
+        )
+        k = F.col("vec_id")
+        store.commit_full(o.filter((k % 7).isin(0, 1, 2)))          # v0
+        store.commit_append(o.filter(k % 7 == 3))                   # v1
+        store.commit_delete(                                        # v2
+            o.filter((k % 7 == 0) & (k % 3 == 0)).select("vec_id")
+        )
+        store.commit_mutation(                                      # v3
+            append_df=o.filter(k % 7 == 4),
+            delete_ids=o.filter((k % 7 == 1) & (k % 2 == 0)).select("vec_id"),
+        )
+    return store.read_changes(0)
+
+
+register(
+    "delta_change_feed",
+    _cdc_feed,
+    """
+SELECT o_orderkey AS vec_id, o_totalprice AS price,
+       'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM orders WHERE o_orderkey % 7 = 3
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'insert', CAST(3 AS BIGINT)
+FROM orders WHERE o_orderkey % 7 = 4
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'delete', CAST(2 AS BIGINT)
+FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'delete', CAST(3 AS BIGINT)
+FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 2 = 0
+""",
+)
