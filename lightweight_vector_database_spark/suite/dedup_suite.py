@@ -848,3 +848,64 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 
 
 register("dedup_winnow_clusters", _winnow_clusters, _winnow_clusters_oracle())
+
+
+def _lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH quality, not guessed: precision/recall of the
+    MinHash-LSH candidate set (est agreement >= 0.5) against the TRUE
+    3-gram-jaccard >= 0.5 pair set, as one row of exact counts +
+    ratios. The evaluation harness a corpus owner runs on a sample
+    before trusting banding parameters at 100 TB — both sides of the
+    comparison are already exact-oracled queries, so the metrics
+    themselves get an exact oracle too. The truth side is the
+    all-pairs baseline: run on samples, not corpora (quarantined with
+    the other quadratic baselines in the breadth runner)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = (
+        D.minhash_dedup_candidates(docs, num_hashes=32, bands=8, ngram=3)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id1", "id2")
+    )
+    truth = D.jaccard_pairs(docs, ngram=3, threshold=0.5).select("id1", "id2")
+    hit = cands.join(truth, ["id1", "id2"])
+    n_c = cands.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_c.join(n_t).join(n_h)
+        .select(
+            "n_cand", "n_truth", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision_v"),
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall_v"),
+        )
+    )
+
+
+def _lsh_quality_oracle() -> str:
+    return f"""
+WITH {_minhash_cte(32, 8)},
+cand50 AS (SELECT id1, id2 FROM pairs WHERE est >= 0.5),
+tr_s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS toks
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+tr_p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM tr_s a JOIN tr_s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.5
+),
+qc AS (SELECT count(*) AS n_cand FROM cand50),
+qt AS (SELECT count(*) AS n_truth FROM tr_p),
+qh AS (SELECT count(*) AS n_hit FROM cand50 JOIN tr_p USING (id1, id2))
+SELECT n_cand, n_truth, n_hit,
+       round(n_hit / n_cand, 6) AS precision_v,
+       round(n_hit / n_truth, 6) AS recall_v
+FROM qc CROSS JOIN qt CROSS JOIN qh
+"""
+
+
+register("dedup_lsh_quality", _lsh_quality, _lsh_quality_oracle())

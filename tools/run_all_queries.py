@@ -51,6 +51,8 @@ QUADRATIC_BASELINES = {
     "embedding_srp_pairs": "uncapped banded self-join; replicated "
     "fixture vectors make every bucket a mega-bucket (died at sf3, "
     "609s; scale path: embedding_srp_capped)",
+    "dedup_lsh_quality": "truth side is the all-pairs exact-jaccard "
+    "baseline — the evaluation harness runs on samples, not corpora",
 }
 
 
