@@ -145,10 +145,15 @@ def winnow_pairs(
     grams — the same Σ df² hazard as LSH mega-buckets), with the
     dropped mass logged, never silent.
     """
+    # cached: the fingerprint relation is read by the dropped-mass log
+    # action, the df filter, and both self-join sides — recomputing the
+    # HOF pipeline for each would triple the work. At corpus scale
+    # you'd persist it anyway: it IS the fingerprint index (same note
+    # as minhash_dedup_candidates' signature cache).
     fps = df.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_fingerprints(text_col, k, w)).alias("fp"),
-    ).distinct()
+    ).distinct().cache()
     if max_df is not None:
         df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
         hot = df_counts.filter(F.col("__df") > max_df)
