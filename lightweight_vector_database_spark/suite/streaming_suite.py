@@ -272,3 +272,47 @@ SELECT o_orderkey, o_totalprice, 'delete', CAST(3 AS BIGINT)
 FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 2 = 0
 """,
 )
+
+
+def _wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset export/import round-trip, value-checked: documents
+    are packed into tar shards (sources/webdataset.py — distributed,
+    driver-free, one tar stream per task) and read back; the oracle is
+    plain SQL over the original table, so any loss or corruption in
+    the container round-trip breaks the value hash."""
+    from pyspark.sql import functions as F
+
+    from ..sources.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    d, created = _session_store_dir("wds", sf_dir)
+    out = f"{d}/shards"
+    if created:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        write_webdataset_shards(
+            docs, out, "doc_id", text_cols=("text", "lang"), shard_size=200
+        ).collect()
+    back = read_webdataset_shards(
+        spark, out, text_cols=("text", "lang"), key_type="long"
+    )
+    return back.select(
+        F.col("key").alias("doc_id"),
+        "lang",
+        F.length("text").cast("long").alias("n_chars_rt"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+register(
+    "webdataset_roundtrip",
+    _wds_roundtrip,
+    """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_rt,
+       md5(text) AS text_md5
+FROM documents
+""",
+)
