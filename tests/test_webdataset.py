@@ -1,0 +1,101 @@
+"""WebDataset tar shard sink/source: distributed write, round-trip
+fidelity, shard-size bounds, null handling, deterministic bytes."""
+
+from __future__ import annotations
+
+import glob
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightweight_vector_database_spark.sources import load_table
+from lightweight_vector_database_spark.sources.webdataset import (
+    read_webdataset_shards,
+    write_webdataset_shards,
+)
+
+
+def test_roundtrip_documents(spark, sf_dir, tmp_path):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 200")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.sha2(F.col("text"), 256).cast("binary").alias("payload"),
+        )
+    )
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset_shards(
+        docs, out, "doc_id", text_cols=("text", "lang"), binary_cols=("payload",)
+    ).collect()
+    assert sum(r.n_samples for r in manifest) == 200
+    assert all(r.n_bytes > 0 for r in manifest)
+
+    back = read_webdataset_shards(
+        spark, out, text_cols=("text", "lang"), binary_cols=("payload",),
+        key_type="long",
+    )
+    got = {
+        r.key: (r.text, r.lang, bytes(r.payload)) for r in back.collect()
+    }
+    want = {
+        r.doc_id: (r.text, r.lang, bytes(r.payload)) for r in docs.collect()
+    }
+    assert got == want
+
+
+def test_shard_size_bound_and_null_members(spark, tmp_path):
+    df = spark.range(250).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 != 0, F.concat(F.lit("t"), F.col("id"))).alias(
+            "txt"
+        ),
+    ).repartition(2)
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset_shards(
+        df, out, "id", text_cols=("txt",), shard_size=40
+    ).collect()
+    assert all(r.n_samples <= 40 for r in manifest)
+    assert sum(r.n_samples for r in manifest) == 250
+
+    back = read_webdataset_shards(spark, out, text_cols=("txt",), key_type="long")
+    rows = {r.key: r.txt for r in back.collect()}
+    # rows with a null column still round-trip as samples... except
+    # all-null samples contribute no tar members at all — they vanish
+    # (a sample IS its files in this format). Assert exactly that.
+    assert len(rows) == 200
+    assert all(k % 5 != 0 for k in rows)
+    assert rows[1] == "t1"
+
+
+def test_deterministic_bytes(spark, tmp_path):
+    df = spark.range(50).select(
+        "id", F.concat(F.lit("doc"), F.col("id")).alias("txt")
+    ).coalesce(1)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_webdataset_shards(df, p1, "id", text_cols=("txt",)).collect()
+    write_webdataset_shards(df, p2, "id", text_cols=("txt",)).collect()
+    b1 = b"".join(open(f, "rb").read() for f in sorted(glob.glob(f"{p1}/*.tar")))
+    b2 = b"".join(open(f, "rb").read() for f in sorted(glob.glob(f"{p2}/*.tar")))
+    assert b1 == b2  # mtime pinned, ordering task-local -> stable bytes
+
+
+def test_tar_members_follow_webdataset_layout(spark, tmp_path):
+    df = spark.range(3).select("id", F.lit("x").alias("txt")).coalesce(1)
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(df, out, "id", text_cols=("txt",)).collect()
+    (shard,) = glob.glob(f"{out}/*.tar")
+    with tarfile.open(shard) as t:
+        names = t.getnames()
+    assert names == ["0.txt", "1.txt", "2.txt"]
+
+
+def test_requires_columns_and_shards(spark, tmp_path):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="at least one"):
+        write_webdataset_shards(df, str(tmp_path / "x"), "id")
+    with pytest.raises(FileNotFoundError):
+        read_webdataset_shards(spark, str(tmp_path / "missing"), text_cols=("t",))
