@@ -21,6 +21,11 @@ Both directions here are fully distributed and driver-free:
 
 Text columns are encoded UTF-8; binary columns pass through untouched
 (the multimodal ``binary`` column convention, operators/multimodal.py).
+
+Paths here are plain ``os``/``glob`` file I/O — shared filesystem or
+fuse-mounted object store; for native s3://-style URIs swap the open/
+rename/list calls for the object store's SDK (the tar streaming and
+the distribution shape are unchanged).
 """
 
 from __future__ import annotations
