@@ -203,3 +203,46 @@ SELECT media_id, width, height,
 FROM m
 """,
 )
+
+
+def _ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> nearest-neighbor resize -> re-encode -> decode again:
+    the resized payloads are REAL PPM bytes produced and re-parsed by
+    the actual codec path (operators/multimodal.ppm_resize); the
+    oracle recomputes the sampled pixels from the closed-form synth
+    formula plus the same floor-scaled source-index map, so any error
+    in the pixel addressing, the re-encoded header, or the second
+    parse breaks the value hash."""
+    from ..operators.multimodal import ppm_features, ppm_resize, synth_ppm_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ppm_features(ppm_resize(synth_ppm_media(docs), 3, 2))
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+register(
+    "multimodal_ppm_resize",
+    _ppm_resize,
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 4 + 2 AS w, doc_id % 3 + 2 AS h
+  FROM documents
+), px AS (
+  SELECT media_id,
+         ((y * h) // 2 * w + (x * w) // 3) * 3 AS base
+  FROM m, range(0, 2) t(y), range(0, 3) s(x)
+)
+SELECT media_id, CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+       round(avg(CAST((media_id * 7 + base) % 256 AS DOUBLE)), 6) AS mean_r,
+       round(avg(CAST((media_id * 7 + base + 1) % 256 AS DOUBLE)), 6) AS mean_g,
+       round(avg(CAST((media_id * 7 + base + 2) % 256 AS DOUBLE)), 6) AS mean_b
+FROM px GROUP BY media_id
+""",
+)

@@ -140,3 +140,34 @@ def test_ppm_roundtrip_and_header_validation(spark):
     )
     with pytest.raises(Exception, match="P6"):
         ppm_features(bad).collect()
+
+
+def test_ppm_resize_pixel_exact(spark):
+    """Resize output equals the closed-form nearest-neighbor map of
+    the synthesized pixels, byte for byte, and re-decodes through
+    ppm_features with the resized dimensions."""
+    from lightweight_vector_database_spark.operators.multimodal import (
+        ppm_features,
+        ppm_resize,
+        synth_ppm_media,
+    )
+
+    docs = spark.range(12).selectExpr("id AS doc_id")
+    media = synth_ppm_media(docs)
+    out = ppm_resize(media, 3, 2)
+    got = {r.media_id: bytes(r.payload) for r in out.collect()}
+
+    for did in range(12):
+        w, h = did % 4 + 2, did % 3 + 2
+        pix = [(did * 7 + j) % 256 for j in range(w * h * 3)]
+        expect = bytearray(f"P6\n3 2\n255\n".encode())
+        for y in range(2):
+            sy = (y * h) // 2
+            for x in range(3):
+                sx = (x * w) // 3
+                base = (sy * w + sx) * 3
+                expect += bytes(pix[base:base + 3])
+        assert got[did] == bytes(expect), did
+
+    feats = {r.media_id: (r.width, r.height) for r in ppm_features(out).collect()}
+    assert all(v == (3, 2) for v in feats.values())
