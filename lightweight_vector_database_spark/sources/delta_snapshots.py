@@ -502,6 +502,11 @@ class DeltaSnapshotStore:
         v1 = from_version
         if v1 > v2:
             raise ValueError(f"from_version {v1} > to_version {v2}")
+        if v1 >= 0:
+            # must be a RETAINED version (not vacuumed, not arbitrary)
+            # — a made-up from_version would silently mis-slice the
+            # range instead of erroring
+            self._entry(m, v1)
         info2 = self._entry(m, v2)
         for v in range(v1 + 1, v2 + 1):
             if self._entry(m, v).get("rewrite"):

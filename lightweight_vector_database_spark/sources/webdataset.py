@@ -97,6 +97,14 @@ def write_webdataset_shards(
                 if tar is None:
                     _open()
                 key = str(getattr(row, key_col))
+                if "." in key:
+                    # member names are parsed back as <key>.<col> on
+                    # the LAST dot — a dotted key would silently
+                    # corrupt the column split on read
+                    raise ValueError(
+                        f"sample key {key!r} contains '.'; WebDataset "
+                        "keys must be dot-free (sanitize upstream)"
+                    )
                 for c in text_cols:
                     v = getattr(row, c)
                     if v is not None:

@@ -563,3 +563,17 @@ def test_compact_cluster_by_restores_locality(spark, tmp_path):
     after = {(r.rid, r.u, r.t) for r in store.read().collect()}
     assert after == before  # same visible rows
     assert u_hit_fraction() <= 0.5  # clustered: the slice prunes
+
+
+def test_read_changes_vacuumed_from_version(spark, tmp_path):
+    """CDC needs retained history: a from_version dropped by vacuum
+    raises instead of silently mis-slicing the range."""
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"))
+    store.commit_full(_df(spark, [(0, 0.0)]))
+    store.commit_append(_df(spark, [(1, 1.0)]))
+    store.commit_append(_df(spark, [(2, 2.0)]))
+    store.vacuum(keep_last=1)
+    with pytest.raises(KeyError):
+        store.read_changes(0)
+    with pytest.raises(ValueError, match="from_version"):
+        store.read_changes(41)

@@ -99,3 +99,11 @@ def test_requires_columns_and_shards(spark, tmp_path):
         write_webdataset_shards(df, str(tmp_path / "x"), "id")
     with pytest.raises(FileNotFoundError):
         read_webdataset_shards(spark, str(tmp_path / "missing"), text_cols=("t",))
+
+
+def test_dotted_keys_rejected(spark, tmp_path):
+    df = spark.createDataFrame([("a.b", "x")], "k string, txt string")
+    with pytest.raises(Exception, match="dot-free"):
+        write_webdataset_shards(
+            df, str(tmp_path / "w"), "k", text_cols=("txt",)
+        ).collect()
