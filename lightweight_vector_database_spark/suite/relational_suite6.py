@@ -276,3 +276,80 @@ FROM lineitem""")
 
 
 register("profile_lineitem", _profile_lineitem, _profile_sql())
+
+
+# --- time-series resample + forward fill -----------------------------------
+
+def _resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill — the time-series
+    primitive behind dashboards and feature joins: bucket each user's
+    events to hours, expand the COMPLETE hour grid between their first
+    and last bucket (sequence + explode — gaps become rows), then
+    carry the last observed value across the gaps with an
+    ignore-nulls running last(). One shuffle on user_id for the
+    aggregate; the window reuses the same hash partitioning, so
+    filling adds no Exchange. user_id < 20 bounds the output."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    obs = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+            "value",
+        )
+        .groupBy("user_id", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long"))
+             .cast("double") / F.lit(1e6)).alias("sv"),
+        )
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("hr").alias("mnh"), F.max("hr").alias("mxh"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("mnh"), F.col("mxh"))).alias("hr"),
+        )
+    )
+    j = grid.join(obs, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.round(F.last("sv", ignorenulls=True).over(w), 6).alias("filled_sum"),
+    )
+
+
+register(
+    "timeseries_resample_ffill",
+    _resample_ffill,
+    """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hr, value
+  FROM events WHERE user_id < 20
+), obs AS (
+  SELECT user_id, hr, count(*) AS n,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS sv
+  FROM ev GROUP BY user_id, hr
+), rng AS (
+  SELECT user_id, unnest(range(mnh, mxh + 1)) AS hr
+  FROM (SELECT user_id, min(hr) AS mnh, max(hr) AS mxh FROM obs GROUP BY user_id)
+), j AS (
+  SELECT r.user_id, r.hr, obs.n, obs.sv
+  FROM rng r LEFT JOIN obs ON obs.user_id = r.user_id AND obs.hr = r.hr
+)
+SELECT user_id, hr, CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       round(last_value(sv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_sum
+FROM j
+""",
+)
