@@ -284,11 +284,15 @@ def _resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid resampling with forward fill — the time-series
     primitive behind dashboards and feature joins: bucket each user's
     events to hours, expand the COMPLETE hour grid between their first
-    and last bucket (sequence + explode — gaps become rows), then
-    carry the last observed value across the gaps with an
-    ignore-nulls running last(). One shuffle on user_id for the
-    aggregate; the window reuses the same hash partitioning, so
-    filling adds no Exchange. user_id < 20 bounds the output."""
+    and last bucket so gaps become rows, carrying the last observed
+    value across them. The naive shape (grid explode -> LEFT JOIN obs
+    -> ignore-nulls running last()) costs a third exchange for the
+    join; instead each observation lead()s to its successor and
+    sequence-explodes the gap rows ITSELF, with the carried value by
+    construction — two exchanges total ((user, hr) aggregate + the
+    user_id window), no join, no second window. The oracle keeps the
+    naive join+fill formulation, so the differential proves the two
+    equivalent. user_id < 20 bounds the output."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
@@ -305,25 +309,22 @@ def _resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("double") / F.lit(1e6)).alias("sv"),
         )
     )
-    grid = (
-        obs.groupBy("user_id")
-        .agg(F.min("hr").alias("mnh"), F.max("hr").alias("mxh"))
-        .select(
-            "user_id",
-            F.explode(F.sequence(F.col("mnh"), F.col("mxh"))).alias("hr"),
-        )
+    w = Window.partitionBy("user_id").orderBy("hr")
+    spanned = obs.withColumn(
+        "next_hr", F.coalesce(F.lead("hr").over(w) - 1, F.col("hr"))
     )
-    j = grid.join(obs, ["user_id", "hr"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return j.select(
+    return spanned.select(
+        "user_id",
+        F.col("hr").alias("obs_hr"),
+        "n",
+        "sv",
+        F.explode(F.sequence(F.col("hr"), F.col("next_hr"))).alias("hr"),
+    ).select(
         "user_id",
         "hr",
-        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-        F.round(F.last("sv", ignorenulls=True).over(w), 6).alias("filled_sum"),
+        F.when(F.col("hr") == F.col("obs_hr"), F.col("n"))
+        .otherwise(F.lit(0)).alias("n_events"),
+        F.round("sv", 6).alias("filled_sum"),
     )
 
 
