@@ -354,3 +354,101 @@ SELECT user_id, hr, CAST(coalesce(n, 0) AS BIGINT) AS n_events,
 FROM j
 """,
 )
+
+
+def _resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling — the numeric twin of the
+    forward fill: gap hours take the value linearly between their
+    surrounding observations. Same two-exchange lead-span shape (each
+    observation emits its own gap rows with both endpoints in hand);
+    the oracle reconstructs prev/next endpoints independently with
+    ignore-nulls window scans over the joined grid, so the
+    differential again proves two formulations equivalent."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    obs = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+            "value",
+        )
+        .groupBy("user_id", "hr")
+        .agg(
+            (F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long"))
+             .cast("double") / F.lit(1e6)).alias("sv"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("hr")
+    spanned = obs.select(
+        "user_id",
+        F.col("hr").alias("obs_hr"),
+        "sv",
+        F.lead("hr").over(w).alias("nxt_hr"),
+        F.lead("sv").over(w).alias("nxt_sv"),
+    )
+    rows = spanned.select(
+        "user_id", "obs_hr", "sv", "nxt_hr", "nxt_sv",
+        F.explode(
+            F.sequence(
+                F.col("obs_hr"),
+                F.coalesce(F.col("nxt_hr") - 1, F.col("obs_hr")),
+            )
+        ).alias("hr"),
+    )
+    interp = F.col("sv") + (F.col("nxt_sv") - F.col("sv")) * (
+        F.col("hr") - F.col("obs_hr")
+    ) / (F.col("nxt_hr") - F.col("obs_hr"))
+    # floor-quantize, not round(): the interpolated product can land
+    # exactly on a decimal halfway point, where Spark and DuckDB round
+    # differently (the repo-wide determinism rule)
+    val = F.when(F.col("hr") == F.col("obs_hr"), F.col("sv")).otherwise(interp)
+    return rows.select(
+        "user_id",
+        "hr",
+        (F.floor(val * F.lit(1e6)) / F.lit(1e6)).alias("interp_sum"),
+    )
+
+
+register(
+    "timeseries_resample_interp",
+    _resample_interp,
+    """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hr, value
+  FROM events WHERE user_id < 20
+), obs AS (
+  SELECT user_id, hr,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS sv
+  FROM ev GROUP BY user_id, hr
+), rng AS (
+  SELECT user_id, unnest(range(mnh, mxh + 1)) AS hr
+  FROM (SELECT user_id, min(hr) AS mnh, max(hr) AS mxh FROM obs GROUP BY user_id)
+), j AS (
+  SELECT r.user_id, r.hr, obs.sv
+  FROM rng r LEFT JOIN obs ON obs.user_id = r.user_id AND obs.hr = r.hr
+), ends AS (
+  SELECT user_id, hr, sv,
+         last_value(sv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_sv,
+         last_value(CASE WHEN sv IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_hr,
+         first_value(sv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_sv,
+         first_value(CASE WHEN sv IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_hr
+  FROM j
+)
+SELECT user_id, hr,
+       floor((CASE WHEN sv IS NOT NULL THEN sv
+                   ELSE prev_sv + (nxt_sv - prev_sv) * (hr - prev_hr)
+                        / (nxt_hr - prev_hr) END) * 1000000.0) / 1000000.0
+         AS interp_sum
+FROM ends
+""",
+)
