@@ -1,5 +1,7 @@
-"""Relational patterns, part 6: gaps-and-islands run-length encoding
-and mergeable HLL cardinality sketches.
+"""Relational patterns, part 6: gaps-and-islands run-length encoding,
+mergeable HLL cardinality sketches, skew-machinery driver queries, a
+single-pass column profiler, and time-series resampling (forward fill
++ linear interpolation).
 
 - ``runs_event_type_islands`` — collapse each user's event stream into
   maximal runs of consecutive equal event_type (the classic
