@@ -454,3 +454,106 @@ SELECT user_id, hr,
 FROM ends
 """,
 )
+
+
+def _ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling bars — open/high/low/close of `value` per
+    (user, day): the standard time-bucket rollup for any metered
+    series. open/close are min_by/max_by on (ts, event_id) — a total
+    order, so the bars are deterministic under any partitioning — and
+    the whole query is one hash aggregate with map-side partials."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    day = F.expr("unix_micros(ts) div 86400000000").alias("day")
+    # (ts, event_id) packed into one orderable struct for min_by/max_by
+    o = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select("user_id", day, "value", o.alias("ord"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min_by("value", F.col("ord")), 6).alias("open_v"),
+            F.round(F.max("value"), 6).alias("high_v"),
+            F.round(F.min("value"), 6).alias("low_v"),
+            F.round(F.max_by("value", F.col("ord")), 6).alias("close_v"),
+        )
+    )
+
+
+register(
+    "timeseries_ohlc_daily",
+    _ohlc_daily,
+    """
+SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n,
+       round(first(value ORDER BY ts, event_id), 6) AS open_v,
+       round(max(value), 6) AS high_v,
+       round(min(value), 6) AS low_v,
+       round(last(value ORDER BY ts, event_id), 6) AS close_v
+FROM events WHERE user_id < 40
+GROUP BY user_id, epoch_us(ts) // 86400000000
+""",
+)
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest signup, the
+    earliest click strictly AFTER that signup, and the earliest
+    purchase strictly after that click — the event-analytics staple
+    (activation funnels, attribution windows). Three conditional
+    aggregates, each a hash agg on user_id with map-side partials;
+    the stage joins are user-keyed and AQE-broadcast when the funnel
+    narrows. min() per stage makes every bar deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("us") > F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("us").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id", "t_signup", "t_click")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2.select("user_id", "t_click"), "user_id", "left")
+        .join(s3.select("user_id", "t_purchase"), "user_id", "left")
+        .select("user_id", "t_signup", "t_click", "t_purchase")
+    )
+
+
+register(
+    "funnel_signup_click_purchase",
+    _funnel,
+    """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), s1 AS (
+  SELECT user_id, min(us) AS t_signup FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT ev.user_id, min(us) AS t_click
+  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+  WHERE event_type = 'click' AND us > t_signup
+  GROUP BY ev.user_id
+), s3 AS (
+  SELECT ev.user_id, min(us) AS t_purchase
+  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+  WHERE event_type = 'purchase' AND us > t_click
+  GROUP BY ev.user_id
+)
+SELECT s1.user_id, t_signup, t_click, t_purchase
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+""",
+)
