@@ -557,38 +557,3 @@ LEFT JOIN s2 ON s2.user_id = s1.user_id
 LEFT JOIN s3 ON s3.user_id = s1.user_id
 """,
 )
-
-
-def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention — the other event-analytics staple
-    beside the funnel: users cohorted by first-activity week, then
-    distinct active users per (cohort_week, weeks_since). Two hash
-    aggregates on user-derived keys; the cohort map is user-keyed and
-    broadcast back onto the event stream, so the wide table never
-    shuffles twice."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("wk")
-    )
-    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    return (
-        ev.join(F.broadcast(cohort), "user_id")
-        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
-        .agg(F.countDistinct("user_id").alias("active_users"))
-    )
-
-
-register(
-    "cohort_weekly_retention",
-    _cohort_retention,
-    """
-WITH ev AS (
-  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
-), cohort AS (
-  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
-)
-SELECT cohort_wk, wk - cohort_wk AS week_offset,
-       count(DISTINCT ev.user_id) AS active_users
-FROM ev JOIN cohort ON ev.user_id = cohort.user_id
-GROUP BY cohort_wk, wk - cohort_wk
-""",
-)
