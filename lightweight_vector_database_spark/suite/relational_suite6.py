@@ -495,10 +495,13 @@ GROUP BY user_id, epoch_us(ts) // 86400000000
 
 
 def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-funnel analysis: per user, the earliest signup, the
-    earliest click strictly AFTER that signup, and the earliest
-    purchase strictly after that click — the event-analytics staple
-    (activation funnels, attribution windows). Three conditional
+    """STAGED funnel: per user, the earliest signup, the earliest
+    click strictly AFTER that signup, and the earliest purchase
+    strictly after that click. Deliberately stricter than
+    ``event_funnel`` (curation_suite2), which compares INDEPENDENT
+    per-type minima — the staged form credits a user whose first
+    click predates signup but who clicked again afterwards, the
+    semantics activation funnels actually want. Three conditional
     aggregates, each a hash agg on user_id with map-side partials;
     the stage joins are user-keyed and AQE-broadcast when the funnel
     narrows. min() per stage makes every bar deterministic."""
