@@ -144,3 +144,44 @@ def test_salted_agg_is_two_level(spark, sf_dir):
     assert plan.count("Exchange") >= 2
     assert "__salt" in plan  # the salt key participates in the first agg
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_resample_ffill_two_exchanges_no_join(spark, sf_dir):
+    """The lead-span formulation must not regress to the naive
+    grid-explode + join + fill shape (3rd exchange)."""
+    plan = _plan(spark, sf_dir, "timeseries_resample_ffill")
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """ANALYZE-style profiler: one pass over the table — the exact
+    multi-column distinct goes through Expand, never a scan per
+    column."""
+    plan = _plan(spark, sf_dir, "profile_lineitem")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert "Python" not in plan
+
+
+def test_zorder_box_read_pushes_ranges_to_stored_column(spark, sf_dir):
+    """The z-range disjunction must reach the snapshot scan as pushed
+    filters on the STORED zval column (the CollapseProject inlining
+    regression recomputed it per comparison instead)."""
+    plan = _plan(spark, sf_dir, "zorder_box_read")
+    pushed = plan.split("PushedFilters")[1][:400] if "PushedFilters" in plan else ""
+    assert "zval" in pushed
+    assert "Python" not in plan
+
+
+def test_bm25_filters_terms_before_shuffle(spark, sf_dir):
+    """The exploded token stream is cut to the |Q| query terms on the
+    map side: the term IN-filter must appear BELOW the first Exchange
+    in the plan tree (printed plans list operators top-down, so the
+    filter string must occur after the last Exchange header)."""
+    plan = _plan(spark, sf_dir, "bm25_top_docs")
+    first_exchange = plan.index("Exchange")
+    gen_filter = plan.index("vector")  # the literal term list in the filter
+    assert gen_filter > first_exchange  # deeper in the printed tree
+    assert "Python" not in plan
