@@ -347,6 +347,13 @@ def ppm_resize(
         if not p.startswith(b"P6"):
             raise ValueError("not a binary PPM (P6) payload")
         parts = p.split(b"\n", 3)
+        if len(parts) < 4:
+            raise ValueError("truncated PPM header")
+        if int(parts[2]) != 255:
+            # same contract as ppm_features: silently re-labelling a
+            # 16-bit pixel plane under a 255 header would emit a
+            # structurally valid but pixel-garbage image
+            raise ValueError("only maxval 255 supported")
         w, h = (int(t) for t in parts[1].split())
         pix = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
         img = pix.reshape(h, w, 3)

@@ -556,15 +556,23 @@ class DeltaSnapshotStore:
         pieces: list[DataFrame] = []
         # insert side: range adds, minus range tombstones with a
         # strictly greater sequence (read()'s rule — a commit never
-        # deletes its own replacement)
+        # deletes its own replacement). The tombstone relation is
+        # built ONCE per distinct applicable set (read()'s grouping),
+        # not once per add dir — O(adds x tombs) scans otherwise.
+        tomb_memo: dict[tuple, DataFrame | None] = {}
         for d, seq in new_adds:
             df = self._align_df(self._spark.read.parquet(d), target)
-            applicable = _tomb_ids([(td, ts) for td, ts in new_tombs if ts > seq])
+            key = tuple(td for td, ts in new_tombs if ts > seq)
+            if key not in tomb_memo:
+                rel = _tomb_ids([(td, ts) for td, ts in new_tombs if ts > seq])
+                tomb_memo[key] = (
+                    None if rel is None
+                    else rel.select(self.id_col).distinct()
+                )
+            applicable = tomb_memo[key]
             if applicable is not None:
                 df = df.join(
-                    F.broadcast(applicable.select(self.id_col).distinct()),
-                    self.id_col,
-                    "left_anti",
+                    F.broadcast(applicable), self.id_col, "left_anti"
                 )
             pieces.append(_tag(df, "insert", seq))
 
@@ -648,10 +656,15 @@ class DeltaSnapshotStore:
             current = self.read(base)
             if cluster_by is not None:
                 cols = [f.name for f in current.schema.fields]
-                clustered = current.withColumn("__cluster", cluster_by)
+                # pick a key name no existing column can collide with
+                # (withColumn would silently REPLACE a user column)
+                ckey = "__cluster"
+                while ckey in cols:
+                    ckey += "_"
+                clustered = current.withColumn(ckey, cluster_by)
                 clustered = clustered.repartitionByRange(
-                    num_files or 32, "__cluster"
-                ).sortWithinPartitions("__cluster")
+                    num_files or 32, ckey
+                ).sortWithinPartitions(ckey)
                 current = clustered.select(*cols)
             meta = metadata if metadata is not None else self.latest_metadata()
             v = self.commit_mutation(

@@ -37,6 +37,19 @@ import tarfile
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _check_dot_free_cols(*col_groups: tuple[str, ...]) -> None:
+    """Member names are parsed back as <key>.<col> at the LAST dot, so
+    a dotted column name (e.g. 'cap.txt') would write members the
+    reader silently skips — every sample vanishes with no error."""
+    for cols in col_groups:
+        for c in cols:
+            if "." in c:
+                raise ValueError(
+                    f"column name {c!r} contains '.'; WebDataset member "
+                    "suffixes must be dot-free (rename the column)"
+                )
+
+
 def write_webdataset_shards(
     df: DataFrame,
     path: str,
@@ -56,6 +69,7 @@ def write_webdataset_shards(
     this format a sample IS its files."""
     if not text_cols and not binary_cols:
         raise ValueError("need at least one text or binary column")
+    _check_dot_free_cols(text_cols, binary_cols)
     os.makedirs(path, exist_ok=True)
     cols = [key_col, *text_cols, *binary_cols]
     proj = df.select(*cols)
@@ -137,6 +151,7 @@ def read_webdataset_shards(
     (e.g. 'long' for integer ids)."""
     import glob as _glob
 
+    _check_dot_free_cols(text_cols, binary_cols)
     shards = sorted(_glob.glob(os.path.join(path, "*.tar")))
     if not shards:
         raise FileNotFoundError(f"no .tar shards under {path}")

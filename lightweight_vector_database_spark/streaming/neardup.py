@@ -92,6 +92,9 @@ def extend_band_index(
     idx = corpus_band_index(
         new_docs, num_hashes, bands, ngram, id_col, text_col
     )
-    if store.latest_version() < 0:
-        return store.commit_full(idx)
+    # always append: commit_mutation handles the empty store, and a
+    # commit_full here would be a check-then-act race (two concurrent
+    # first batches -> the second's rewrite silently drops the
+    # first's rows) AND would stamp v0 as a rewrite, blocking any
+    # read_changes range that includes it
     return store.commit_append(idx)

@@ -861,12 +861,21 @@ def _lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs baseline: run on samples, not corpora (quarantined with
     the other quadratic baselines in the breadth runner)."""
     docs = load_table(spark, sf_dir, "documents")
+    # cached: each side feeds both its own count and the hit join —
+    # without the cache the quadratic truth join and the minhash
+    # pipeline execute twice per run (Spark does not CSE across
+    # DataFrame reuse)
     cands = (
         D.minhash_dedup_candidates(docs, num_hashes=32, bands=8, ngram=3)
         .filter(F.col("est_jaccard") >= 0.5)
         .select("id1", "id2")
+        .cache()
     )
-    truth = D.jaccard_pairs(docs, ngram=3, threshold=0.5).select("id1", "id2")
+    truth = (
+        D.jaccard_pairs(docs, ngram=3, threshold=0.5)
+        .select("id1", "id2")
+        .cache()
+    )
     hit = cands.join(truth, ["id1", "id2"])
     n_c = cands.agg(F.count(F.lit(1)).alias("n_cand"))
     n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))

@@ -577,3 +577,17 @@ def test_read_changes_vacuumed_from_version(spark, tmp_path):
         store.read_changes(0)
     with pytest.raises(ValueError, match="from_version"):
         store.read_changes(41)
+
+
+def test_compact_cluster_by_preserves_user_cluster_column(spark, tmp_path):
+    """A table that already HAS a __cluster column must survive a
+    clustered compaction untouched (the key gets a fresh name)."""
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"), id_col="rid")
+    df = spark.range(100).selectExpr(
+        "id AS rid", "id % 7 AS __cluster", "id * 2 AS v"
+    )
+    store.commit_full(df)
+    before = {(r.rid, r["__cluster"], r.v) for r in store.read().collect()}
+    store.compact(cluster_by=F.col("v") % 5, num_files=4)
+    after = {(r.rid, r["__cluster"], r.v) for r in store.read().collect()}
+    assert after == before

@@ -171,3 +171,20 @@ def test_ppm_resize_pixel_exact(spark):
 
     feats = {r.media_id: (r.width, r.height) for r in ppm_features(out).collect()}
     assert all(v == (3, 2) for v in feats.values())
+
+
+def test_ppm_resize_rejects_bad_headers(spark):
+    from lightweight_vector_database_spark.operators.multimodal import (
+        ppm_resize,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, b"P6\n2 2\n65535\n" + bytes(24))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="maxval 255"):
+        ppm_resize(bad, 1, 1).collect()
+    trunc = spark.createDataFrame(
+        [(1, b"P6\n2 2\n255")], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        ppm_resize(trunc, 1, 1).collect()

@@ -177,11 +177,16 @@ def test_zorder_box_read_pushes_ranges_to_stored_column(spark, sf_dir):
 
 def test_bm25_filters_terms_before_shuffle(spark, sf_dir):
     """The exploded token stream is cut to the |Q| query terms on the
-    map side: the term IN-filter must appear BELOW the first Exchange
-    in the plan tree (printed plans list operators top-down, so the
-    filter string must occur after the last Exchange header)."""
+    MAP side: every term IN-filter must sit DIRECTLY on the explode
+    (its child line is the Generate), i.e. before any shuffle of the
+    token stream — not after an Exchange."""
     plan = _plan(spark, sf_dir, "bm25_top_docs")
-    first_exchange = plan.index("Exchange")
-    gen_filter = plan.index("vector")  # the literal term list in the filter
-    assert gen_filter > first_exchange  # deeper in the printed tree
+    lines = plan.splitlines()
+    hits = [
+        i for i, ln in enumerate(lines)
+        if "IN (vector,hash,broadcast,shuffle)" in ln
+    ]
+    assert hits, "term IN-filter not found in the plan"
+    for i in hits:
+        assert "Generate explode" in lines[i + 1], lines[i : i + 2]
     assert "Python" not in plan

@@ -107,3 +107,14 @@ def test_dotted_keys_rejected(spark, tmp_path):
         write_webdataset_shards(
             df, str(tmp_path / "w"), "k", text_cols=("txt",)
         ).collect()
+
+
+def test_dotted_column_names_rejected(spark, tmp_path):
+    df = spark.range(3).select("id", F.lit("x").alias("c"))
+    with pytest.raises(ValueError, match="dot-free"):
+        write_webdataset_shards(
+            df.withColumnRenamed("c", "cap.txt"),
+            str(tmp_path / "w"), "id", text_cols=("cap.txt",),
+        )
+    with pytest.raises(ValueError, match="dot-free"):
+        read_webdataset_shards(spark, str(tmp_path), text_cols=("a.b",))
