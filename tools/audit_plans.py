@@ -29,6 +29,7 @@ EXPECTED_PYTHON = {
     "ann_pq_refined",  # arrow bulk encode (build step); ADC serving is codegen
     "curation_compression_ratio",  # zlib is per-row Python by design (Arrow-batched)
     "webdataset_roundtrip",  # the tar codec IS the mapInPandas boundary (both directions)
+    "multimodal_ppm_resize",  # real codec chain: synth -> resize -> re-decode (3 mapInPandas)
     "udtf_repeated_terms",  # true Python UDTF (the op under test IS the Python boundary)
     "ann_ivfpq_refined",  # arrow cell+residual encode (build step); ADC serving is codegen
     "knn_join_grid_indexed",  # batched matmul strategy (mapInPandas) — the documented high-throughput kNN-join path
