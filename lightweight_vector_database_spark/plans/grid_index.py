@@ -751,7 +751,22 @@ def knn_join_indexed(
         return knn_join(probes, assigned, k, metric=metric,
                         probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
                         vec_col=vec_col, id_col=id_col)
-    probe_rows = probes.select(probe_id_col, probe_vec_col).collect()
+    # driver-memory guard: probe tables too big to materialize route to
+    # the fully distributed bulk path (bulk_knn.knn_join_bulk — probes
+    # never leave the cluster; identical results, tested)
+    from ..operators.knn import MATMUL_MAX_DRIVER_PROBES
+
+    probe_rows = probes.select(probe_id_col, probe_vec_col).limit(
+        MATMUL_MAX_DRIVER_PROBES + 1
+    ).collect()
+    if len(probe_rows) > MATMUL_MAX_DRIVER_PROBES:
+        from .bulk_knn import knn_join_bulk
+
+        return knn_join_bulk(
+            assigned, index, probes, k, metric=metric, stats=stats,
+            probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+            vec_col=vec_col, id_col=id_col, **metric_kwargs,
+        )
     if not probe_rows:
         empty = knn_join(probes, assigned, k, metric=metric,
                          probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
