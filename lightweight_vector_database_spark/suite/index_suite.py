@@ -353,6 +353,75 @@ from .knn_suite import _KNN_JOIN_ORACLE  # noqa: E402
 register("knn_join_grid_indexed", _knn_join_grid, _KNN_JOIN_ORACLE)
 
 
+# --- fully distributed batched kNN-join at real probe scale -----------------
+# VERDICT r6 item 4: the no-driver-materialization contract (plans/
+# bulk_knn) oracle-checked at >=10^4 probes, not just pytest-pinned.
+# Probes are a deterministic 25x expansion of the first 400 base
+# vectors (10,000 probes); the same expansion arithmetic (all-double)
+# runs in the DuckDB oracle, and the brute per-probe top-k over the
+# full cross product is the oracle answer. The Spark plan derives
+# candidate cells in mapInPandas (O(cells) closures), semi-join-prunes
+# the base, and scores via cogrouped matmul — no probe vector ever
+# reaches the driver.
+
+_BULK_REPS = 25
+_BULK_SEEDS = 400
+_BULK_K = 2
+
+
+def _knn_join_bulk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.bulk_knn import knn_join_bulk
+
+    assigned, stats = _indexed_snapshot(spark, sf_dir)
+    reps = spark.range(_BULK_REPS).select(F.col("id").alias("rep"))
+    probes = (
+        assigned.filter(F.col("vec_id") < _BULK_SEEDS)
+        .crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") * _BULK_REPS + F.col("rep")).alias("probe_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x
+                * (F.lit(1.0) + F.col("rep").cast("double") * F.lit(0.001)),
+            ).alias("probe_vec"),
+        )
+    )
+    out = knn_join_bulk(assigned, _INDEX, probes, k=_BULK_K, stats=stats)
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round(F.col("dist"), 6).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _bulk_oracle() -> str:
+    from .knn_suite import _dist_sql
+
+    return f"""
+WITH probes AS (
+  SELECT vec_id * {_BULK_REPS} + rep AS probe_id,
+         list_transform(embedding,
+             x -> CAST(x AS DOUBLE) *
+                  (CAST(1 AS DOUBLE) + CAST(rep AS DOUBLE) * CAST(0.001 AS DOUBLE))
+         ) AS probe_vec
+  FROM embeddings, range({_BULK_REPS}) t(rep) WHERE vec_id < {_BULK_SEEDS}
+), scored AS (
+  SELECT p.probe_id, e.vec_id,
+         {_dist_sql('e.embedding', 'p.probe_vec', 'euclidean_sq')} AS dist
+  FROM embeddings e CROSS JOIN probes p
+)
+SELECT probe_id, vec_id, round(dist, 6) AS dist, rank FROM (
+  SELECT probe_id, vec_id, dist,
+         row_number() OVER (PARTITION BY probe_id ORDER BY dist, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_BULK_K}
+"""
+
+
+register("knn_join_bulk", _knn_join_bulk_query, _bulk_oracle())
+
+
 # --- residual IVF-PQ (rows-only like ann_pq_refined) ------------------------
 
 _IVFPQ_MEMO: dict[str, object] = {}
