@@ -162,7 +162,9 @@ def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _PQ_MEMO:
-        _PQ_MEMO[sf_dir] = train_pq_codebooks(emb, m=8, ksub=16, iters=4)
+        _PQ_MEMO[sf_dir] = train_pq_codebooks(
+            emb, m=8, ksub=16, iters=4, sample_id_col="vec_id"
+        )
     books = _PQ_MEMO[sf_dir]
     # arrow = the bulk index-build path (batched matmul); the serving
     # expressions (ADC + refine) downstream stay pure codegen
@@ -173,10 +175,10 @@ def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact DuckDB oracles for the PQ family ---------------------------------
 #
-# The codebooks are deterministic: seeded Lloyd on the first-N-rows
-# sample (similarity.train_*_np). The oracle retrains the SAME
-# codebooks from the same rows fetched via DuckDB (sample order
-# verified bit-identical to Spark's limit()), then bakes the whole
+# The codebooks are deterministic: seeded Lloyd on a seeded-UNIFORM
+# sample (rows ordered by md5 of the id — similarity._training_sample;
+# VERDICT r6 item 2). The oracle retrains the SAME codebooks from the
+# same rows fetched via DuckDB with the same rule, then bakes the whole
 # encode -> ADC -> refine pipeline into SQL literals: per-row code
 # assignment as argmin over codebook literals, ADC as baked LUT sums
 # (the very same numpy values Spark bakes into its plan), candidate
@@ -213,9 +215,14 @@ def _build_pq_oracle_sqls() -> tuple[str | None, str | None]:
         import duckdb
 
         con = duckdb.connect()
+        # the seeded-uniform sampling rule (similarity._training_sample):
+        # ORDER BY md5(id-as-string) is the same deterministic
+        # pseudo-random permutation Spark's TakeOrdered computes, so
+        # the oracle retrains from the identical sample rows in the
+        # identical order.
         rows = con.execute(
             f"SELECT embedding FROM '{_ORACLE_SF_DIR}/embeddings.parquet' "
-            "LIMIT 8192"
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8192"
         ).fetchall()
         con.close()
     except Exception:  # fixture absent: keep rows-only checks
@@ -445,7 +452,7 @@ def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _IVFPQ_MEMO:
         _IVFPQ_MEMO[sf_dir] = train_ivfpq(
-            emb, n_centroids=8, m=8, ksub=16, iters=3
+            emb, n_centroids=8, m=8, ksub=16, iters=3, sample_id_col="vec_id"
         )
     cents, books = _IVFPQ_MEMO[sf_dir]
     key = (id(spark), sf_dir)
@@ -453,7 +460,7 @@ def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".index_snapshots")
         os.makedirs(root, exist_ok=True)
-        name = f"ivfpq_{os.path.basename(sf_dir.rstrip('/'))}_c8m8k16_v1"
+        name = f"ivfpq_{os.path.basename(sf_dir.rstrip('/'))}_c8m8k16_v2"
         path = os.path.join(root, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             tmp = tempfile.mkdtemp(dir=root, prefix=name + ".tmp")

@@ -194,3 +194,55 @@ def test_ivfpq_search_recall(emb):
         assert dists == sorted(dists)
     finally:
         encoded.unpersist()
+
+
+def test_uniform_sampling_beats_head_on_skewed_layout(spark):
+    """VERDICT r6 item 2 pin: on a corpus whose file layout groups one
+    cluster first, head sampling (limit) trains every centroid inside
+    that cluster, so IVF recall for the other cluster collapses; the
+    seeded-uniform rule (sample_id_col) sees both clusters and keeps
+    recall exact. This is the 100 TB failure mode made small: limit()
+    reads one shard's head."""
+    n, dim = 4096, 8
+    # ids 0..2047 cluster A (around +0.3), 2048..4095 cluster B (-0.3);
+    # spark.range partitions are id-ordered, so limit() = cluster A only
+    df = spark.range(n, numPartitions=8).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.when(F.col("id") < n // 2, F.lit(0.3))
+            .otherwise(F.lit(-0.3))
+            + (F.col("id").cast("double") % 31) * F.lit(1e-3),
+        ).alias("embedding"),
+    )
+    head = np.asarray(S.train_centroids(df, n_centroids=4, iters=4, sample_rows=2048))
+    uni = np.asarray(
+        S.train_centroids(
+            df, n_centroids=4, iters=4, sample_rows=2048, sample_id_col="vec_id"
+        )
+    )
+    # head-trained: every centroid sits in cluster A; uniform: both covered
+    assert (head.mean(axis=1) > 0).all()
+    assert (uni.mean(axis=1) > 0).any() and (uni.mean(axis=1) < 0).any()
+
+    # recall@10 for a probe at cluster B's center, nprobe=1
+    probe = [-0.3 + 0.015] * dim
+    exact = {r.vec_id for r in knn(df, probe, 10).collect()}
+
+    def recall(cents):
+        got = {
+            r.vec_id
+            for r in S.ivf_search(
+                S.ivf_assign(df, cents), cents, probe, k=10, nprobe=1
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_head, r_uni = recall(head), recall(uni)
+    assert r_uni == 1.0
+    # head-trained centroids can't separate cluster B: nprobe=1 lands on
+    # a cell containing ALL of B (no discrimination) or misses it; either
+    # way the pinned delta shows mistraining. Keep the assertion on the
+    # centroid geometry above as the primary pin and require uniform to
+    # be at least as good here.
+    assert r_uni >= r_head
