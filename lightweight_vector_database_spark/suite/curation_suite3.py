@@ -533,14 +533,19 @@ SELECT source, doc_id, draw_rank FROM (
 
 def _bloom_merged_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-shard MERGE form of Bloom decontamination — the actual
-    100 TB deployment shape: one filter built per source shard (per
-    day / per dump in production), combined with ``bloom_merge``
-    (cell-wise bit_or + re-stamped m_bits metadata), probed once.
-    bit_or is associative, so the merged filter is bit-identical to a
-    single build over the union — which is exactly what the oracle
-    computes, making the merge path itself value-checked."""
+    100 TB deployment shape: one filter per source shard (per day /
+    per dump in production), merged and probed once. The per-shard
+    filters are built in ONE grouped pass (``bloom_build_grouped``:
+    groupBy(source, word) + bit_or — a single shuffle at any shard
+    count, where the previous per-source ``bloom_build`` loop launched
+    one Spark job per shard; VERDICT r6 item 3), then collapsed with
+    the same bit_or. bit_or is associative, so the merged filter is
+    bit-identical to a single build over the union — which is exactly
+    what the oracle computes, making the merge path itself
+    value-checked (and tests pin grouped == per-source-loop
+    bit-identity)."""
     docs = load_table(spark, sf_dir, "documents")
-    from ..operators.sketches import bloom_merge
+    from ..operators.sketches import bloom_build_grouped, bloom_collapse
 
     grams = docs.select(
         "doc_id",
@@ -548,14 +553,10 @@ def _bloom_merged_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(T.word_ngrams("text", _NGRAM_N))).alias("ng"),
     )
     test = grams.filter(F.col("doc_id") < _TEST_CUT)
-    sources = sorted(
-        r.source for r in test.select("source").distinct().collect()
+    per_source = bloom_build_grouped(
+        test.select("source", "ng"), "ng", ["source"]
     )
-    filters = [
-        bloom_build(test.filter(F.col("source") == s).select("ng"), "ng")
-        for s in sources
-    ]
-    words = bloom_merge(*filters)
+    words = bloom_collapse(per_source)
     train = grams.filter(F.col("doc_id") >= _TEST_CUT).select("doc_id", "ng")
     hits = bloom_probe(train, "ng", words)
     return (
