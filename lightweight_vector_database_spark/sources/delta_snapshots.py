@@ -96,10 +96,26 @@ def _merged_schema_json(prev_json: str | None, append_df: DataFrame | None) -> s
 
 
 class DeltaSnapshotStore:
-    def __init__(self, spark: SparkSession, path: str, id_col: str = "vec_id"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "vec_id",
+        min_retention: int = 1,
+    ):
+        """``min_retention``: the retention floor — ``vacuum`` refuses
+        ``keep_last`` below it. Size it to the oldest version any CDC
+        consumer may still hold (``read_changes(from_version=N)`` needs
+        N retained), so maintenance can never delete a version out from
+        under a reader mid-feed — the Delta Lake
+        ``delta.deletedFileRetentionDuration`` contract, version-count
+        flavored."""
         self._spark = spark
         self._path = path.rstrip("/")
         self.id_col = id_col
+        if min_retention < 1:
+            raise ValueError("min_retention must be >= 1")
+        self.min_retention = min_retention
         os.makedirs(self._path, exist_ok=True)
         self._next_file = 0
 
@@ -509,7 +525,21 @@ class DeltaSnapshotStore:
             self._entry(m, v1)
         info2 = self._entry(m, v2)
         for v in range(v1 + 1, v2 + 1):
-            if self._entry(m, v).get("rewrite"):
+            e = self._entry(m, v)
+            if "rewrite" not in e:
+                # manifest written by a pre-rewrite-tracking writer:
+                # whether this version restated the table is UNKNOWN,
+                # and defaulting to "not a rewrite" would silently
+                # cross a legacy compaction and emit a wrong feed —
+                # refuse instead (ADVICE r6)
+                raise ValueError(
+                    f"version {v} predates rewrite tracking (legacy "
+                    "manifest, no 'rewrite' flag); cannot prove the "
+                    "change feed does not cross a compaction — diff "
+                    "read() states around it instead, or recommit the "
+                    "version with a current writer"
+                )
+            if e["rewrite"]:
                 raise ValueError(
                     f"version {v} is a rewrite (compaction/truncate); "
                     "the change feed cannot cross it — diff read() "
@@ -690,6 +720,14 @@ class DeltaSnapshotStore:
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        if keep_last < self.min_retention:
+            raise ValueError(
+                f"keep_last={keep_last} is below this store's retention "
+                f"floor min_retention={self.min_retention}; a CDC consumer "
+                "may still hold a version inside the floor — raise "
+                "keep_last or construct the store with a lower "
+                "min_retention if no consumer depends on it"
+            )
         _version, m, claim, token = self._claim_version()
         try:
             keep = sorted(int(v) for v in m["versions"])[-keep_last:]

@@ -591,3 +591,65 @@ def test_compact_cluster_by_preserves_user_cluster_column(spark, tmp_path):
     store.compact(cluster_by=F.col("v") % 5, num_files=4)
     after = {(r.rid, r["__cluster"], r.v) for r in store.read().collect()}
     assert after == before
+
+
+def test_retention_floor_protects_cdc_consumers(spark, tmp_path):
+    """VERDICT r6 item 6: a reader pinned at version N is unaffected by
+    vacuum while retention covers N; vacuum below the retention floor
+    is refused; a vacuumed version refuses reads and change feeds."""
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"), min_retention=3)
+    v0 = store.commit_full(_df(spark, [(0, 0.0), (1, 1.0)]))
+    v1 = store.commit_append(_df(spark, [(2, 2.0)]))
+    v2 = store.commit_append(_df(spark, [(3, 3.0)]))
+    v3 = store.commit_append(_df(spark, [(4, 4.0)]))
+
+    # reader pinned at v1 BEFORE the vacuum
+    pinned = store.read(v1)
+    # retention >= pinned version's distance from the tip: keep 3 (v1..v3)
+    dropped = store.vacuum(keep_last=3)
+    assert dropped == [v0]
+    # the pinned plan still serves (its dirs are shared with retained
+    # versions, so vacuum left them on disk)
+    assert {(r.vec_id, r.v) for r in pinned.collect()} == {
+        (0, 0.0), (1, 1.0), (2, 2.0)
+    }
+    assert _state(store, v1) == {(0, 0.0), (1, 1.0), (2, 2.0)}
+    # CDC from a retained version still works
+    feed = store.read_changes(v1, v3)
+    assert {r.vec_id for r in feed.collect()} == {3, 4}
+
+    # below the retention floor: refusal, nothing dropped
+    with pytest.raises(ValueError, match="retention floor"):
+        store.vacuum(keep_last=2)
+    assert store.versions() == [v1, v2, v3]
+
+    # the vacuumed version is gone for reads AND feeds
+    with pytest.raises(KeyError):
+        store.read(v0)
+    with pytest.raises(KeyError):
+        store.read_changes(v0, v3)
+
+
+def test_read_changes_refuses_legacy_manifest_without_rewrite_flag(
+    spark, tmp_path
+):
+    """ADVICE r6: a manifest entry written by a pre-rewrite-tracking
+    writer has no 'rewrite' key; whether it restated the table is
+    unknown, so the feed must refuse rather than silently cross it."""
+    import json
+
+    store = DeltaSnapshotStore(spark, str(tmp_path / "d"))
+    store.commit_full(_df(spark, [(0, 0.0)]))
+    v1 = store.commit_append(_df(spark, [(1, 1.0)]))
+    v2 = store.commit_append(_df(spark, [(2, 2.0)]))
+    # simulate the legacy writer: strip the flag from v1's entry
+    mp = store._manifest_path()
+    with open(mp) as f:
+        m = json.load(f)
+    del m["versions"][str(v1)]["rewrite"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="predates rewrite tracking"):
+        store.read_changes(0, v2)
+    # a range that does not cross the legacy version still serves
+    assert {r.vec_id for r in store.read_changes(v1, v2).collect()} == {2}
