@@ -436,6 +436,61 @@ def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("curation_compression_ratio", _compression_ratio)
 
 
+def _build_compression_oracle() -> str | None:
+    """Exact oracle for the compression query (VERDICT r6 item 7):
+    no SQL engine has a zlib expression, so cross-engine recompute is
+    impossible — instead the EXPECTED ratios are computed once here
+    with the pinned codec (CPython zlib, level 6 — the identical call
+    the executors make) over the sf0.01 fixture and embedded as a
+    VALUES literal the oracle joins against. What the match then
+    verifies end to end: the distributed pipeline (Arrow batching,
+    pandas_udf wiring, utf-8 encode, rounding) reproduces the pinned
+    local recompute bit-for-bit, plus the real SQL-side columns
+    (source, n_chars). Library determinism itself is pytest-pinned
+    against literal byte counts in tests/test_curation.py."""
+    import zlib
+
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT doc_id, text FROM "
+            "'/root/testdata/sf0.01/documents.parquet' "
+            "WHERE doc_id < 200 ORDER BY doc_id"
+        ).fetchall()
+        con.close()
+    except Exception:  # fixture absent: keep rows-only
+        return None
+    if not rows:
+        return None
+
+    def ratio(t: str) -> float:
+        raw = (t or "").encode("utf-8")
+        if not raw:
+            return 1.0
+        return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+    vals = ", ".join(f"({int(d)}, {ratio(t)!r})" for d, t in rows)
+    return f"""
+WITH expected_raw(doc_id, r) AS (VALUES {vals}),
+expected AS (
+  SELECT doc_id, CAST(r AS DOUBLE) AS comp_ratio FROM expected_raw
+)
+SELECT d.doc_id, d.source, e.comp_ratio,
+       length(d.text) AS n_chars
+FROM documents d JOIN expected e USING (doc_id)
+WHERE d.doc_id < 200
+"""
+
+
+register(
+    "curation_compression_ratio_pinned",
+    _compression_ratio,
+    _build_compression_oracle(),
+)
+
+
 # --- unigram LM quality score (perplexity-style filtering) ------------------
 
 def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

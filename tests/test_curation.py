@@ -176,3 +176,20 @@ def test_compression_ratio_flags_repetition(spark):
     finally:
         cs2.load_table = orig
     assert rows == again
+
+
+def test_zlib_codec_pin_literal_byte_counts():
+    """The pinned codec behind curation_compression_ratio{,_pinned}:
+    CPython zlib, level 6. Literal compressed byte counts pin the
+    library+level so a silent zlib upgrade or a level drift surfaces
+    here (the exact-oracle twin embeds expected ratios computed by
+    this codec; if this test moves, regenerate expectations)."""
+    import zlib
+
+    pins = {
+        b"spam " * 40: 16,
+        b"abcdefgh" * 25: 19,
+        b"the quick brown fox jumps over the lazy dog. " * 10: 57,
+    }
+    for raw, want in pins.items():
+        assert len(zlib.compress(raw, 6)) == want
