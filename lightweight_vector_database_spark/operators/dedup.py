@@ -39,6 +39,37 @@ from ..functions.text import (
 
 _LOG = logging.getLogger(__name__)
 
+# relations persisted by operators in this module (signature caches,
+# fingerprint indexes, bucket stats). They are deliberately left
+# cached while the returned plans are alive — the plans reference
+# them — but repeated calls in one long session would otherwise
+# accumulate executor storage (ADVICE r6): call unpersist_caches()
+# after materializing the results you need.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def unpersist_caches(blocking: bool = False) -> int:
+    """Release every relation this module has persisted (signature /
+    fingerprint / bucket-stats caches). Call after the DataFrames
+    returned by the dedup operators have been materialized (written or
+    collected); plans still holding a released cache recompute it
+    lazily, so this is always safe, never wrong — just possibly
+    slower. Returns the number of relations released."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:  # session already stopped: nothing to free
+            pass
+    return n
+
 # --- exact ---------------------------------------------------------------
 
 def exact_dedup(
@@ -153,7 +184,8 @@ def winnow_pairs(
     fps = df.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_fingerprints(text_col, k, w)).alias("fp"),
-    ).distinct().cache()
+    ).distinct()
+    fps = _register_cache(fps.cache())
     if max_df is not None:
         df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
         hot = df_counts.filter(F.col("__df") > max_df)
@@ -415,7 +447,7 @@ def _cap_band_sides(
     )
     # "no silent caps": surface the dropped mass. One small aggregate
     # action over the persisted stats; the pair join below reuses it.
-    stats = stats.persist()
+    stats = _register_cache(stats.persist())
     d = (
         stats.filter(F.col("__bsz") > max_bucket)
         .agg(
@@ -487,7 +519,13 @@ def lsh_candidate_pairs(
     ``_cap_band_sides``) — without it a boilerplate mega-bucket costs
     bucket² pairs, the classic 100 TB LSH failure mode.
 
-    Pass ``sig_len`` when known to avoid a probe job on ``signatures``."""
+    Pass ``sig_len`` when known to avoid a probe job on ``signatures``.
+
+    EAGER when ``max_bucket`` is set: the dropped-mass audit runs one
+    small aggregate action at plan-construction time (ADVICE r6), so
+    the capped form executes its bucket-stats job immediately and is
+    NOT usable on streaming DataFrames — cap in the foreachBatch body
+    instead (streaming/neardup.py does exactly that)."""
     if sig_len is None:
         sig_len_row = signatures.select(F.size("signature").alias("n")).first()
         sig_len = sig_len_row.n if sig_len_row else 0
@@ -523,7 +561,9 @@ def minhash_dedup_candidates(
     enough that recomputing it for the bucket join and both est-jaccard
     joins would triple the work (at any scale you'd persist the
     signature table anyway — it IS the index)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, ngram).cache()
+    sigs = _register_cache(
+        minhash_signatures(df, id_col, text_col, num_hashes, ngram).cache()
+    )
     cands = lsh_candidate_pairs(
         sigs, bands, sig_len=num_hashes, max_bucket=max_bucket, oversize=oversize
     )
@@ -639,6 +679,11 @@ def simhash_candidate_pairs(
     ``max_bucket`` bounds per-bucket pair work (``_cap_band_sides``);
     NOTE under a cap the pigeonhole-exactness guarantee applies only
     to pairs whose shared bucket is under the cap.
+
+    EAGER when ``max_bucket`` is set: the dropped-mass audit runs one
+    small aggregate action at plan-construction time (ADVICE r6), so
+    the capped form is NOT usable on streaming DataFrames — cap in the
+    foreachBatch body instead.
     """
     if max_hamming > bands - 1:
         raise ValueError(
@@ -780,6 +825,11 @@ def embedding_srp_pairs(
     near-identical embeddings (re-encoded boilerplate) otherwise pays
     bucket² in EVERY band it collides in. Under a cap the pigeonhole
     exactness applies only to pairs with an under-cap shared bucket.
+
+    EAGER when ``max_bucket`` is set: the dropped-mass audit runs one
+    small aggregate action at plan-construction time (ADVICE r6), so
+    the capped form is NOT usable on streaming DataFrames — cap in the
+    foreachBatch body instead.
     """
     if num_bits % bands != 0:
         raise ValueError("num_bits must divide evenly into bands")

@@ -232,9 +232,47 @@ def synth_ppm_media(
     return docs.select(id_col).mapInPandas(gen, "media_id long, payload binary")
 
 
+_PPM_WS = b" \t\r\n\x0b\x0c"
+
+
+def _parse_p6_header(p: bytes) -> tuple[int, int, int, int]:
+    """Spec-compliant binary-PPM (P6) header tokenizer: the magic plus
+    three decimal tokens (width, height, maxval) separated by arbitrary
+    whitespace, with ``#``-to-end-of-line comments allowed wherever
+    whitespace is (the Netpbm grammar — ADVICE r6: the previous parser
+    accepted only the exact ``P6\\n{w} {h}\\n255\\n`` dialect this
+    module's encoder writes, rejecting spec-valid files from other
+    producers). The pixel plane starts after EXACTLY ONE whitespace
+    byte following maxval, per spec. Returns (w, h, maxval, offset)."""
+    if p[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    i, n, vals = 2, len(p), []
+    while len(vals) < 3:
+        while i < n:  # skip whitespace and comments
+            c = p[i : i + 1]
+            if c in _PPM_WS:
+                i += 1
+            elif c == b"#":
+                j = p.find(b"\n", i)
+                i = n if j < 0 else j + 1
+            else:
+                break
+        j = i
+        while j < n and p[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        vals.append(int(p[i:j]))
+        i = j
+    if i >= n or p[i : i + 1] not in _PPM_WS:
+        raise ValueError("truncated PPM header")
+    return vals[0], vals[1], vals[2], i + 1
+
+
 def ppm_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL image decode: parse the PPM header (magic, dimensions,
-    maxval — malformed bytes raise) and the raw pixel plane, returning
+    """REAL image decode: parse the PPM header (spec-grammar tokenizer
+    ``_parse_p6_header`` — comments and arbitrary whitespace accepted;
+    malformed bytes raise) and the raw pixel plane, returning
     (media_id, width, height, mean_r, mean_g, mean_b). This is an
     actual bytes-on-the-wire image parse, not a hash stand-in; a
     JPEG/PNG decoder slots into the same function."""
@@ -242,16 +280,10 @@ def ppm_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     import pandas as pd
 
     def parse(p: bytes) -> tuple[int, int, float, float, float]:
-        if not p.startswith(b"P6"):
-            raise ValueError("not a binary PPM (P6) payload")
-        # header = 3 whitespace-separated tokens after the magic
-        parts = p.split(b"\n", 3)
-        if len(parts) < 4:
-            raise ValueError("truncated PPM header")
-        w, h = (int(t) for t in parts[1].split())
-        if int(parts[2]) != 255:
+        w, h, maxval, off = _parse_p6_header(p)
+        if maxval != 255:
             raise ValueError("only maxval 255 supported")
-        pix = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
+        pix = np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=off)
         rgb = pix.reshape(-1, 3).astype(np.float64)
         return w, h, float(rgb[:, 0].mean()), float(rgb[:, 1].mean()), float(rgb[:, 2].mean())
 
@@ -344,18 +376,13 @@ def ppm_resize(
     header = f"P6\n{out_w} {out_h}\n255\n".encode("ascii")
 
     def one(p: bytes) -> bytes:
-        if not p.startswith(b"P6"):
-            raise ValueError("not a binary PPM (P6) payload")
-        parts = p.split(b"\n", 3)
-        if len(parts) < 4:
-            raise ValueError("truncated PPM header")
-        if int(parts[2]) != 255:
+        w, h, maxval, off = _parse_p6_header(p)
+        if maxval != 255:
             # same contract as ppm_features: silently re-labelling a
             # 16-bit pixel plane under a 255 header would emit a
             # structurally valid but pixel-garbage image
             raise ValueError("only maxval 255 supported")
-        w, h = (int(t) for t in parts[1].split())
-        pix = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
+        pix = np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=off)
         img = pix.reshape(h, w, 3)
         ys = (np.arange(out_h) * h) // out_h
         xs = (np.arange(out_w) * w) // out_w

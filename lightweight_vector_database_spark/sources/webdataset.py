@@ -78,7 +78,15 @@ def write_webdataset_shards(
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # the tmp name carries the task ATTEMPT id: a speculative or
+        # retried attempt running concurrently with the original would
+        # otherwise write the same shard-NNNNN.tar.tmp and the rename
+        # could publish an interleaved (corrupt) tar (ADVICE r6). Final
+        # names stay attempt-free — whichever attempt renames last wins
+        # with a complete file, matching FileOutputCommitter semantics.
+        attempt = ctx.taskAttemptId()
         shard_idx = 0
         tar = None
         tar_path = None
@@ -88,14 +96,14 @@ def write_webdataset_shards(
         def _open():
             nonlocal tar, tar_path, shard_idx
             tar_path = os.path.join(path, f"shard-{pid:05d}-{shard_idx:05d}.tar")
-            tar = tarfile.open(tar_path + ".tmp", "w")
+            tar = tarfile.open(f"{tar_path}.{attempt}.tmp", "w")
             shard_idx += 1
 
         def _close():
             nonlocal tar, n
             if tar is not None:
                 tar.close()
-                os.rename(tar_path + ".tmp", tar_path)  # atomic publish
+                os.rename(f"{tar_path}.{attempt}.tmp", tar_path)  # atomic publish
                 out.append((tar_path, n, os.path.getsize(tar_path)))
                 tar = None
                 n = 0

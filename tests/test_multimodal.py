@@ -188,3 +188,35 @@ def test_ppm_resize_rejects_bad_headers(spark):
     )
     with pytest.raises(Exception, match="truncated"):
         ppm_resize(trunc, 1, 1).collect()
+
+
+def test_ppm_header_grammar_accepts_comments_and_whitespace(spark):
+    """ADVICE r6: spec-valid P6 files with comment lines / arbitrary
+    whitespace must parse; malformed headers must still raise."""
+    import numpy as np
+
+    from lightweight_vector_database_spark.operators.multimodal import (
+        _parse_p6_header,
+        ppm_features,
+        ppm_resize,
+    )
+
+    pix = bytes(np.arange(2 * 3 * 3, dtype=np.uint8))  # 2x3 image
+    exotic = b"P6 # a comment\n# another line\n 3\t2 # dims done\n255 " + pix
+    w, h, maxval, off = _parse_p6_header(exotic)
+    assert (w, h, maxval) == (3, 2, 255)
+    assert exotic[off:] == pix
+
+    df = spark.createDataFrame(
+        [(1, bytearray(exotic))], "media_id long, payload binary"
+    )
+    feat = ppm_features(df).collect()[0]
+    assert (feat.width, feat.height) == (3, 2)
+    out = bytes(ppm_resize(df, 2, 2).collect()[0].payload)
+    assert out.startswith(b"P6\n2 2\n255\n") and len(out) == 11 + 2 * 2 * 3
+
+    import pytest as _pytest
+
+    for bad in (b"P5\n3 2\n255\n" + pix, b"P6\n3 2\n", b"P6 # only comment"):
+        with _pytest.raises(ValueError):
+            _parse_p6_header(bad)
