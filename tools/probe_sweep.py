@@ -1,0 +1,157 @@
+"""Batched-serving throughput sweep: queries/sec vs PROBE COUNT.
+
+The 100 TB story for a vector engine is query *throughput* — VERDICT
+r6 item 8: the scale tables stopped at 20 probes. This sweep drives
+the batch paths with probe TABLES from 10^2 to 10^6 rows against a
+clustered base (same generator as scale_test.py) and reports wall
+seconds + probes/sec per path:
+
+- ``brute``  — operators/knn.knn_join strategy='partial' (broadcast
+  pair join + map-side top-k). O(|base| x |probes|) compute; the
+  small-batch baseline.
+- ``matmul`` — knn_join_matmul (driver-materialized probe batch,
+  numpy scoring). Auto-routes to the distributed block path above
+  MATMUL_MAX_DRIVER_PROBES, so >65k rows measure that router.
+- ``blocks`` — knn_join_blocks (fully distributed brute tiling).
+- ``bulk``   — plans/bulk_knn.knn_join_bulk (distributed, index-pruned
+  candidate cells, cogrouped matmul) over the cell-partitioned
+  snapshot. The intended large-batch serving path.
+
+Probes are a deterministic expansion of base vectors (never
+collected). Paths are skipped (with a note) where their cost model
+says they stop making sense, mirroring production routing.
+
+Usage: python tools/probe_sweep.py [n_rows] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from lightweight_vector_database_spark.operators.knn import (
+    knn_join,
+    knn_join_blocks,
+    knn_join_matmul,
+)
+from lightweight_vector_database_spark.plans.bulk_knn import knn_join_bulk
+from lightweight_vector_database_spark.plans.grid_index import (
+    GridIndex,
+    index_stats,
+)
+from lightweight_vector_database_spark.session import get_spark
+from scale_test import DIM, generate
+
+K = 10
+PROBE_COUNTS = [100, 1_000, 10_000, 100_000, 1_000_000]
+# brute's pair join materializes |base| x |probes| scored rows; past
+# 10^4 probes on a 10^5-row base that is 10^9+ rows per query — the
+# exact cost the routed paths exist to avoid.
+BRUTE_MAX = 1_000
+# the distributed brute tiling still performs |base| x |probes| exact
+# distance work; past 10^5 probes only the index-pruned bulk path is a
+# sensible serving plan (that's the sweep's point).
+BLOCKS_MAX = 100_000
+MATMUL_MAX = 65_536  # above this knn_join_matmul routes to blocks anyway
+
+
+def make_probes(base, n_probes: int, n_base: int):
+    reps = -(-n_probes // n_base)
+    seeds = base.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    rep_df = F.broadcast(
+        base.sparkSession.range(reps).select(F.col("id").alias("rep"))
+    )
+    return (
+        seeds.crossJoin(rep_df)
+        .select(
+            (F.col("vec_id") * reps + F.col("rep")).alias("probe_id"),
+            F.transform(
+                "v",
+                lambda x: x
+                * (F.lit(1.0) + F.col("rep").cast("double") * F.lit(1e-4)),
+            ).alias("probe_vec"),
+        )
+        .filter(F.col("probe_id") % F.lit(max(1, (n_base * reps) // n_probes)) == 0)
+        .limit(n_probes)
+        # limit() collapses to one partition; the batch paths need the
+        # probe table spread like any real probe table would be
+        .repartition(64)
+    )
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 200_000
+    out_json = None
+    if "--json" in sys.argv:
+        out_json = sys.argv[sys.argv.index("--json") + 1]
+    spark = get_spark("probe-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base, _centers = generate(spark, n_rows)
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="probe_sweep_")
+    base.write.mode("overwrite").parquet(os.path.join(tmp, "base"))
+    base = spark.read.parquet(os.path.join(tmp, "base"))
+    idx = GridIndex.for_table([-0.5] * DIM, [0.5] * DIM, n_rows=n_rows)
+    assigned_src = base.withColumn("cell_id", idx.cell_expr("embedding"))
+    snap_path = os.path.join(tmp, "snap")
+    assigned_src.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(snap_path)
+    assigned = spark.read.parquet(snap_path).withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+    stats = index_stats(assigned)
+    print(f"base={n_rows} rows, depth={idx.depth}, cells={len(stats)}", flush=True)
+
+    results = []
+    for n_probes in PROBE_COUNTS:
+        probes = make_probes(base, n_probes, n_rows)
+        paths = {}
+        if n_probes <= BRUTE_MAX:
+            paths["brute"] = lambda p=probes: knn_join(
+                p, base, K, strategy="partial"
+            )
+        if n_probes <= MATMUL_MAX:
+            paths["matmul"] = lambda p=probes: knn_join_matmul(p, base, K)
+        if n_probes <= BLOCKS_MAX:
+            paths["blocks"] = lambda p=probes: knn_join_blocks(p, base, K)
+        paths["bulk"] = lambda p=probes: knn_join_bulk(
+            assigned, idx, probes=p, k=K, stats=stats
+        )
+        for name, fn in paths.items():
+            t0 = time.time()
+            n_out = fn().count()
+            dt = time.time() - t0
+            qps = n_probes / dt
+            results.append(
+                {
+                    "path": name,
+                    "n_probes": n_probes,
+                    "sec": round(dt, 2),
+                    "probes_per_sec": round(qps, 1),
+                    "rows_out": n_out,
+                }
+            )
+            print(
+                f"  {name:7s} probes={n_probes:>9,} {dt:8.2f}s "
+                f"{qps:>10,.1f} probes/s rows={n_out}",
+                flush=True,
+            )
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump({"n_rows": n_rows, "k": K, "results": results}, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
