@@ -65,6 +65,10 @@ from .grid_index import GridIndex, index_stats
 
 DEFAULT_SALT_ROWS = 50_000
 DEFAULT_PROBE_CHUNK = 4_096
+# max probe-candidate rows per cogroup key (the probe-side salt): each
+# applyInPandas group materializes as one Arrow buffer, so this times
+# (vector bytes) bounds the probe half of task memory (~9 MB at dim 64)
+DEFAULT_PROBE_GROUP_ROWS = 16_384
 
 
 def knn_join_bulk(
@@ -80,6 +84,7 @@ def knn_join_bulk(
     id_col: str = "vec_id",
     salt_rows: int = DEFAULT_SALT_ROWS,
     probe_chunk: int = DEFAULT_PROBE_CHUNK,
+    probe_group_rows: int = DEFAULT_PROBE_GROUP_ROWS,
     **metric_kwargs,
 ) -> DataFrame:
     """Batched exact kNN-join with a DataFrame probe side (see module
@@ -205,39 +210,78 @@ def knn_join_bulk(
                             out_cell.append(c)
                             out_salt.append(s)
                             out_ub.append(kub)
-            yield pd.DataFrame(
-                {
-                    probe_id_col: out_pid,
-                    probe_vec_col: out_vec,
-                    "cell_id": out_cell,
-                    "salt": out_salt,
-                    "__kth_ub": out_ub,
-                }
-            )
+                # yield per probe chunk: bounds the Arrow output batch
+                # (a whole input partition's candidates in one frame is
+                # an unbounded buffer at large probe counts)
+                yield pd.DataFrame(
+                    {
+                        probe_id_col: out_pid,
+                        probe_vec_col: out_vec,
+                        "cell_id": out_cell,
+                        "salt": out_salt,
+                        "__kth_ub": out_ub,
+                    }
+                )
+                out_pid, out_vec, out_cell, out_salt, out_ub = [], [], [], [], []
 
     cand = probes.select(probe_id_col, probe_vec_col).mapInPandas(
         derive, cand_schema
     )
 
-    # ---- 2. base pruning + salting ------------------------------------
-    # broadcast semi-join against the distinct candidate cells: O(cells)
-    # rows, never collected — on a cell-partitioned snapshot this is
-    # dynamic partition pruning. Recomputes the derivation once more
-    # (a probe scan), which beats persisting a |probes|-sized relation.
-    cand_cells = cand.select("cell_id").distinct()
-    salt_map = F.broadcast(
+    # ---- 2. base pruning + two-dimensional salting ---------------------
+    # One pass over the candidate relation collects per-cell candidate
+    # COUNTS — O(cells) rows, the same metadata class as index_stats
+    # (bounded by the grid, not by probe count). They serve two jobs:
+    # the candidate cell set prunes the base scan (broadcast inner join
+    # on the partition column -> dynamic partition pruning on the
+    # cell-partitioned snapshot), and they size the PROBE-side salt:
+    # cogroup's applyInPandas materializes each (key)-group as ONE
+    # Arrow buffer, so a hot cell attracting ~10^6 probe candidates
+    # would allocate a multi-GB group buffer (measured: Arrow
+    # OutOfMemory at the 10^6-probe sweep point). Probe candidates
+    # therefore hash into ceil(cand_count / probe_group_rows) psalt
+    # buckets and base rows replicate across them — replication total
+    # is Σ base_rows(cell) x npsalt(cell), i.e. proportional to the
+    # candidate mass the join must score anyway, never to probe count
+    # alone. Every cogroup group is now <= salt_rows base rows plus
+    # ~probe_group_rows candidates: bounded task memory at ANY probe
+    # count.
+    cand_counts = {
+        int(r["cell_id"]): int(r["cnt"])
+        for r in cand.groupBy("cell_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    if not cand_counts:
+        # no candidates (empty probe table): answer everything by the
+        # exact brute join (itself empty for empty probes)
+        return knn_join(probes, assigned, k, metric=metric,
+                        probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+                        vec_col=vec_col, id_col=id_col, strategy="partial",
+                        **metric_kwargs)
+    npsalt = {
+        c: max(1, -(-cnt // probe_group_rows)) for c, cnt in cand_counts.items()
+    }
+    cell_map = F.broadcast(
         spark.createDataFrame(
-            [(int(c), int(s)) for c, s in zip(cells.tolist(), nsalt.tolist())],
-            "cell_id long, __nsalt int",
+            [
+                (int(c), int(nsalt[np.searchsorted(cells, c)]), int(npsalt[c]))
+                for c in sorted(cand_counts)
+            ],
+            "cell_id long, __nsalt int, __nps int",
         )
     )
     base = (
-        assigned.join(F.broadcast(cand_cells), "cell_id", "leftsemi")
-        .join(salt_map, "cell_id")
+        assigned.join(cell_map, "cell_id")  # inner: prunes to candidate cells
         .withColumn(
             "salt", F.pmod(F.hash(F.col(id_col)), F.col("__nsalt")).cast("int")
         )
-        .select("cell_id", "salt", id_col, vec_col)
+        .withColumn(
+            "psalt", F.explode(F.sequence(F.lit(0), F.col("__nps") - 1))
+        )
+        .withColumn("psalt", F.col("psalt").cast("int"))
+        .select("cell_id", "salt", "psalt", id_col, vec_col)
+    )
+    cand = cand.join(cell_map.select("cell_id", "__nps"), "cell_id").withColumn(
+        "psalt", F.pmod(F.hash(F.col(probe_id_col)), F.col("__nps")).cast("int")
     )
 
     # ---- 3. cogrouped matmul scoring ----------------------------------
@@ -292,8 +336,8 @@ def knn_join_bulk(
         )
 
     scored = (
-        cand.groupBy("cell_id", "salt")
-        .cogroup(base.groupBy("cell_id", "salt"))
+        cand.groupBy("cell_id", "salt", "psalt")
+        .cogroup(base.groupBy("cell_id", "salt", "psalt"))
         .applyInPandas(score, out_schema)
     )
 
@@ -325,3 +369,67 @@ def knn_join_bulk(
         strategy="partial", **metric_kwargs,
     )
     return good.unionByName(exact.select(*out_cols))
+
+
+def knn_join_bulk_cosine(
+    assigned: DataFrame,
+    index: GridIndex,
+    probes: DataFrame,
+    k: int,
+    stats: dict[int, int] | None = None,
+    pad: int = 3,
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    norm_vec_col: str = "__nv",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **bulk_kwargs,
+) -> DataFrame:
+    """Batched COSINE kNN-join through the euclidean grid index — the
+    embedding-dedup / retrieval workload shape at probe-table scale.
+
+    On L2-normalized vectors squared Euclidean = 2 x cosine distance
+    (the normalize-then-index equivalence the single-probe
+    ``knn_cosine_indexed`` query uses), so the euclidean
+    ``knn_join_bulk`` over a NORMALIZED snapshot ranks candidates for
+    cosine exactly, up to fp noise at the kth boundary; a ``pad*k``
+    candidate cut plus an exact-cosine re-rank on the RAW vectors
+    decides the final top k, so reported distances match the brute
+    cosine oracle bit-for-bit. Everything stays distributed: probe
+    normalization is an expression, the candidate join carries only
+    (probe, candidate) pairs, and no probe vector touches the driver.
+
+    ``assigned`` must be the normalized cell-partitioned snapshot:
+    ``norm_vec_col`` holding the unit vectors the index was built on,
+    ``vec_col`` the raw vectors. Output: (probe_id, vec_id, cos_dist,
+    rank).
+    """
+    from ..functions.distance import cosine_distance, l2_norm
+
+    pv = F.col(probe_vec_col).cast("array<double>")
+    pn = l2_norm(probe_vec_col)
+    probes_norm = probes.select(
+        probe_id_col,
+        F.transform(pv, lambda x: x / pn).alias(probe_vec_col),
+    )
+    cand = knn_join_bulk(
+        assigned, index, probes_norm, k=pad * k,
+        probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+        vec_col=norm_vec_col, id_col=id_col, stats=stats, **bulk_kwargs,
+    )
+    raw = assigned.select(id_col, vec_col)
+    scored = (
+        cand.select(probe_id_col, id_col)
+        .join(raw, id_col)
+        .join(probes.select(probe_id_col, probe_vec_col), probe_id_col)
+        .withColumn(
+            "cos_dist", cosine_distance(vec_col, F.col(probe_vec_col))
+        )
+        .select(probe_id_col, id_col, "cos_dist")
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_dist").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -429,6 +429,83 @@ SELECT probe_id, vec_id, round(dist, 6) AS dist, rank FROM (
 register("knn_join_bulk", _knn_join_bulk_query, _bulk_oracle())
 
 
+# --- distributed batched COSINE kNN-join (embedding-retrieval shape) --------
+
+_BULKC_REPS = 5
+_BULKC_SEEDS = 400
+_BULKC_K = 2
+
+
+def _knn_join_bulk_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched cosine kNN-join over the NORMALIZED cell-partitioned
+    snapshot (plans/bulk_knn.knn_join_bulk_cosine): 2,000 probes,
+    candidates pruned by the euclidean index on unit vectors, exact
+    cosine on raw vectors decides — values match the brute cosine
+    oracle bit-for-bit, no probe vector on the driver."""
+    from ..plans.bulk_knn import knn_join_bulk_cosine
+
+    assigned, stats = _cosine_snapshot(spark, sf_dir)
+    reps = spark.range(_BULKC_REPS).select(F.col("id").alias("rep"))
+    probes = (
+        assigned.filter(F.col("vec_id") < _BULKC_SEEDS)
+        .crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") * _BULKC_REPS + F.col("rep")).alias("probe_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x
+                * (F.lit(1.0) + F.col("rep").cast("double") * F.lit(0.001)),
+            ).alias("probe_vec"),
+        )
+    )
+    out = knn_join_bulk_cosine(
+        assigned, _COS_INDEX, probes, k=_BULKC_K, stats=stats
+    )
+    # + 0.0 canonicalizes IEEE negative zero: a probe and its scaled
+    # copy have cos_dist ~ +-1e-16, and round() keeps the sign, so one
+    # engine would emit -0.0 and the other 0.0 for the same pair
+    return out.select(
+        "probe_id",
+        "vec_id",
+        (F.round(F.col("cos_dist"), 6) + F.lit(0.0)).alias("cos_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _bulk_cosine_oracle() -> str:
+    x = "CAST(e.embedding[i] AS DOUBLE)"
+    p = "p.probe_vec[i]"
+    rng = f"range(1, {DIM + 1})"
+    dot = f"list_sum(list_transform({rng}, i -> {x} * {p}))"
+    na = f"sqrt(list_sum(list_transform({rng}, i -> {x} * {x})))"
+    nb = f"sqrt(list_sum(list_transform({rng}, i -> {p} * {p})))"
+    return f"""
+WITH probes AS (
+  SELECT vec_id * {_BULKC_REPS} + rep AS probe_id,
+         list_transform(embedding,
+             x -> CAST(x AS DOUBLE) *
+                  (CAST(1 AS DOUBLE) + CAST(rep AS DOUBLE) * CAST(0.001 AS DOUBLE))
+         ) AS probe_vec
+  FROM embeddings, range({_BULKC_REPS}) t(rep) WHERE vec_id < {_BULKC_SEEDS}
+), scored AS (
+  SELECT p.probe_id, e.vec_id,
+         1.0 - ({dot}) / (({na}) * ({nb})) AS cos_dist
+  FROM embeddings e CROSS JOIN probes p
+)
+SELECT probe_id, vec_id,
+       round(cos_dist, 6) + CAST(0 AS DOUBLE) AS cos_dist, rank FROM (
+  SELECT probe_id, vec_id, cos_dist,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos_dist, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_BULKC_K}
+"""
+
+
+register(
+    "knn_join_bulk_cosine", _knn_join_bulk_cosine_query, _bulk_cosine_oracle()
+)
+
+
 # --- residual IVF-PQ (rows-only like ann_pq_refined) ------------------------
 
 _IVFPQ_MEMO: dict[str, object] = {}

@@ -191,3 +191,36 @@ def test_bulk_empty_and_small(spark, fixture):
     out2 = knn_join_bulk(tiny, idx, probes.limit(3), k=50, stats=tiny_stats)
     rows = out2.groupBy("probe_id").count().collect()
     assert len(rows) == 3 and all(r["count"] == 7 for r in rows)
+
+
+def test_bulk_cosine_equals_brute(spark, fixture):
+    """knn_join_bulk_cosine (normalize -> euclidean-prune -> exact
+    cosine re-rank on raw vectors) == brute cosine join."""
+    from lightweight_vector_database_spark.functions.distance import l2_norm
+    from lightweight_vector_database_spark.plans.bulk_knn import (
+        knn_join_bulk_cosine,
+    )
+
+    emb, _, _, _, probes = fixture
+    idx = GridIndex([-1.0] * DIM, [1.0] * DIM, num_splits=2, depth=6)
+    v = F.col("embedding").cast("array<double>")
+    nrm = l2_norm("embedding")
+    normalized = emb.withColumn("__nv", F.transform(v, lambda x: x / nrm))
+    assigned = build_index(normalized, idx, vec_col="__nv").withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+    stats = index_stats(assigned)
+    got = sorted(
+        (r.probe_id, r.vec_id, round(r.cos_dist, 9), r["rank"])
+        for r in knn_join_bulk_cosine(
+            assigned, idx, probes, k=5, stats=stats
+        ).collect()
+    )
+    brute = knn_join(
+        probes, emb, k=5, metric="cosine", strategy="window", dist_col="cos_dist"
+    )
+    want = sorted(
+        (r.probe_id, r.vec_id, round(r.cos_dist, 9), r["rank"])
+        for r in brute.collect()
+    )
+    assert got == want
