@@ -85,6 +85,7 @@ def knn_join_bulk(
     salt_rows: int = DEFAULT_SALT_ROWS,
     probe_chunk: int = DEFAULT_PROBE_CHUNK,
     probe_group_rows: int = DEFAULT_PROBE_GROUP_ROWS,
+    futility_ratio: float = 0.5,
     **metric_kwargs,
 ) -> DataFrame:
     """Batched exact kNN-join with a DataFrame probe side (see module
@@ -257,6 +258,26 @@ def knn_join_bulk(
                         probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
                         vec_col=vec_col, id_col=id_col, strategy="partial",
                         **metric_kwargs)
+    # ---- futility fallback (the batch analogue of knn_indexed's
+    # brute-scan mode): when the bounds can't prune — high ambient
+    # dimensionality vs split depth makes the farthest-corner bound
+    # span the unsplit dims, so candidate sets approach ALL cells —
+    # the candidate relation costs |probes| x |cells| vector copies
+    # for zero pruning benefit. The per-cell candidate counts (already
+    # collected, O(cells)) expose this for metadata cost: if the mean
+    # candidate set covers more than ``futility_ratio`` of the cells,
+    # the distributed block-tiled brute join is strictly cheaper —
+    # route there. One probes.count() action prices the ratio.
+    n_probes = probes.count()
+    total_cand = sum(cand_counts.values())
+    if n_probes and total_cand >= futility_ratio * n_probes * len(cells):
+        from ..operators.knn import knn_join_blocks
+
+        return knn_join_blocks(
+            probes, assigned, k, metric=metric, probe_id_col=probe_id_col,
+            probe_vec_col=probe_vec_col, vec_col=vec_col, id_col=id_col,
+            **metric_kwargs,
+        )
     npsalt = {
         c: max(1, -(-cnt // probe_group_rows)) for c, cnt in cand_counts.items()
     }

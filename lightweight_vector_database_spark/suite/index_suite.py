@@ -393,7 +393,15 @@ def _knn_join_bulk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("probe_vec"),
         )
     )
-    out = knn_join_bulk(assigned, _INDEX, probes, k=_BULK_K, stats=stats)
+    # futility fallback disabled: this query deliberately pins the
+    # cogrouped-matmul machinery (candidate derivation, 2-D salting,
+    # validation) under an exact oracle; the adaptive routing itself is
+    # covered by test_bulk_knn and the probe sweep. (The dim-64
+    # fixture's depth-6 grid barely prunes, which would otherwise
+    # route this to the block join.)
+    out = knn_join_bulk(
+        assigned, _INDEX, probes, k=_BULK_K, stats=stats, futility_ratio=1.01
+    )
     return out.select(
         "probe_id",
         "vec_id",
@@ -458,8 +466,10 @@ def _knn_join_bulk_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("probe_vec"),
         )
     )
+    # futility_ratio=1.01: pin the cogroup path (see knn_join_bulk)
     out = knn_join_bulk_cosine(
-        assigned, _COS_INDEX, probes, k=_BULKC_K, stats=stats
+        assigned, _COS_INDEX, probes, k=_BULKC_K, stats=stats,
+        futility_ratio=1.01,
     )
     # + 0.0 canonicalizes IEEE negative zero: a probe and its scaled
     # copy have cos_dist ~ +-1e-16, and round() keeps the sign, so one

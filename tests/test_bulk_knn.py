@@ -55,7 +55,10 @@ def test_bulk_equals_brute(spark, fixture, metric):
     emb, idx, assigned, stats, probes = fixture
     brute = _canon(knn_join(probes, emb, k=5, metric=metric, strategy="window"))
     bulk = _canon(
-        knn_join_bulk(assigned, idx, probes, k=5, metric=metric, stats=stats)
+        knn_join_bulk(
+            assigned, idx, probes, k=5, metric=metric, stats=stats,
+            futility_ratio=1.01,  # pin the cogroup path on this dim-64 fixture
+        )
     )
     assert bulk == brute
 
@@ -94,7 +97,9 @@ def test_bulk_equals_driver_paths_at_1e5_probes(spark, fixture):
     )
     assert probes.count() == 125_000
     k = 2
-    bulk = _canon(knn_join_bulk(assigned, idx, probes, k=k, stats=stats))
+    bulk = _canon(
+        knn_join_bulk(assigned, idx, probes, k=k, stats=stats, futility_ratio=1.01)
+    )
     blocks = _canon(knn_join_blocks(probes, emb, k=k, n_probe_blocks=4))
     assert bulk == blocks
     assert len(bulk) == 125_000 * k
@@ -155,7 +160,8 @@ def test_bulk_skew_salting(spark):
     )
     bulk = _canon(
         knn_join_bulk(
-            assigned, idx, probes, k=4, stats=stats, salt_rows=salt_rows
+            assigned, idx, probes, k=4, stats=stats, salt_rows=salt_rows,
+            futility_ratio=1.01,
         )
     )
     brute = _canon(knn_join(probes, base, k=4, strategy="window"))
@@ -224,3 +230,31 @@ def test_bulk_cosine_equals_brute(spark, fixture):
         for r in brute.collect()
     )
     assert got == want
+
+
+def test_bulk_futility_fallback_routes_to_blocks(spark, fixture):
+    """When the index cannot prune (dim-64 fixture, depth-6 grid: the
+    farthest-corner bound spans 58 unsplit dims, candidate sets cover
+    ~all cells), knn_join_bulk must route to the distributed block
+    join instead of shuffling |probes| x |cells| candidate copies —
+    and the answer stays exact."""
+    import lightweight_vector_database_spark.plans.bulk_knn as bk
+
+    emb, idx, assigned, stats, probes = fixture
+    calls = []
+    import sys
+
+    knn_mod = sys.modules["lightweight_vector_database_spark.operators.knn"]
+    orig = knn_mod.knn_join_blocks
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    knn_mod.knn_join_blocks = spy
+    try:
+        out = _canon(bk.knn_join_bulk(assigned, idx, probes, k=3, stats=stats))
+    finally:
+        knn_mod.knn_join_blocks = orig
+    assert calls, "expected the futility fallback to route to knn_join_blocks"
+    assert out == _canon(knn_join(probes, emb, k=3, strategy="window"))

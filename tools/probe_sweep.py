@@ -47,7 +47,7 @@ from lightweight_vector_database_spark.plans.grid_index import (
     index_stats,
 )
 from lightweight_vector_database_spark.session import get_spark
-from scale_test import DIM, generate
+from scale_test import N_CLUSTERS, generate
 
 K = 10
 PROBE_COUNTS = [100, 1_000, 10_000, 100_000, 1_000_000]
@@ -60,6 +60,38 @@ BRUTE_MAX = 1_000
 # sensible serving plan (that's the sweep's point).
 BLOCKS_MAX = 100_000
 MATMUL_MAX = 65_536  # above this knn_join_matmul routes to blocks anyway
+
+
+def generate_dim(spark, n_rows: int, dim: int):
+    """Clustered base at arbitrary dimensionality (scale_test's
+    generator shape). The sweep's --dim knob exists because grid
+    pruning is dimensionality-bound: at dim 64 a depth-7 index leaves
+    57 dims unsplit and the farthest-corner bound spans them, so
+    candidate sets approach ALL cells and knn_join_bulk's futility
+    fallback routes to the block join; at dim 8 the same depth splits
+    (almost) every dim and the index actually prunes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    centers = rng.uniform(-0.35, 0.35, (N_CLUSTERS, dim))
+    centers_df = spark.createDataFrame(
+        [(int(c), centers[c].tolist()) for c in range(N_CLUSTERS)],
+        "cluster int, center array<double>",
+    )
+    base = spark.range(n_rows).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % N_CLUSTERS).cast("int").alias("cluster"),
+    )
+    noise = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: 0.05 * F.sin((F.col("vec_id") + 1) * i.cast("double") * 0.7),
+    )
+    joined = base.join(F.broadcast(centers_df), "cluster")
+    vec = F.zip_with(F.col("center"), noise, lambda c, nz: c + nz).cast(
+        "array<float>"
+    )
+    return joined.select("vec_id", vec.alias("embedding"))
 
 
 def make_probes(base, n_probes: int, n_base: int):
@@ -91,17 +123,21 @@ def main() -> None:
     out_json = None
     if "--json" in sys.argv:
         out_json = sys.argv[sys.argv.index("--json") + 1]
+    dim = int(sys.argv[sys.argv.index("--dim") + 1]) if "--dim" in sys.argv else 64
     spark = get_spark("probe-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
-    base, _centers = generate(spark, n_rows)
+    if dim == 64:
+        base, _centers = generate(spark, n_rows)
+    else:
+        base = generate_dim(spark, n_rows, dim)
     import os
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="probe_sweep_")
     base.write.mode("overwrite").parquet(os.path.join(tmp, "base"))
     base = spark.read.parquet(os.path.join(tmp, "base"))
-    idx = GridIndex.for_table([-0.5] * DIM, [0.5] * DIM, n_rows=n_rows)
+    idx = GridIndex.for_table([-0.5] * dim, [0.5] * dim, n_rows=n_rows)
     assigned_src = base.withColumn("cell_id", idx.cell_expr("embedding"))
     snap_path = os.path.join(tmp, "snap")
     assigned_src.repartition("cell_id").write.mode("overwrite").partitionBy(
@@ -111,7 +147,10 @@ def main() -> None:
         "cell_id", F.col("cell_id").cast("long")
     )
     stats = index_stats(assigned)
-    print(f"base={n_rows} rows, depth={idx.depth}, cells={len(stats)}", flush=True)
+    print(
+        f"base={n_rows} rows, dim={dim}, depth={idx.depth}, cells={len(stats)}",
+        flush=True,
+    )
 
     results = []
     for n_probes in PROBE_COUNTS:
@@ -149,7 +188,11 @@ def main() -> None:
             )
     if out_json:
         with open(out_json, "w") as f:
-            json.dump({"n_rows": n_rows, "k": K, "results": results}, f, indent=1)
+            json.dump(
+                {"n_rows": n_rows, "dim": dim, "k": K, "results": results},
+                f,
+                indent=1,
+            )
     spark.stop()
 
 
