@@ -206,7 +206,20 @@ def np_dists(metric: str, M: np.ndarray, p: np.ndarray, inv_diag=None) -> np.nda
     raise KeyError(metric)
 
 
-NP_METRICS = frozenset({"euclidean_sq", "manhattan", "chebyshev", "mahalanobis_diag"})
+NP_METRICS = frozenset(
+    {"euclidean_sq", "manhattan", "chebyshev", "mahalanobis_diag"}
+)
+
+
+def adaptive_probe_chunk(
+    n_rows: int, requested: int, target_bytes: int = 64 << 20
+) -> int:
+    """Probe-chunk size keeping the (rows x chunk) float64 distance
+    matrix under ``target_bytes``. An unbounded chunk against a 10^4+
+    row Arrow batch allocates multi-100MB D matrices PER TASK (32
+    concurrent tasks = memory churn that measured 2-4x slowdowns in
+    the probe sweep); 64 MB keeps the matmul cache-friendly."""
+    return max(16, min(requested, target_bytes // max(8 * n_rows, 1)))
 
 
 def knn_join_matmul(
@@ -269,31 +282,42 @@ def knn_join_matmul(
     keep = min(2 * k, 10**9)  # fp-boundary padding for candidate selection
     src = base.select(id_col, vec_col)
 
-    def scored_chunk(pids: np.ndarray, P: np.ndarray) -> DataFrame:
-        p_sq = (P**2).sum(axis=1)
-        nb = len(pids)
-
+    def scored_chunk(all_chunk_pids: np.ndarray, all_chunk_P: np.ndarray) -> DataFrame:
         def fn(batches):
             for pdf in batches:
                 if not len(pdf):
                     continue
                 M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                ids = pdf[id_col].to_numpy()
-                D = (M**2).sum(axis=1)[:, None] - 2.0 * (M @ P.T) + p_sq[None, :]
-                kk = min(keep, len(ids))
-                sel = np.argpartition(D, kk - 1, axis=0)[:kk] if kk < len(ids) else (
-                    np.arange(len(ids))[:, None].repeat(nb, axis=1)
-                )
-                out_pid, out_id, out_dist = [], [], []
-                for bi in range(nb):
-                    rows = sel[:, bi]
-                    exact = ((M[rows] - P[bi][None, :]) ** 2).sum(axis=1)
-                    out_pid.extend([pids[bi]] * len(rows))
-                    out_id.extend(ids[rows].tolist())
-                    out_dist.extend(exact.tolist())
-                yield pd.DataFrame(
-                    {probe_id_col: out_pid, id_col: out_id, "dist": out_dist}
-                )
+                all_ids = pdf[id_col].to_numpy()
+                # sub-chunk so the D matrix stays bounded per task
+                step = adaptive_probe_chunk(len(all_ids), len(all_chunk_pids))
+                for plo in range(0, len(all_chunk_pids), step):
+                    pids = all_chunk_pids[plo : plo + step]
+                    P = all_chunk_P[plo : plo + step]
+                    p_sq = (P**2).sum(axis=1)
+                    nb = len(pids)
+                    ids = all_ids
+                    D = (
+                        (M**2).sum(axis=1)[:, None]
+                        - 2.0 * (M @ P.T)
+                        + p_sq[None, :]
+                    )
+                    kk = min(keep, len(ids))
+                    sel = (
+                        np.argpartition(D, kk - 1, axis=0)[:kk]
+                        if kk < len(ids)
+                        else np.arange(len(ids))[:, None].repeat(nb, axis=1)
+                    )
+                    out_pid, out_id, out_dist = [], [], []
+                    for bi in range(nb):
+                        rows = sel[:, bi]
+                        exact = ((M[rows] - P[bi][None, :]) ** 2).sum(axis=1)
+                        out_pid.extend([pids[bi]] * len(rows))
+                        out_id.extend(ids[rows].tolist())
+                        out_dist.extend(exact.tolist())
+                    yield pd.DataFrame(
+                        {probe_id_col: out_pid, id_col: out_id, "dist": out_dist}
+                    )
 
         return src.mapInPandas(
             fn, f"{probe_id_col} long, {id_col} long, dist double"
@@ -367,11 +391,24 @@ def knn_join_blocks(
             probe_vec_col=probe_vec_col, vec_col=vec_col, id_col=id_col,
             strategy="partial", **metric_kwargs,
         )
-    B = int(n_base_blocks) if n_base_blocks else max(base.rdd.getNumPartitions(), 1)
     if n_probe_blocks:
         P = int(n_probe_blocks)
     else:
         P = max(1, math.ceil(probes.count() / MATMUL_MAX_DRIVER_PROBES))
+    if n_base_blocks:
+        B = int(n_base_blocks)
+    else:
+        # size base blocks by ROWS, not partition count: probe-side
+        # shuffle is |probes| x B, so B should be the smallest value
+        # keeping a base block in task memory (~65k rows ~ 35 MB at
+        # dim 64) — while still giving the scheduler at least
+        # defaultParallelism (P x B) groups to spread
+        par = base.sparkSession.sparkContext.defaultParallelism
+        B = max(
+            1,
+            math.ceil(base.count() / MATMUL_MAX_DRIVER_PROBES),
+            math.ceil(par / P),
+        )
     inv_diag = metric_kwargs.get("inv_diag")
     keep_pad = 2 * k
 
@@ -402,8 +439,9 @@ def knn_join_blocks(
         pids = left[probe_id_col].to_numpy()
         P_all = np.stack(left[probe_vec_col].to_numpy()).astype(np.float64)
         o_pid, o_id, o_dist = [], [], []
-        for lo in range(0, len(pids), probe_chunk):
-            Pm = P_all[lo : lo + probe_chunk]
+        step = adaptive_probe_chunk(n, probe_chunk)
+        for lo in range(0, len(pids), step):
+            Pm = P_all[lo : lo + step]
             if metric == "euclidean_sq" and n > keep_pad:
                 D = (
                     (M**2).sum(axis=1)[:, None]

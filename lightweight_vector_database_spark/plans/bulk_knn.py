@@ -324,8 +324,11 @@ def knn_join_bulk(
         ubs = left["__kth_ub"].to_numpy()
         P_all = np.stack(left[probe_vec_col].to_numpy()).astype(np.float64)
         o_pid, o_id, o_dist, o_ub = [], [], [], []
-        for lo in range(0, len(pids), probe_chunk):
-            P = P_all[lo : lo + probe_chunk]
+        from ..operators.knn import adaptive_probe_chunk
+
+        step = adaptive_probe_chunk(n, probe_chunk)
+        for lo in range(0, len(pids), step):
+            P = P_all[lo : lo + step]
             if metric == "euclidean_sq" and n > keep_pad:
                 # matmul candidate selection + exact recompute (same
                 # numerics contract as knn_join_matmul)
