@@ -533,9 +533,13 @@ def test_compact_cluster_by_restores_locality(spark, tmp_path):
     grid = spark.range(1 << 14).selectExpr(
         "id AS rid", "CAST(id % 128 AS BIGINT) AS u", "id div 128 AS t"
     )
-    # three shuffled appends: each file spans nearly the full u range
+    # three shuffled appends: each file spans nearly the full u range.
+    # Hash-partition on rid (NOT round-robin repartition) so the
+    # row->file assignment is a pure function of the data — round-robin
+    # depends on the incoming partition layout, which shifts when the
+    # whole suite shares a session (flaked once in a full-suite run).
     for part in range(3):
-        chunk = grid.filter(F.col("rid") % 3 == part).repartition(4)
+        chunk = grid.filter(F.col("rid") % 3 == part).repartition(4, F.col("rid"))
         if store.latest_version() < 0:
             store.commit_full(chunk)
         else:
