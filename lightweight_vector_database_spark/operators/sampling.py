@@ -24,6 +24,12 @@ give:
   single-partition window anywhere; at 100 TB the only serial work is
   the 256-row cumsum.
 
+* ``stratified_sample`` — exact-size per-stratum sampling (top-n per
+  group over the same salted-hash keys): the "N docs per source /
+  per language" curation draw, where ``df.sampleBy`` gives only
+  EXPECTED fractions.  One partitioned window over the strata —
+  shuffles on the stratum key only, never globally.
+
 The reference has no sampling surface (it is a 513-LoC in-memory
 kd-tree, kd_tree_database.py); these are engine extras for the
 LLM-pipeline north star.
@@ -82,6 +88,52 @@ def weighted_sample(
         .withColumn("wkey", key)
         .orderBy(F.col("wkey").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str,
+    id_col: str,
+    weight_col: str | None = None,
+    salt: str = "strat",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer only when the
+    stratum is smaller), drawn uniformly — or Efraimidis–Spirakis
+    weighted when ``weight_col`` is given — without replacement.
+
+    ``df.sampleBy`` draws each row independently, so per-stratum counts
+    are binomial noise around the target; curation recipes ("exactly
+    10k docs per language") need the exact-size draw.  Implementation
+    is rank-over-salted-hash within each stratum: one partitioned
+    window, shuffle on the stratum key only.  Skewed strata parallelize
+    across (not within) strata; for a single 100 TB stratum use
+    ``weighted_sample`` on the filtered slice instead (TakeOrdered
+    needs no window at all).
+
+    Adds ``skey`` (the draw key; replayable in ANSI SQL exactly like
+    ``weighted_sample``'s) and keeps input columns.
+    """
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    if weight_col is None:
+        key = _uniform_from_hash(F.col(id_col), salt)
+        keyed = df.withColumn("skey", key)
+    else:
+        keyed = df.filter(F.col(weight_col) > 0).withColumn(
+            "skey",
+            sampling_key(
+                F.col(weight_col).cast("double"), F.col(id_col), salt
+            ),
+        )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("skey").desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
     )
 
 
