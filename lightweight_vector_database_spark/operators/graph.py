@@ -166,6 +166,78 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (Page et
+    al., "The PageRank Citation Ranking", 1999; power iteration form).
+
+    Returns ``(node, rank)`` for every node that appears in an edge.
+    ``iters`` power iterations of
+    ``rank' = (1-d)/N + d * Σ_in rank(u)/outdeg(u)`` — fixed count,
+    not convergence-tested, so the arithmetic replays exactly in
+    unrolled SQL (the registered query's oracle does exactly that).
+
+    Dangling nodes (in-edges but no out-edges) leak their mass — the
+    textbook simplification; feed a symmetrized edge list (both
+    directions) if the graph may have sinks, as the dedup-similarity
+    and bipartite queries do.
+
+    Scale shape: per iteration ONE shuffle join (ranks ⋈ edges on src
+    — at 100 TB pre-partition both on src so the join co-locates) and
+    one groupBy(dst) aggregation; ``localCheckpoint`` truncates the
+    lineage per round (same iterative-Spark trap note as
+    ``connected_components``). Driver holds only N (a scalar).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # weighted edges: contribution fraction src -> dst
+    w = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("frac")
+    ).localCheckpoint(eager=True)
+
+    base = float((1.0 - damping) / n)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            w.join(ranks, w["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("frac")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
