@@ -50,3 +50,4 @@ from . import layout_suite  # noqa: E402,F401
 from . import pipeline_suite  # noqa: E402,F401
 from . import pipeline_suite2  # noqa: E402,F401
 from . import pipeline_suite3  # noqa: E402,F401
+from . import pipeline_suite4  # noqa: E402,F401
