@@ -43,6 +43,7 @@ __all__ = [
     "pack_sign_bits",
     "hamming_distance",
     "hamming_rerank",
+    "maxsim_score",
 ]
 
 
@@ -209,6 +210,54 @@ def hamming_distance(
         F.bit_count(w0.bitwiseXOR(F.lit(p0)))
         + F.bit_count(w1.bitwiseXOR(F.lit(p1)))
     ).cast("long")
+
+
+def maxsim_score(
+    df: DataFrame,
+    queries: Sequence[Sequence[float]],
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim scoring: each group of
+    rows in ``df`` is one multi-vector document; the score against a
+    multi-vector query is sum over query vectors of the max dot
+    product with any document vector.
+
+    Returns (group_col, maxsim) for every group. Per-query dot
+    products are codegen'd literal folds; the group reduction is one
+    partial-aggregating groupBy with |queries| max() columns — at
+    100 TB the shuffle carries |groups| x |queries| doubles, never
+    the vectors. Dot products are quantized to integer micro-units
+    before the cross-query sum so the score is independent of float
+    summation order (engine-portable).
+    """
+    queries = [[float(x) for x in q] for q in queries]
+    if not queries:
+        raise ValueError("queries must be non-empty")
+
+    def dot(q: list[float]) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(len(q))),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(F.col(vec_col), i).cast("double")
+            * F.element_at(F.array(*[F.lit(x) for x in q]), i),
+        )
+
+    scored = df.select(
+        group_col,
+        *[
+            F.floor(dot(q) * F.lit(1e6)).cast("long").alias(f"dot_{j}")
+            for j, q in enumerate(queries)
+        ],
+    )
+    agg = scored.groupBy(group_col).agg(
+        *[F.max(f"dot_{j}").alias(f"m_{j}") for j in range(len(queries))]
+    )
+    total: Column = F.lit(0).cast("long")
+    for j in range(len(queries)):
+        total = total + F.col(f"m_{j}")
+    return agg.select(group_col, (total / F.lit(1e6)).alias("maxsim"))
 
 
 def hamming_rerank(

@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 
-__all__ = ["token_window_hashes", "duplicate_window_stats"]
+__all__ = [
+    "token_window_hashes",
+    "duplicate_window_stats",
+    "decontaminate_by_windows",
+]
 
 
 def token_window_hashes(
@@ -54,6 +58,50 @@ def token_window_hashes(
     return docs.select(
         id_col, F.posexplode(wins).alias("pos0", "whash")
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "whash")
+
+
+def decontaminate_by_windows(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination by exact n-token overlap (the GPT-3 /
+    Lee-et-al recipe, typically with 13-token windows): flag every
+    corpus document sharing at least one ``window``-token span with
+    the held-out set.
+
+    Returns (id_col, n_hits, n_windows, hit_ratio) for flagged corpus
+    documents — a curation pipeline anti-joins the corpus against
+    these ids before training.
+
+    Scale shape: the held-out side reduces to its DISTINCT window
+    hashes (eval sets are tiny relative to the corpus, so this
+    relation broadcast-joins); the corpus side is one linear
+    projection + one aggregation. Nothing is quadratic and the corpus
+    text never shuffles.
+    """
+    held_hashes = (
+        token_window_hashes(heldout, window, text_col=text_col, id_col=id_col)
+        .select("whash")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    wins = token_window_hashes(corpus, window, text_col=text_col, id_col=id_col)
+    flagged = wins.join(F.broadcast(held_hashes), "whash", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .withColumn(
+            "hit_ratio", F.round(F.col("n_hits") / F.col("n_windows"), 6)
+        )
+        .select(id_col, "n_hits", "n_windows", "hit_ratio")
+    )
 
 
 def duplicate_window_stats(

@@ -51,3 +51,4 @@ from . import pipeline_suite  # noqa: E402,F401
 from . import pipeline_suite2  # noqa: E402,F401
 from . import pipeline_suite3  # noqa: E402,F401
 from . import pipeline_suite4  # noqa: E402,F401
+from . import pipeline_suite5  # noqa: E402,F401
