@@ -46,6 +46,7 @@ __all__ = [
     "maxsim_score",
     "sq8_train",
     "sq8_rerank",
+    "mmr_select",
 ]
 
 
@@ -212,6 +213,81 @@ def hamming_distance(
         F.bit_count(w0.bitwiseXOR(F.lit(p0)))
         + F.bit_count(w1.bitwiseXOR(F.lit(p1)))
     ).cast("long")
+
+
+def mmr_select(
+    df: DataFrame,
+    probe: Sequence[float],
+    k: int,
+    pool: int,
+    relevance_weight: float = 0.7,
+    diversity_weight: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k: greedily pick the
+    candidate maximizing
+
+        diversity_weight * min_{s in selected} dist(d, s)
+        - relevance_weight * dist(d, probe)
+
+    (squared Euclidean; the first pick is the plain nearest neighbor;
+    ties to the smallest id). The weights are taken as two independent
+    literals rather than (lam, 1-lam) so no derived float constant has
+    to replay across engines.
+
+    Scale shape: the candidate pool is reduced distributed
+    (TakeOrderedAndProject, any base size); the greedy scan then runs
+    over the pool's O(pool x dim) vectors on the driver — pool is
+    serving-path metadata like a codebook, bounded by the parameter,
+    never the corpus. Returned scores (dq) are recomputed as engine
+    expressions on the selected rows, so result values come from the
+    cluster, not the driver.
+    """
+    probe = [float(x) for x in probe]
+    if k < 1 or pool < k:
+        raise ValueError("need pool >= k >= 1")
+    dq_expr = metric_expr("euclidean_sq", vec_col, probe)
+    pool_rows = (
+        df.withColumn("dq", dq_expr)
+        .orderBy(F.col("dq").asc(), F.col(id_col).asc())
+        .limit(pool)
+        .select(id_col, vec_col, "dq")
+        .collect()
+    )
+
+    def d2(a: list[float], b: list[float]) -> float:
+        acc = 0.0  # left fold — matches the SQL list_sum / Spark aggregate
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    cands = {
+        int(r[id_col]): ([float(x) for x in r[vec_col]], float(r["dq"]))
+        for r in pool_rows
+    }
+    selected: list[int] = []
+    first = min(cands, key=lambda i: (cands[i][1], i))
+    selected.append(first)
+    while len(selected) < k:
+        best_id, best_score = None, None
+        for i in sorted(set(cands) - set(selected)):
+            v, dq = cands[i]
+            min_ds = min(d2(v, cands[s][0]) for s in selected)
+            score = (diversity_weight * min_ds) - (relevance_weight * dq)
+            if best_score is None or score > best_score:
+                best_id, best_score = i, score
+        selected.append(best_id)
+
+    step_expr: Column = F.lit(None).cast("long")
+    for step, i in enumerate(selected, start=1):
+        step_expr = F.when(F.col(id_col) == i, F.lit(step)).otherwise(step_expr)
+    return (
+        df.filter(F.col(id_col).isin(selected))
+        .withColumn("step", step_expr.cast("long"))
+        .withColumn("dq", dq_expr)
+        .select("step", id_col, "dq")
+    )
 
 
 def sq8_train(
