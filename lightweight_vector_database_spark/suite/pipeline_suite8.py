@@ -1,5 +1,5 @@
 """Training-pipeline queries, eighth batch (round 7): MMR diversified
-retrieval.
+retrieval and parquet schema evolution.
 
 * ``mmr_diversified_topk`` — Maximal Marginal Relevance re-ranking
   (operators/retrieval.mmr_select): greedy top-5 from a distributed
@@ -8,10 +8,18 @@ retrieval.
   scan is inherently sequential, so the oracle unrolls it into one CTE
   per step (s1..s5) — the same fixed-iteration pinning used for
   PageRank and k-means; Spark and DuckDB must agree on every fold,
-  every comparison, and every tie.
+  every comparison, and every tie;
+* ``schema_evolution_read`` — two dataset generations with different
+  schemas (a ``quality`` column added mid-corpus, the routine
+  evolution event in a long-lived training corpus) read back through
+  parquet mergeSchema: old rows surface NULL for the new column, new
+  rows keep exact values — proving the lake layer tolerates additive
+  schema change without a rewrite.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,6 +29,7 @@ from ..probes import DIM, probe_vector, sql_array
 from ..sources import load_table
 from . import register
 from .knn_suite import _dist_sql
+from .pipeline_suite import _REPO_ROOT, _sf_tag
 
 _MMR_PROBE = probe_vector(seed=17)
 _MMR_K = 5
@@ -88,3 +97,52 @@ pool AS (
 
 
 register("mmr_diversified_topk", _mmr_topk, _mmr_oracle())
+
+
+# --- parquet schema evolution --------------------------------------------------
+
+
+def _schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation 1 (even doc_ids) has the original document schema;
+    generation 2 (odd doc_ids) adds ``quality``. mergeSchema unifies
+    them on read; per-language stats prove old rows carry NULL and new
+    rows carry exact values. quality = n_chars / 1024.0 (a power-of-two
+    divisor, so the double is exact and the micro-unit floor replays
+    identically in the oracle)."""
+    path = os.path.join(
+        _REPO_ROOT, ".schemaevo_cache", f"docs_{_sf_tag(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+            path
+        )
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "quality", F.col("n_chars") / F.lit(1024.0)
+        ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("quality").cast("long").alias("n_with_quality"),
+        F.coalesce(
+            F.sum(F.floor(F.col("quality") * F.lit(1e6)).cast("long")),
+            F.lit(0),
+        ).cast("long").alias("sum_quality_micro"),
+    )
+
+
+register(
+    "schema_evolution_read",
+    _schema_evolution,
+    """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_quality,
+       CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1
+                               THEN CAST(floor((n_chars / 1024.0) * 1000000.0)
+                                         AS BIGINT)
+                               ELSE 0 END), 0) AS BIGINT)
+         AS sum_quality_micro
+FROM documents GROUP BY lang
+""",
+)
