@@ -55,3 +55,4 @@ from . import pipeline_suite5  # noqa: E402,F401
 from . import pipeline_suite6  # noqa: E402,F401
 from . import pipeline_suite7  # noqa: E402,F401
 from . import pipeline_suite8  # noqa: E402,F401
+from . import pipeline_suite9  # noqa: E402,F401
