@@ -168,17 +168,28 @@ def ivf_search(
     metric: str = "euclidean_sq",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pred: Column | None = None,
 ) -> DataFrame:
     """kNN restricted to the ``nprobe`` cells nearest the probe.
 
     Cell selection is a driver-side argsort over n_centroids values
     (tiny); the scan then carries an IN-list filter on ``cell`` that
-    prunes partitions/row-groups."""
+    prunes partitions/row-groups.
+
+    ``pred``: optional metadata predicate — FILTERED ANN with
+    pre-filter semantics (the predicate applies inside the probed
+    cells BEFORE top-k, so the result is the k nearest MATCHING
+    vectors among the probed cells, mirroring the reference's
+    filter-before-topk contract, kd_tree_database.py:186-190). Both
+    filters reach the scan, so a cell-partitioned + predicate-indexed
+    layout prunes on both."""
     cents = np.asarray(centroids, dtype=np.float64)
     p = np.asarray(list(probe), dtype=np.float64)
     order = np.argsort(((cents - p) ** 2).sum(axis=1))
     probe_cells = [int(c) for c in order[:nprobe]]
     cand = assigned.filter(F.col("cell").isin(probe_cells))
+    if pred is not None:
+        cand = cand.filter(pred)
     scored = cand.withColumn("dist", metric_expr(metric, vec_col, list(probe)))
     return scored.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
 

@@ -1,0 +1,109 @@
+"""Training-pipeline queries, tenth batch (round 7): plain and
+FILTERED IVF serving.
+
+* ``ann_ivf_topk`` — the plain IVF coarse-quantizer search
+  (operators/similarity.ivf_search): nprobe nearest cells scanned,
+  exact distance inside them. Until now IVF appeared only inside the
+  PQ paths; this registers the coarse tier itself.
+* ``ann_ivf_filtered`` — filtered ANN, the classically hard vector-DB
+  case: a metadata predicate applied INSIDE the probed cells before
+  top-k (pre-filter semantics, matching the reference's
+  filter-before-topk contract for brute kNN). Both queries share the
+  semantic-dedup centroids (same seeded-uniform sample, same Lloyd
+  refinement), and the oracle retrains them in numpy from the
+  identical sample rule and replays assignment + search in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import ivf_assign, ivf_search, train_centroids_np
+from ..probes import DIM, probe_vector
+from ..sources import load_table
+from . import register
+from .index_suite import _ORACLE_SF_DIR, _dlst, _dlst2
+from .pipeline_suite import _SEM_CLUSTERS, _semantic_centroids
+
+_IVF_PROBE = probe_vector(seed=19)
+_IVF_K = 10
+_IVF_NPROBE = 3
+
+
+def _ivf_query(pred_sql: str | None):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = _semantic_centroids(spark, sf_dir)
+        assigned = ivf_assign(emb, cents)
+        pred = None if pred_sql is None else F.expr(pred_sql)
+        out = ivf_search(
+            assigned, cents, _IVF_PROBE, k=_IVF_K, nprobe=_IVF_NPROBE,
+            pred=pred,
+        )
+        return out.select(
+            "vec_id",
+            "label",
+            F.col("cell").cast("long").alias("cell"),
+            F.round(F.col("dist"), 6).alias("dist"),
+        )
+
+    return q
+
+
+def _ivf_oracle(pred_sql: str | None) -> str | None:
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM '{_ORACLE_SF_DIR}/embeddings.parquet' "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 2048"
+        ).fetchall()
+        con.close()
+    except Exception:  # fixture absent: rows-only
+        return None
+    if not rows:
+        return None
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = train_centroids_np(sample, _SEM_CLUSTERS, iters=5, seed=42)
+    p = np.asarray(_IVF_PROBE, dtype=np.float64)
+    order = np.argsort(((cents - p) ** 2).sum(axis=1))
+    probe_cells = ", ".join(str(int(c)) for c in order[:_IVF_NPROBE])
+    cents_sql = _dlst2(cents.tolist())
+    rng = f"range(1, {DIM + 1})"
+    probe_sql = _dlst(list(_IVF_PROBE))
+    dist = (
+        f"list_sum(list_transform({rng}, i -> "
+        f"(CAST(embedding[i] AS DOUBLE) - ({probe_sql})[i]) * "
+        f"(CAST(embedding[i] AS DOUBLE) - ({probe_sql})[i])))"
+    )
+    where = f"cell IN ({probe_cells})"
+    if pred_sql is not None:
+        where += f" AND ({pred_sql})"
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, label, embedding,
+         list_position(cd, list_min(cd)) - 1 AS cell
+  FROM (
+    SELECT vec_id, label, embedding,
+           list_transform({cents_sql}, c -> list_sum(list_transform({rng},
+             i -> (CAST(embedding[i] AS DOUBLE) - c[i]) *
+                  (CAST(embedding[i] AS DOUBLE) - c[i])))) AS cd
+    FROM embeddings
+  )
+)
+SELECT vec_id, label, CAST(cell AS BIGINT) AS cell, round(dist, 6) AS dist
+FROM (
+  SELECT vec_id, label, cell, {dist} AS dist
+  FROM assigned WHERE {where}
+) ORDER BY dist ASC, vec_id ASC LIMIT {_IVF_K}
+"""
+
+
+register("ann_ivf_topk", _ivf_query(None), _ivf_oracle(None))
+register(
+    "ann_ivf_filtered", _ivf_query("label < 5"), _ivf_oracle("label < 5")
+)

@@ -1,0 +1,65 @@
+"""Round-7 pipeline ops, tenth batch: plain + filtered IVF serving."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightweight_vector_database_spark.operators.knn import knn
+from lightweight_vector_database_spark.operators.similarity import (
+    ivf_assign,
+    ivf_search,
+    train_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from lightweight_vector_database_spark.sources import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def assigned(spark, emb):
+    cents = train_centroids(
+        emb, n_centroids=8, iters=5, sample_rows=2048, sample_id_col="vec_id"
+    )
+    return ivf_assign(emb, cents), cents
+
+
+def test_ivf_filtered_matches_brute_at_full_nprobe(spark, emb, assigned):
+    """With nprobe covering every cell, filtered IVF == filtered brute
+    kNN exactly (pre-filter semantics on both paths)."""
+    adf, cents = assigned
+    probe = [((i * 5) % 13 - 6) / 7.0 for i in range(64)]
+    got = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in ivf_search(
+            adf, cents, probe, k=5, nprobe=len(cents),
+            pred=F.col("label") < 5,
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in knn(
+            emb, probe, 5, metric="euclidean_sq", pred=F.col("label") < 5
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_filtered_results_all_satisfy_pred(spark, assigned):
+    adf, cents = assigned
+    probe = [((i * 11) % 7 - 3) / 5.0 for i in range(64)]
+    rows = ivf_search(
+        adf, cents, probe, k=10, nprobe=2, pred=F.col("label") < 3
+    ).collect()
+    assert rows and all(r["label"] < 3 for r in rows)
+
+
+def test_ivf_subset_of_probed_cells(spark, assigned):
+    adf, cents = assigned
+    probe = [0.0] * 64
+    rows = ivf_search(adf, cents, probe, k=20, nprobe=2).collect()
+    assert len({r["cell"] for r in rows}) <= 2
