@@ -107,3 +107,99 @@ register("ann_ivf_topk", _ivf_query(None), _ivf_oracle(None))
 register(
     "ann_ivf_filtered", _ivf_query("label < 5"), _ivf_oracle("label < 5")
 )
+
+
+# --- query-by-id ("more like this") -----------------------------------------------
+
+_MLT_ID = 42
+_MLT_K = 10
+
+
+def _knn_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-store "more like this" surface: the probe is an
+    EXISTING row's vector (fetched by id — one O(dim) driver lookup,
+    the serving-path metadata pattern), self excluded from results."""
+    from ..operators.knn import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_row = emb.filter(F.col("vec_id") == _MLT_ID).select(
+        "embedding"
+    ).collect()
+    if not probe_row:
+        raise ValueError(f"vec_id {_MLT_ID} not found")
+    probe = [float(x) for x in probe_row[0]["embedding"]]
+    out = knn(
+        emb, probe, _MLT_K, metric="euclidean_sq",
+        pred=F.col("vec_id") != _MLT_ID,
+    )
+    return out.select(
+        "vec_id", "label", F.round(F.col("dist"), 6).alias("dist")
+    )
+
+
+def _knn_by_id_oracle() -> str:
+    rng = f"range(1, {DIM + 1})"
+    x = "CAST(e.embedding[i] AS DOUBLE)"
+    p = "CAST(q.embedding[i] AS DOUBLE)"
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {_MLT_ID})
+SELECT vec_id, label, round(dist, 6) AS dist FROM (
+  SELECT e.vec_id, e.label,
+         list_sum(list_transform({rng},
+           i -> ({x} - {p}) * ({x} - {p}))) AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != {_MLT_ID}
+) ORDER BY dist ASC, vec_id ASC LIMIT {_MLT_K}
+"""
+
+
+register("knn_by_id", _knn_by_id, _knn_by_id_oracle())
+
+
+# --- metadata-boosted scoring -------------------------------------------------------
+
+_BOOST_PROBE = probe_vector(seed=23)
+_BOOST_LABEL = 3
+_BOOST = 0.25
+_BOOST_K = 10
+
+
+def _knn_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid vector + metadata scoring (the "boosting" surface of
+    production vector stores): rank by distance minus a constant boost
+    for rows matching a metadata predicate — still one codegen
+    projection + TakeOrderedAndProject, any base size."""
+    from ..functions.distance import metric_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dist = metric_expr("euclidean_sq", "embedding", list(_BOOST_PROBE))
+    score = dist - F.when(
+        F.col("label") == _BOOST_LABEL, F.lit(_BOOST)
+    ).otherwise(F.lit(0.0))
+    return (
+        emb.withColumn("score", score)
+        .orderBy(F.col("score").asc(), F.col("vec_id").asc())
+        .limit(_BOOST_K)
+        .select("vec_id", "label", F.round(F.col("score"), 6).alias("score"))
+    )
+
+
+def _knn_boosted_oracle() -> str:
+    from ..probes import sql_array
+
+    rng = f"range(1, {DIM + 1})"
+    x = "CAST(embedding[i] AS DOUBLE)"
+    return f"""
+WITH probe AS (SELECT {sql_array(_BOOST_PROBE)} AS p)
+SELECT vec_id, label, round(score, 6) AS score FROM (
+  SELECT vec_id, label,
+         list_sum(list_transform({rng},
+           i -> ({x} - p[i]) * ({x} - p[i])))
+         - (CASE WHEN label = {_BOOST_LABEL} THEN {_BOOST} ELSE 0.0 END)
+           AS score
+  FROM embeddings CROSS JOIN probe
+) ORDER BY score ASC, vec_id ASC LIMIT {_BOOST_K}
+"""
+
+
+register("knn_boosted", _knn_boosted, _knn_boosted_oracle())

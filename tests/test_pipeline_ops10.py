@@ -63,3 +63,52 @@ def test_ivf_subset_of_probed_cells(spark, assigned):
     probe = [0.0] * 64
     rows = ivf_search(adf, cents, probe, k=20, nprobe=2).collect()
     assert len({r["cell"] for r in rows}) <= 2
+
+
+def test_knn_by_id_excludes_self_and_matches_probe_form(spark, emb):
+    """Query-by-id == query-by-that-row's-vector, minus the row."""
+    from lightweight_vector_database_spark.suite.pipeline_suite10 import (
+        _MLT_ID,
+        _knn_by_id,
+    )
+
+    out = _knn_by_id(spark, "/root/testdata/sf0.001").collect()
+    assert all(r["vec_id"] != _MLT_ID for r in out)
+    probe = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _MLT_ID).collect()[0][
+            "embedding"
+        ]
+    ]
+    want = [
+        r["vec_id"]
+        for r in knn(
+            emb, probe, 10, pred=F.col("vec_id") != _MLT_ID
+        ).collect()
+    ]
+    assert [r["vec_id"] for r in out] == want
+
+
+def test_knn_boosted_prefers_boosted_label_on_ties(spark):
+    """Two equidistant vectors: the boosted label wins the ranking."""
+    from lightweight_vector_database_spark.functions.distance import (
+        metric_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 9, [1.0, 0.0]),
+            (2, 3, [-1.0, 0.0]),  # same distance, boosted label
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    dist = metric_expr("euclidean_sq", "embedding", [0.0, 0.0])
+    score = dist - F.when(F.col("label") == 3, F.lit(0.25)).otherwise(
+        F.lit(0.0)
+    )
+    top = (
+        df.withColumn("s", score)
+        .orderBy(F.col("s").asc(), F.col("vec_id").asc())
+        .first()
+    )
+    assert top["vec_id"] == 2
