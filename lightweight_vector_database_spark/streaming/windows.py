@@ -123,6 +123,57 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def windowed_topk(
+    events: DataFrame,
+    duration: str = "1 hour",
+    k: int = 3,
+    key: str = "event_type",
+) -> DataFrame:
+    """Per-window heavy hitters: top-``k`` keys by count inside each
+    tumbling window, with rank (ties to the lexicographically smallest
+    key so the result is total-ordered).
+
+    Works on batch directly. On a STREAM, ranking over an aggregate is
+    not expressible inside one streaming plan (no window function over
+    a streaming agg) — run ``tumbling_agg`` in the stream and apply
+    this ranking in the sink (``foreachBatch``), which is what
+    tests/test_streaming.py pins against this batch form.
+
+    Scale shape: the count agg is map-side-combinable; the rank window
+    partitions by window_start over the (windows x keys) aggregate —
+    vocabulary-sized, never event-sized.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        events.groupBy(F.window("ts", duration).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            key,
+            "n",
+        )
+    )
+    return rank_topk(counts, k, key=key)
+
+
+def rank_topk(
+    counts: DataFrame, k: int, key: str = "event_type"
+) -> DataFrame:
+    """Rank the per-(window, key) count relation to its per-window
+    top-k — the sink-side half of streaming ``windowed_topk``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start_us").orderBy(
+        F.col("n").desc(), F.col(key).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("window_start_us", key, "n", "rank")
+    )
+
+
 def first_event_per_key(
     events: DataFrame, keys: tuple[str, ...] = ("user_id", "event_type")
 ) -> DataFrame:

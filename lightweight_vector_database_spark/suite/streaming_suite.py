@@ -12,6 +12,7 @@ from ..streaming.windows import (
     session_agg,
     sliding_agg,
     tumbling_agg,
+    windowed_topk,
 )
 from . import register
 
@@ -314,5 +315,34 @@ register(
 SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_rt,
        md5(text) AS text_md5
 FROM documents
+""",
+)
+
+
+# --- per-window heavy hitters (round 7) ---------------------------------------
+
+
+def _topk_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour — the streaming heavy-hitter
+    surface; tests/test_streaming.py pins the true-stream foreachBatch
+    ranking against this batch form."""
+    return windowed_topk(load_table(spark, sf_dir, "events"), "1 hour", 3)
+
+
+register(
+    "stream_topk_hourly",
+    _topk_hourly,
+    """
+WITH c AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY window_start_us ORDER BY n DESC, event_type ASC) AS rank
+  FROM c
+)
+SELECT window_start_us, event_type, n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
 """,
 )

@@ -528,3 +528,46 @@ def test_incremental_band_index_equals_rebuild(spark, sf_dir, tmp_path):
         tuple(r) for r in stream_near_dup_pairs(probes, rebuilt).collect()
     }
     assert via_store == via_rebuild
+
+
+def test_streaming_topk_foreachbatch_equals_batch(spark, sf_dir):
+    """Per-window heavy hitters on a true stream: ranking over a
+    streaming aggregate is not expressible in one streaming plan, so
+    the counts run in complete mode and rank_topk applies in the
+    foreachBatch sink — the final epoch must equal the batch
+    windowed_topk exactly."""
+    from lightweight_vector_database_spark.streaming.windows import (
+        rank_topk,
+        windowed_topk,
+    )
+
+    batch = {
+        tuple(r)
+        for r in windowed_topk(
+            load_table(spark, sf_dir, "events"), "1 hour", 3
+        ).collect()
+    }
+    ev = stream_events(spark, sf_dir)
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+    result: list[tuple] = []
+
+    def sink(df, epoch_id):
+        result.clear()
+        result.extend(tuple(r) for r in rank_topk(df, 3).collect())
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert set(result) == batch
