@@ -88,6 +88,17 @@ def kmeans_fixed(
     init_rows = emb.orderBy(F.col(id_col).asc()).limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(f"k={k} exceeds row count {len(init_rows)}")
+    actual_dim = len(init_rows[0][vec_col])
+    if actual_dim != dim:
+        # a silent mismatch is the worst failure mode here: round 1
+        # assigns on full-length init centroids but the micro-unit
+        # update sums only dims 1..dim, so round-2 centroids would be
+        # truncated and every later assignment wrong with no error
+        # (ADVICE r7)
+        raise ValueError(
+            f"dim={dim} does not match vector length {actual_dim} "
+            f"in {vec_col!r}"
+        )
     cents: list[tuple[int, list[float]]] = [
         (j, [float(x) for x in r[vec_col]]) for j, r in enumerate(init_rows)
     ]

@@ -211,6 +211,34 @@ NP_METRICS = frozenset(
 )
 
 
+def matmul_tie_thresholds(
+    D: np.ndarray, kk: int, dim: int, m_sq_max: float, p_sq: np.ndarray
+) -> np.ndarray:
+    """Per-probe candidate-cut thresholds for the matmul selection that
+    can never drop a tied true neighbor (ADVICE r7, medium).
+
+    A hard ``argpartition(D, kk-1)[:kk]`` cut picks an ARBITRARY subset
+    when more than ``kk`` rows are equal (or within matmul cancellation
+    noise) at the boundary — duplicate-heavy corpora then lose the
+    smallest-id tied neighbor, and the exact recompute can't recover a
+    row that was never selected. Instead keep every row whose
+    approximate distance lies within the matmul error bound of the
+    kk-th smallest: |D_matmul - D_exact| <= c*dim*u*(||m||^2+||p||^2)
+    (standard dot-product rounding bound, u = 2^-53), so any row whose
+    EXACT distance ties the kk-th candidate sits within twice that of
+    the kk-th approximate value. c=16 gives a 4x safety margin over
+    the worst-case constant; for well-separated distances the widened
+    set is exactly ``kk`` rows, so the exact re-rank cost is unchanged.
+
+    ``D``: (rows x probes) approximate squared distances; ``p_sq``:
+    per-probe squared norms aligned with D's columns. Returns one
+    threshold per probe; candidates are ``D[:, bi] <= thr[bi]``.
+    """
+    kth = np.partition(D, kk - 1, axis=0)[kk - 1]
+    eps = 16.0 * dim * 2.0**-53 * (m_sq_max + p_sq + 1.0)
+    return kth + eps
+
+
 def adaptive_probe_chunk(
     n_rows: int, requested: int, target_bytes: int = 64 << 20
 ) -> int:
@@ -297,20 +325,23 @@ def knn_join_matmul(
                     p_sq = (P**2).sum(axis=1)
                     nb = len(pids)
                     ids = all_ids
-                    D = (
-                        (M**2).sum(axis=1)[:, None]
-                        - 2.0 * (M @ P.T)
-                        + p_sq[None, :]
-                    )
+                    m_sq = (M**2).sum(axis=1)
+                    D = m_sq[:, None] - 2.0 * (M @ P.T) + p_sq[None, :]
                     kk = min(keep, len(ids))
-                    sel = (
-                        np.argpartition(D, kk - 1, axis=0)[:kk]
+                    thr = (
+                        matmul_tie_thresholds(
+                            D, kk, M.shape[1], float(m_sq.max()), p_sq
+                        )
                         if kk < len(ids)
-                        else np.arange(len(ids))[:, None].repeat(nb, axis=1)
+                        else None
                     )
                     out_pid, out_id, out_dist = [], [], []
                     for bi in range(nb):
-                        rows = sel[:, bi]
+                        rows = (
+                            np.nonzero(D[:, bi] <= thr[bi])[0]
+                            if thr is not None
+                            else np.arange(len(ids))
+                        )
                         exact = ((M[rows] - P[bi][None, :]) ** 2).sum(axis=1)
                         out_pid.extend([pids[bi]] * len(rows))
                         out_id.extend(ids[rows].tolist())
@@ -443,14 +474,14 @@ def knn_join_blocks(
         for lo in range(0, len(pids), step):
             Pm = P_all[lo : lo + step]
             if metric == "euclidean_sq" and n > keep_pad:
-                D = (
-                    (M**2).sum(axis=1)[:, None]
-                    - 2.0 * (M @ Pm.T)
-                    + (Pm**2).sum(axis=1)[None, :]
+                m_sq = (M**2).sum(axis=1)
+                p_sq = (Pm**2).sum(axis=1)
+                D = m_sq[:, None] - 2.0 * (M @ Pm.T) + p_sq[None, :]
+                thr = matmul_tie_thresholds(
+                    D, keep_pad, M.shape[1], float(m_sq.max()), p_sq
                 )
-                sel = np.argpartition(D, keep_pad - 1, axis=0)[:keep_pad]
                 for bi in range(len(Pm)):
-                    rows = sel[:, bi]
+                    rows = np.nonzero(D[:, bi] <= thr[bi])[0]
                     exact = np_dists(metric, M[rows], Pm[bi])
                     order = np.lexsort((ids[rows], exact))[:kk]
                     o_pid.extend([int(pids[lo + bi])] * len(order))

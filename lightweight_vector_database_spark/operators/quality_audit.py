@@ -105,9 +105,19 @@ def audit(df: DataFrame, constraints: list[dict]) -> DataFrame:
         )
         names.append(c["name"])
     for j, c in enumerate(uniques):
+        col = F.col(c["col"])
+        # documented semantics: nulls count as ONE shared value.
+        # countDistinct ignores nulls entirely, so the naive
+        # total - countDistinct charges every null row as a violation
+        # (ADVICE r7): count non-null rows against their distinct
+        # values, then add the null rows beyond the first.
         aggs.append(
-            (F.count(F.lit(1)) - F.countDistinct(F.col(c["col"])))
-            .alias(f"__u{j}")
+            (
+                (F.count(col) - F.countDistinct(col))
+                + F.greatest(
+                    F.sum(col.isNull().cast("long")) - F.lit(1), F.lit(0)
+                )
+            ).alias(f"__u{j}")
         )
     one = df.agg(*aggs)
 
@@ -117,23 +127,29 @@ def audit(df: DataFrame, constraints: list[dict]) -> DataFrame:
         pairs.append((c["name"], f"__v{i}"))
     for j, c in enumerate(uniques):
         pairs.append((c["name"], f"__u{j}"))
-    stack = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("constraint"),
-                F.col(vcol).cast("long").alias("violations"),
-            )
-            for name, vcol in pairs
-        ]
-    )
-    report = (
-        one.select(F.col("__total"), F.explode(stack).alias("c"))
-        .select(
-            F.col("c.constraint").alias("constraint"),
-            F.col("__total").cast("long").alias("total"),
-            F.col("c.violations").alias("violations"),
+    report = None
+    if pairs:
+        # exploding an EMPTY struct array would type as NullType and
+        # the c.constraint access fails to analyze (ADVICE r7) — a
+        # references()-only constraint list skips the unpivot and the
+        # report is seeded from the first referential row below.
+        stack = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("constraint"),
+                    F.col(vcol).cast("long").alias("violations"),
+                )
+                for name, vcol in pairs
+            ]
         )
-    )
+        report = (
+            one.select(F.col("__total"), F.explode(stack).alias("c"))
+            .select(
+                F.col("c.constraint").alias("constraint"),
+                F.col("__total").cast("long").alias("total"),
+                F.col("c.violations").alias("violations"),
+            )
+        )
 
     for c in refs:
         keys = c["dim"].select(F.col(c["dim_col"]).alias("__k")).distinct()
@@ -148,6 +164,6 @@ def audit(df: DataFrame, constraints: list[dict]) -> DataFrame:
             F.col("total").cast("long"),
             F.col("violations").cast("long"),
         )
-        report = report.unionByName(ref_row)
+        report = ref_row if report is None else report.unionByName(ref_row)
 
     return report.withColumn("passed", F.col("violations") == 0)

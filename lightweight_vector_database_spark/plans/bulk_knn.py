@@ -59,7 +59,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.knn import NP_METRICS, np_dists
+from ..operators.knn import NP_METRICS, matmul_tie_thresholds, np_dists
 from .grid_index import GridIndex, index_stats
 
 
@@ -247,9 +247,20 @@ def knn_join_bulk(
     # alone. Every cogroup group is now <= salt_rows base rows plus
     # ~probe_group_rows candidates: bounded task memory at ANY probe
     # count.
+    # Count only salt==0 rows (ADVICE r7): derive replicates each
+    # (probe, cell) candidate across ALL nsalt(cell) buckets, so a raw
+    # count inflates the futility ratio by the base-side salting factor
+    # (hot-cell stores would fall back to the block join long before
+    # the documented ratio). Candidates replicate identically across
+    # salts, so the salt==0 count IS the per-(cell, salt) candidate
+    # mass — the exact number both the ratio test and the probe-side
+    # psalt sizing need (each cogroup key is (cell, salt, psalt)).
     cand_counts = {
         int(r["cell_id"]): int(r["cnt"])
-        for r in cand.groupBy("cell_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in cand.filter(F.col("salt") == 0)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     }
     if not cand_counts:
         # no candidates (empty probe table): answer everything by the
@@ -331,15 +342,16 @@ def knn_join_bulk(
             P = P_all[lo : lo + step]
             if metric == "euclidean_sq" and n > keep_pad:
                 # matmul candidate selection + exact recompute (same
-                # numerics contract as knn_join_matmul)
-                D = (
-                    (M**2).sum(axis=1)[:, None]
-                    - 2.0 * (M @ P.T)
-                    + (P**2).sum(axis=1)[None, :]
+                # numerics contract as knn_join_matmul); tie-safe cut
+                # via matmul_tie_thresholds (ADVICE r7)
+                m_sq = (M**2).sum(axis=1)
+                p_sq = (P**2).sum(axis=1)
+                D = m_sq[:, None] - 2.0 * (M @ P.T) + p_sq[None, :]
+                thr = matmul_tie_thresholds(
+                    D, keep_pad, M.shape[1], float(m_sq.max()), p_sq
                 )
-                sel = np.argpartition(D, keep_pad - 1, axis=0)[:keep_pad]
                 for bi in range(len(P)):
-                    rows = sel[:, bi]
+                    rows = np.nonzero(D[:, bi] <= thr[bi])[0]
                     exact = np_dists(metric, M[rows], P[bi])
                     order = np.lexsort((ids[rows], exact))[:kk]
                     keep_rows = rows[order]
