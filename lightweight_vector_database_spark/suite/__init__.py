@@ -17,14 +17,31 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+# queries flagged quadratic-by-design at registration time (exact
+# small-scale baselines that oracle an approximate scale path): the
+# sf>=1 breadth sweeps read THIS dict, so a new all-pairs anchor added
+# without a flag fails the registry test instead of silently hanging
+# the sweep (VERDICT r7 item 4)
+QUADRATIC: dict[str, str] = {}
 
 
-def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+def register(
+    name: str,
+    fn: QueryFn,
+    oracle: str | None = None,
+    quadratic_baseline: str | None = None,
+) -> None:
+    """Register a driver query. ``quadratic_baseline`` marks an exact
+    O(n^2)-by-design small-scale oracle anchor: the string is the
+    human-readable reason (and the name of its registered scale-path
+    twin) printed when sf>=1 sweeps skip it."""
     if name in QUERIES:
         raise ValueError(f"duplicate query name {name!r}")
     QUERIES[name] = fn
     if oracle is not None:
         ORACLE[name] = oracle
+    if quadratic_baseline is not None:
+        QUADRATIC[name] = quadratic_baseline
 
 
 # Import order is suite registration order; update as modules land.

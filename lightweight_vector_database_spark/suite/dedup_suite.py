@@ -80,6 +80,8 @@ SELECT id1, id2,
 FROM p
 WHERE common::DOUBLE / (n1 + n2 - common) >= 0.95
 """,
+    quadratic_baseline="all-pairs exact jaccard (oracle for minhash LSH; "
+    "scale path: dedup_jaccard_prefix_filtered)",
 )
 
 
@@ -111,6 +113,8 @@ SELECT id1, id2,
 FROM p
 WHERE common > 0 AND common::DOUBLE / (n1 + n2 - common) >= 0.02
 """,
+    quadratic_baseline="all-pairs exact jaccard (oracle for minhash LSH; "
+    "scale path: dedup_jaccard_prefix_filtered)",
 )
 
 
@@ -621,6 +625,8 @@ SELECT d.doc_id,
        d.doc_id = coalesce(c.component, d.doc_id) AS is_keeper
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """,
+    quadratic_baseline="edges from all-pairs exact jaccard (scale path: "
+    "LSH edges + CC, see cc_scale_test.py)",
 )
 
 
@@ -651,6 +657,7 @@ WITH n AS (
 SELECT id1, id2, round(cos_dist, 6) AS cos_dist
 FROM p ORDER BY cos_dist ASC, id1 ASC, id2 ASC LIMIT 20
 """,
+    quadratic_baseline="all-pairs exact cosine (oracle for SRP LSH)",
 )
 
 
@@ -693,7 +700,14 @@ WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
 """
 
 
-register("embedding_srp_pairs", _embedding_srp, _srp_oracle())
+register(
+    "embedding_srp_pairs",
+    _embedding_srp,
+    _srp_oracle(),
+    quadratic_baseline="uncapped banded self-join; replicated fixture "
+    "vectors make every bucket a mega-bucket (died at sf3, 609s; scale "
+    "path: embedding_srp_capped)",
+)
 
 
 _SRP_CAP = 32  # sf0.01 SRP band buckets reach 48 members; this cap bites
@@ -917,4 +931,10 @@ FROM qc CROSS JOIN qt CROSS JOIN qh
 """
 
 
-register("dedup_lsh_quality", _lsh_quality, _lsh_quality_oracle())
+register(
+    "dedup_lsh_quality",
+    _lsh_quality,
+    _lsh_quality_oracle(),
+    quadratic_baseline="truth side is the all-pairs exact-jaccard "
+    "baseline - the evaluation harness runs on samples, not corpora",
+)

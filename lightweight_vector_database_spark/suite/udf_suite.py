@@ -57,38 +57,54 @@ WHERE e.event_id < 500
 
 # --- Python UDTF (Spark 4 user-defined TABLE function) ----------------------
 
-def _udtf_repeated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True Python UDTF in a LATERAL join: per document, emit tokens
-    appearing >= 3 times. The UDTF holds per-row state in plain Python
-    (a Counter) — the escape hatch for table-generating logic that
-    doesn't decompose into explode+groupBy — while the oracle shows the
-    relational equivalent for this particular function.
+class _RepeatedTerms:
+    """Shared UDTF body: per document, emit tokens appearing >= 3
+    times. Per-row state in plain Python (a Counter) — the escape
+    hatch for table-generating logic that doesn't decompose into
+    explode+groupBy — while the oracle shows the relational
+    equivalent for this particular function."""
 
-    API-SURFACE DEMO — DO NOT USE AT SCALE: this is the suite's one
-    deliberate row-at-a-time Python boundary (BatchEvalPython; the
-    only way to exercise Spark's Python UDTF API). The production form
-    of THIS function is the codegen explode+groupBy twin
-    (`udtf_bigram_explode` is the bench path); reach for a real UDTF
-    only when the logic genuinely cannot decompose relationally.
-    """
+    def eval(self, text: str):
+        from collections import Counter
+
+        for term, n in Counter((text or "").split(" ")).items():
+            if n >= 3:
+                yield term, n
+
+
+def _repeated_terms_df(
+    spark: SparkSession, sf_dir: str, use_arrow: bool
+) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="term: string, n: long")
-    class RepeatedTerms:
-        def eval(self, text: str):
-            from collections import Counter
-
-            for term, n in Counter((text or "").split(" ")).items():
-                if n >= 3:
-                    yield term, n
-
-    spark.udtf.register("repeated_terms", RepeatedTerms)
+    suffix = "arrow" if use_arrow else "row"
+    fn = udtf(
+        _RepeatedTerms, returnType="term: string, n: long",
+        useArrow=use_arrow,
+    )
+    spark.udtf.register(f"repeated_terms_{suffix}", fn)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     docs.createOrReplaceTempView("_udtf_docs")
     return spark.sql(
-        """SELECT d.doc_id, t.term, t.n
-           FROM _udtf_docs d, LATERAL repeated_terms(d.text) t"""
+        f"""SELECT d.doc_id, t.term, t.n
+           FROM _udtf_docs d, LATERAL repeated_terms_{suffix}(d.text) t"""
     )
+
+
+def _udtf_repeated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF in a LATERAL join, ARROW-OPTIMIZED
+    (``useArrow=True`` — Spark 4 vectorizes the Python boundary with
+    Arrow batch transfer instead of row-at-a-time pickling, the same
+    10-100x transfer win as Pandas UDFs; VERDICT r7 item 3). The
+    row-at-a-time form (``_repeated_terms_df(..., use_arrow=False)``)
+    stays pytest-pinned equal as the legacy-API surface check.
+
+    The production form of THIS particular function is still the
+    codegen explode+groupBy twin (`udtf_bigram_explode` is the bench
+    path); reach for a real UDTF only when the logic genuinely cannot
+    decompose relationally.
+    """
+    return _repeated_terms_df(spark, sf_dir, use_arrow=True)
 
 
 register(

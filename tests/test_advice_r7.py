@@ -185,3 +185,21 @@ def test_kmeans_rejects_dim_mismatch(spark):
         kmeans_fixed(df, k=2, iters=1, dim=3)
     out = kmeans_fixed(df, k=2, iters=1, dim=4)  # matching dim still works
     assert out.count() == 2
+
+
+def test_udtf_arrow_equals_row_python(spark, sf_dir):
+    """VERDICT r7 item 3: the registered udtf_repeated_terms is the
+    Arrow-optimized UDTF; the row-at-a-time Python form must stay
+    result-identical (the legacy UDTF API surface pin), and the
+    registered plan must carry NO BatchEvalPython node."""
+    from lightweight_vector_database_spark.suite.udf_suite import (
+        _repeated_terms_df,
+    )
+
+    arrow = _repeated_terms_df(spark, sf_dir, use_arrow=True)
+    row = _repeated_terms_df(spark, sf_dir, use_arrow=False)
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(arrow) == canon(row)
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython" not in plan

@@ -64,3 +64,40 @@ def test_loaded_tables_have_normalized_types(spark, sf_dir):
     assert dict(tables["lineitem"].dtypes)["l_shipdate"] in (
         "timestamp_ntz", "timestamp", "date"
     )
+
+
+def test_quadratic_baselines_flagged_in_registry():
+    """VERDICT r7 item 4: the sf>=1 sweep quarantine lives in the
+    registry (register(..., quadratic_baseline=...)), not in a
+    hand-maintained tools dict. Every all-pairs exact baseline must
+    either be flagged, or be proven to scale by the recorded sf1
+    breadth sweep — a *_pairs anchor that is neither would silently
+    hang the next sweep."""
+    import json
+    from pathlib import Path
+
+    from lightweight_vector_database_spark.suite import QUADRATIC, QUERIES
+
+    assert set(QUADRATIC) <= set(QUERIES)
+    for name in (
+        "dedup_jaccard_pairs",
+        "dedup_ngram3_jaccard_pairs",
+        "embedding_nearest_pairs",
+        "dedup_connected_clusters",
+        "embedding_srp_pairs",
+        "dedup_lsh_quality",
+    ):
+        assert name in QUADRATIC and QUADRATIC[name], name
+
+    scale_all = Path(__file__).resolve().parent.parent / "SCALE_ALL_sf1.json"
+    if scale_all.exists():
+        recorded = json.loads(scale_all.read_text())["queries"]
+        for name in QUERIES:
+            if "pairs" not in name or name in QUADRATIC:
+                continue
+            status = recorded.get(name, {}).get("status")
+            assert status in (None, "OK"), (
+                f"{name} is an unflagged pairs query that did not "
+                f"complete the sf1 sweep ({status}) — flag it with "
+                "quadratic_baseline or fix its scale path"
+            )

@@ -26,35 +26,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from lightweight_vector_database_spark.session import get_spark  # noqa: E402
-from lightweight_vector_database_spark.suite import QUERIES  # noqa: E402
-
-# quadratic-by-design exact baselines (the oracles FOR the scale
-# paths) — excluded only when the fixture is sf1-sized or bigger
-QUADRATIC_BASELINES = {
-    "dedup_jaccard_pairs": "all-pairs exact jaccard (oracle for minhash LSH; "
-    "scale path: dedup_jaccard_prefix_filtered)",
-    "dedup_ngram3_jaccard_pairs": "all-pairs exact jaccard (oracle for minhash "
-    "LSH; scale path: dedup_jaccard_prefix_filtered)",
-    "embedding_nearest_pairs": "all-pairs exact cosine (oracle for SRP LSH)",
-    # verified the hard way: at sf1 its unigram jaccard_pairs edge
-    # source (31-word vocab -> token df ~ n) explodes the inverted-
-    # index join into billions of partial-agg groups; thread dump
-    # showed all tasks probing BytesToBytesMap collision chains.
-    # The scale path for clustering is minhash-LSH edges + the same
-    # dedup_clusters CC (tools/cc_scale_test.py: 1M nodes in 52s).
-    "dedup_connected_clusters": "edges from all-pairs exact jaccard "
-    "(scale path: LSH edges + CC, see cc_scale_test.py)",
-    # measured, not hypothetical: at sf3 the replicated-vector fixture
-    # makes every SRP bucket a 30x mega-bucket and the UNCAPPED banded
-    # self-join died after 609s (SCALE_ALL_sf3 r6) — the exact bucket²
-    # failure mode operators/dedup._cap_band_sides exists for
-    "embedding_srp_pairs": "uncapped banded self-join; replicated "
-    "fixture vectors make every bucket a mega-bucket (died at sf3, "
-    "609s; scale path: embedding_srp_capped)",
-    "dedup_lsh_quality": "truth side is the all-pairs exact-jaccard "
-    "baseline — the evaluation harness runs on samples, not corpora",
-}
-
+from lightweight_vector_database_spark.suite import (  # noqa: E402
+    QUADRATIC,
+    QUERIES,
+)
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else str(
@@ -81,9 +56,9 @@ def main() -> None:
     results: dict[str, dict] = {}
     t_all = time.time()
     for name, fn in QUERIES.items():
-        if big and name in QUADRATIC_BASELINES:
-            print(f"SKIP  {name}: {QUADRATIC_BASELINES[name]}")
-            results[name] = {"status": "SKIP", "reason": QUADRATIC_BASELINES[name]}
+        if big and name in QUADRATIC:
+            print(f"SKIP  {name}: {QUADRATIC[name]}")
+            results[name] = {"status": "SKIP", "reason": QUADRATIC[name]}
             continue
         t0 = time.time()
         try:
