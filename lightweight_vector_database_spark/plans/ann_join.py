@@ -1,0 +1,327 @@
+"""Batched ANN retrieval join: a probe TABLE served by the IVF-PQ tier.
+
+VERDICT r7 item 1. The exact batched joins (plans/bulk_knn.knn_join_bulk,
+operators/knn.knn_join_blocks) are linear in base size per probe —
+800.6s for 10^6 probes over a 200k base at dim 64 (PROBE_SWEEP_r07).
+The single-probe ANN tier (operators/similarity.ivfpq_search) is
+sublinear but serves ONE vector per call with driver-built literal
+LUTs. This module composes the existing pieces into the shape the
+100 TB training-data workload needs (mine hard negatives / semantic
+dedup at 10^8 probes): probe-table-in, IVF-pruned, cogrouped-ADC
+batched search with exact re-rank — no probe vector, LUT, or
+candidate list ever materializes on the driver.
+
+Plan shape (``ann_join_topk``):
+
+1. **Probe cell assignment, distributed.** ``mapInPandas`` over the
+   probe table; the closure carries only the coarse centroids
+   (O(cells x dim) doubles). Per probe: left-fold squared distances to
+   every centroid (the same IEEE accumulation order as the SQL
+   ``list_sum`` fold, so cell choice ties out bit-for-bit against the
+   DuckDB oracle), emit the ``nprobe`` nearest (dist, cell-id
+   tie-break) as (probe_id, probe_vec, cell) rows.
+2. **Code pruning + two-dimensional salting.** The CODES table (from
+   ``ivfpq_encode``, written partitioned by cell: id + cell + m small
+   ints — ~32x smaller than the float vectors) is inner-joined against
+   the broadcast candidate-cell map, pruning non-probed cells at the
+   scan (partition pruning on the cell-partitioned snapshot). Hot
+   cells salt exactly like plans/bulk_knn: codes hash into
+   ceil(count/salt_codes) salt buckets (candidates replicate across),
+   probe candidates hash into ceil(cand/probe_group_rows) psalt
+   buckets (codes replicate across) — every cogroup task sees a
+   bounded number of codes AND candidates at ANY probe count.
+3. **Cogrouped ADC scoring.** Probes and codes cogroup on
+   (cell, salt, psalt). Each group shares one coarse cell, so the
+   kernel builds per-probe residual lookup tables
+   (LUT[p][j][c] = ||(p - centroid)_subj - codebook[j][c]||^2, a
+   left fold over the subspace dims) and scores every code row with m
+   table gathers — the classic IVF-PQ ADC, vectorized over the whole
+   (probes x codes) group. Every float accumulation is a left fold,
+   so ADC values are BIT-IDENTICAL to the oracle's SQL folds and the
+   candidate cut is deterministic. Each group emits its per-probe top
+   ``k*refine`` by (adc, id).
+4. **Global candidate cut.** One window per probe over (adc, id)
+   keeps exactly ``k*refine`` rows — the union of per-group top-keeps
+   always contains the global top-keep, so the candidate set is
+   independent of salting.
+5. **Exact re-rank.** Candidates join the raw vectors by id (the only
+   touch of float vectors — k*refine rows per probe), the probe table
+   by probe_id, score with the exact codegen fold (same expression as
+   the brute oracle), window top-k with id tie-break.
+
+Cost model at 100 TB: the float corpus is read only for the
+k*refine*|probes| refine rows; the scan side of the join is the codes
+table (32x smaller), pruned to probed cells, shuffled once by
+(cell, salt, psalt). Per probe the ADC work is (nprobe/ncells) x |base|
+x m adds — against the exact join's |base| x dim multiplies.
+
+Recall is governed by (nprobe, refine) exactly like single-probe
+IVF-PQ; the registered suite query pins recall >= 0.95 against the
+exact knn_join_bulk ground truth, and operators/tiering.py guards
+tier choice (VERDICT r7 item 2).
+
+Reference semantics: find_k_nearest_neighbors per probe row
+(kd_tree_database.py:285-304) at probe-table scale, traded to
+approximate via the standard IVF-PQ contract (Jegou et al., TPAMI
+2011).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import metric_expr
+
+DEFAULT_SALT_CODES = 262_144
+DEFAULT_PROBE_GROUP_ROWS = 16_384
+
+
+def fold_sq_dists(P: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(|P| x |C|) squared euclidean distances accumulated as a LEFT
+    FOLD over dimensions (acc <- acc + d_t^2): the same IEEE order as
+    ``list_sum(list_transform(range(...), ...))`` / ``F.aggregate``,
+    so argmin/top-n decisions match the SQL oracle bit-for-bit (see
+    memory: sums of floats are order-dependent)."""
+    acc = np.zeros((len(P), len(C)))
+    for t in range(P.shape[1]):
+        d = P[:, t, None] - C[None, :, t]
+        acc = acc + d * d
+    return acc
+
+
+def fold_residual_luts(R: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(|R| x m x ksub) ADC lookup tables, left-fold accumulated per
+    subspace: LUT[p][j][c] = sum_t (R[p, j*dsub+t] - books[j,c,t])^2
+    in ascending-t order — bit-identical to the oracle's inner
+    ``list_sum`` fold."""
+    m, ksub, dsub = books.shape
+    lut = np.empty((len(R), m, ksub))
+    for j in range(m):
+        acc = np.zeros((len(R), ksub))
+        for t in range(dsub):
+            d = R[:, j * dsub + t, None] - books[None, j, :, t]
+            acc = acc + d * d
+        lut[:, j] = acc
+    return lut
+
+
+def ann_join_topk(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    probes: DataFrame,
+    raw: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    cell_col: str = "cell",
+    salt_codes: int = DEFAULT_SALT_CODES,
+    probe_group_rows: int = DEFAULT_PROBE_GROUP_ROWS,
+    code_stats: dict[int, int] | None = None,
+    probe_chunk: int = 4_096,
+) -> DataFrame:
+    """Batched IVF-PQ top-k join (see module docstring).
+
+    ``codes``: the encoded snapshot from ``ivfpq_encode`` —
+    (id_col, cell_col, code_col) — ideally read from a
+    cell-partitioned parquet layout so the candidate-cell join prunes
+    files. ``raw``: (id_col, vec_col) for the exact re-rank.
+    Output: (probe_id, vec_id, dist, rank) with EXACT squared-euclidean
+    distances on the refined top k; k rows per probe (fewer only when
+    the probed cells hold fewer candidates).
+    """
+    if k < 1 or nprobe < 1 or refine < 1:
+        raise ValueError("k, nprobe and refine must be >= 1")
+    spark = codes.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    if cents.shape[1] != m * dsub:
+        raise ValueError(
+            f"codebooks cover dim {m * dsub}, centroids have {cents.shape[1]}"
+        )
+    np_eff = min(nprobe, len(cents))
+    keep = k * refine
+
+    # ---- 1. distributed probe -> candidate-cell assignment -----------------
+    cand_schema = (
+        f"{probe_id_col} long, {probe_vec_col} array<double>, "
+        f"{cell_col} int"
+    )
+    cell_idx = np.arange(len(cents))
+
+    def assign(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pids = pdf[probe_id_col].to_numpy()
+            P_all = np.stack(pdf[probe_vec_col].to_numpy()).astype(np.float64)
+            for lo in range(0, len(pids), probe_chunk):
+                P = P_all[lo : lo + probe_chunk]
+                d = fold_sq_dists(P, cents)
+                # nprobe nearest with cell-id tie-break: one lexsort
+                # per chunk (ties between equidistant centroids must
+                # resolve the same way the oracle's ORDER BY d, cell
+                # does)
+                order = np.lexsort(
+                    (np.broadcast_to(cell_idx, d.shape), d), axis=1
+                )[:, :np_eff]
+                n = len(P)
+                yield pd.DataFrame(
+                    {
+                        probe_id_col: np.repeat(
+                            pids[lo : lo + probe_chunk], np_eff
+                        ),
+                        probe_vec_col: [
+                            v
+                            for v in P.tolist()
+                            for _ in range(np_eff)
+                        ],
+                        cell_col: order.reshape(n * np_eff).astype("int32"),
+                    }
+                )
+
+    cand = probes.select(probe_id_col, probe_vec_col).mapInPandas(
+        assign, cand_schema
+    )
+
+    # ---- 2. code pruning + two-dimensional salting --------------------------
+    # O(cells) metadata: candidate mass per cell (probe-side psalt
+    # sizing + the broadcast cell prune) and code count per cell
+    # (code-side salt sizing). Same memory-bound argument as
+    # plans/bulk_knn step 2.
+    cand_counts = {
+        int(r[cell_col]): int(r["cnt"])
+        for r in cand.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    if not cand_counts:
+        return (
+            probes.select(
+                F.col(probe_id_col),
+                F.lit(None).cast("long").alias(id_col),
+                F.lit(None).cast("double").alias("dist"),
+                F.lit(None).cast("long").alias("rank"),
+            ).filter(F.lit(False))
+        )
+    if code_stats is None:
+        code_stats = {
+            int(r[cell_col]): int(r["cnt"])
+            for r in codes.groupBy(cell_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+    cell_map = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    int(c),
+                    max(1, -(-code_stats.get(c, 0) // salt_codes)),
+                    max(1, -(-cnt // probe_group_rows)),
+                )
+                for c, cnt in sorted(cand_counts.items())
+                if code_stats.get(c, 0) > 0
+            ],
+            f"{cell_col} int, __nsalt int, __nps int",
+        )
+    )
+    coded = (
+        codes.select(cell_col, id_col, code_col)
+        .join(cell_map, cell_col)  # inner: prunes to candidate cells
+        .withColumn(
+            "salt", F.pmod(F.hash(F.col(id_col)), F.col("__nsalt")).cast("int")
+        )
+        .withColumn("psalt", F.explode(F.sequence(F.lit(0), F.col("__nps") - 1)))
+        .withColumn("psalt", F.col("psalt").cast("int"))
+        .select(cell_col, "salt", "psalt", id_col, code_col)
+    )
+    cand = (
+        cand.join(cell_map, cell_col)
+        .withColumn(
+            "psalt",
+            F.pmod(F.hash(F.col(probe_id_col)), F.col("__nps")).cast("int"),
+        )
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("__nsalt") - 1)))
+        .withColumn("salt", F.col("salt").cast("int"))
+        .select(cell_col, "salt", "psalt", probe_id_col, probe_vec_col)
+    )
+
+    # ---- 3. cogrouped ADC scoring -------------------------------------------
+    out_schema = f"{probe_id_col} long, {id_col} long, adc_dist double"
+
+    def score(left, right):
+        import pandas as pd
+
+        if not len(left) or not len(right):
+            return pd.DataFrame({probe_id_col: [], id_col: [], "adc_dist": []})
+        cell = int(left[cell_col].iloc[0])
+        ids = right[id_col].to_numpy().astype(np.int64)
+        C = np.stack(right[code_col].to_numpy()).astype(np.int64)
+        pids = left[probe_id_col].to_numpy()
+        P_all = np.stack(left[probe_vec_col].to_numpy()).astype(np.float64)
+        kk = min(keep, len(ids))
+        o_pid, o_id, o_adc = [], [], []
+        from ..operators.knn import adaptive_probe_chunk
+
+        step = adaptive_probe_chunk(len(ids), probe_chunk)
+        for lo in range(0, len(pids), step):
+            P = P_all[lo : lo + step]
+            R = P - cents[cell][None, :]
+            lut = fold_residual_luts(R, books)
+            adc = np.zeros((len(P), len(ids)))
+            for j in range(m):  # left fold over subspaces, matches SQL
+                adc = adc + lut[:, j, :][:, C[:, j]]
+            for bi in range(len(P)):
+                row = adc[bi]
+                order = np.lexsort((ids, row))[:kk]
+                o_pid.extend([int(pids[lo + bi])] * len(order))
+                o_id.extend(ids[order].tolist())
+                o_adc.extend(row[order].tolist())
+        return pd.DataFrame(
+            {probe_id_col: o_pid, id_col: o_id, "adc_dist": o_adc}
+        )
+
+    scored = (
+        cand.groupBy(cell_col, "salt", "psalt")
+        .cogroup(coded.groupBy(cell_col, "salt", "psalt"))
+        .applyInPandas(score, out_schema)
+    )
+
+    # ---- 4. global candidate cut (salting-independent) ----------------------
+    wc = Window.partitionBy(probe_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    cand_topk = (
+        scored.withColumn("__crank", F.row_number().over(wc))
+        .filter(F.col("__crank") <= keep)
+        .select(probe_id_col, id_col)
+    )
+
+    # ---- 5. exact re-rank ----------------------------------------------------
+    refined = (
+        cand_topk.join(raw.select(id_col, vec_col), id_col)
+        .join(probes.select(probe_id_col, probe_vec_col), probe_id_col)
+        .withColumn(
+            "dist",
+            metric_expr("euclidean_sq", vec_col, F.col(probe_vec_col)),
+        )
+        .select(probe_id_col, id_col, "dist")
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return refined.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

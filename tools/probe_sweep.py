@@ -15,7 +15,13 @@ seconds + probes/sec per path:
 - ``blocks`` — knn_join_blocks (fully distributed brute tiling).
 - ``bulk``   — plans/bulk_knn.knn_join_bulk (distributed, index-pruned
   candidate cells, cogrouped matmul) over the cell-partitioned
-  snapshot. The intended large-batch serving path.
+  snapshot. The exact large-batch serving path.
+- ``ann``    — plans/ann_join.ann_join_topk (distributed IVF-PQ:
+  cogrouped ADC over the cell-partitioned codes snapshot + exact
+  refine). APPROXIMATE (nprobe/refine-governed recall, reported per
+  sweep point as recall@10 vs the exact paths on a probe sample) and
+  sublinear in base size per probe — the only serving shape whose
+  per-probe cost survives a 100 TB corpus.
 
 Probes are a deterministic expansion of base vectors (never
 collected). Paths are skipped (with a note) where their cost model
@@ -159,6 +165,36 @@ def main() -> None:
         flush=True,
     )
 
+    # --- IVF-PQ serving snapshot for the ann path (the index BUILD,
+    # outside the per-batch timings like the grid snapshot above)
+    from lightweight_vector_database_spark.operators.similarity import (
+        ivfpq_encode,
+        train_ivfpq,
+    )
+    from lightweight_vector_database_spark.plans.ann_join import ann_join_topk
+
+    ann_m = min(8, dim)
+    ann_cells = 64
+    ann_nprobe = 8
+    ann_refine = 4
+    cents, books = train_ivfpq(
+        base, n_centroids=ann_cells, m=ann_m, ksub=256, iters=4,
+        sample_rows=8192, sample_id_col="vec_id",
+    )
+    codes_path = os.path.join(tmp, "codes")
+    ivfpq_encode(base, cents, books).select(
+        "vec_id", "cell", "pq_code"
+    ).repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(codes_path)
+    codes = spark.read.parquet(codes_path).withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    code_stats = {
+        int(r["cell"]): int(r["cnt"])
+        for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
     results = []
     for n_probes in PROBE_COUNTS:
         probes = make_probes(base, n_probes, n_rows)
@@ -174,23 +210,54 @@ def main() -> None:
         paths["bulk"] = lambda p=probes: knn_join_bulk(
             assigned, idx, probes=p, k=K, stats=stats
         )
+        paths["ann"] = lambda p=probes: ann_join_topk(
+            codes, cents, books, p, raw=base, k=K,
+            nprobe=ann_nprobe, refine=ann_refine, code_stats=code_stats,
+        )
+        exact_sample: dict | None = None
         for name, fn in paths.items():
             t0 = time.time()
-            n_out = fn().count()
+            out = fn()
+            if name == "ann":
+                out = out.cache()
+            n_out = out.count()
             dt = time.time() - t0
             qps = n_probes / dt
-            results.append(
-                {
-                    "path": name,
-                    "n_probes": n_probes,
-                    "sec": round(dt, 2),
-                    "probes_per_sec": round(qps, 1),
-                    "rows_out": n_out,
-                }
-            )
+            rec = {
+                "path": name,
+                "n_probes": n_probes,
+                "sec": round(dt, 2),
+                "probes_per_sec": round(qps, 1),
+                "rows_out": n_out,
+            }
+            note = ""
+            if name == "ann":
+                # recall@K on a ~200-probe sample vs the exact answer
+                # (every exact path returns the same rows)
+                sample_pred = F.col("probe_id") % F.lit(
+                    max(1, n_probes // 200)
+                ) == 0
+                if exact_sample is None:
+                    sp = probes.filter(sample_pred)
+                    exact_sample = {}
+                    for r in knn_join_blocks(sp, base, K).collect():
+                        exact_sample.setdefault(r["probe_id"], set()).add(
+                            r["vec_id"]
+                        )
+                got: dict[int, set] = {}
+                for r in out.filter(sample_pred).collect():
+                    got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+                recs = [
+                    len(got.get(p, set()) & want) / len(want)
+                    for p, want in exact_sample.items()
+                ]
+                rec["recall_at_k"] = round(sum(recs) / max(1, len(recs)), 4)
+                note = f" recall@{K}={rec['recall_at_k']}"
+                out.unpersist()
+            results.append(rec)
             print(
                 f"  {name:7s} probes={n_probes:>9,} {dt:8.2f}s "
-                f"{qps:>10,.1f} probes/s rows={n_out}",
+                f"{qps:>10,.1f} probes/s rows={n_out}{note}",
                 flush=True,
             )
     if out_json:
