@@ -1,0 +1,180 @@
+"""ANN tier guard: measure before you serve (VERDICT r7 item 2).
+
+BASELINE.md (r7) measured the failure this module exists to catch: on
+tightly clustered UNNORMALIZED vectors the 1-bit Hamming tier's
+recall@10 collapses to 0/10 (every cluster member shares the same sign
+pattern, so the Hamming cut cannot separate them) while SQ8 holds
+10/10 on the same fixture — and SRP rotation does not fix it (metric
+mismatch). Until round 8 the engine *measured* this but let a user
+point any tier at any geometry; this module turns the measurement into
+enforcement:
+
+- ``tier_report(df, ...)`` — for each quantized tier (1-bit Hamming,
+  SQ8), sampled recall@k against the exact scan on a SEEDED UNIFORM
+  probe sample (the md5-of-id rule every trainer in this engine uses,
+  operators/similarity._training_sample), plus a ``chosen`` flag: the
+  first tier in preference order (cheapest scan first) whose recall
+  clears the floor.
+- ``choose_ann_tier(df, ...)`` — the enforcement wrapper: returns the
+  chosen tier name, or ``"exact"`` when no quantized tier clears the
+  floor (refuse-and-fall-back, never silently serve garbage
+  neighbors).
+
+Scale shape: the probe sample is O(n_probes x dim) driver metadata
+(TakeOrdered by md5 — the same bounded serving-metadata class as a
+codebook); each tier evaluation is n_probes 0-exchange
+TakeOrderedAndProject subplans unioned into ONE job per tier, so the
+guard costs a few extra scans at DEPLOY time, not per query. Every
+ranking, overlap count and the chosen decision are engine expressions
+(no driver arithmetic feeds the report values), so the registered
+``ann_tier_report`` query replays exactly in SQL.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .knn import knn
+from .retrieval import hamming_rerank, sq8_rerank, sq8_train
+
+# preference order: cheapest candidate scan first (packed words are
+# 16x smaller than float32 vectors; SQ8 codes 4x)
+TIER_PREFERENCE = ("hamming", "sq8")
+
+
+def seeded_probe_rows(
+    df: DataFrame,
+    n_probes: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """The ``n_probes`` rows with smallest md5(id) — the engine's
+    deterministic uniform-sample rule, mirrored verbatim by the SQL
+    oracle (ORDER BY md5(CAST(id AS VARCHAR)))."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_probes)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _topk_union(
+    df: DataFrame,
+    probes: list[tuple[int, list[float]]],
+    tier: str,
+    k: int,
+    candidates: int,
+    lo: list[float] | None,
+    hi: list[float] | None,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+) -> DataFrame:
+    """(probe_id, vec_id) of each probe's top-k under ``tier`` — one
+    lazy union of per-probe TakeOrdered subplans (a single job)."""
+    parts = []
+    for pid, vec in probes:
+        if tier == "exact":
+            top = knn(df, vec, k, vec_col=vec_col, id_col=id_col)
+        elif tier == "hamming":
+            top = hamming_rerank(
+                df, vec, k, candidates, vec_col=vec_col, id_col=id_col,
+                dim=dim,
+            )
+        elif tier == "sq8":
+            top = sq8_rerank(
+                df, vec, k, candidates, lo, hi, vec_col=vec_col,
+                id_col=id_col,
+            )
+        else:
+            raise KeyError(tier)
+        parts.append(
+            top.select(
+                F.lit(pid).cast("long").alias("probe_id"),
+                F.col(id_col).alias("__nn"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def tier_report(
+    df: DataFrame,
+    k: int = 10,
+    candidates: int = 50,
+    n_probes: int = 8,
+    floor: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Sampled recall@k per quantized tier vs the exact scan, plus the
+    guard decision. Output (one row per tier, unordered):
+
+    (tier string, n_overlap long, recall double, chosen boolean)
+
+    ``chosen`` marks the first tier in TIER_PREFERENCE whose recall
+    >= ``floor``; all-false means the guard refuses every quantized
+    tier and the caller must serve exact (choose_ann_tier returns
+    "exact")."""
+    if k < 1 or candidates < k or n_probes < 1:
+        raise ValueError("need candidates >= k >= 1 and n_probes >= 1")
+    probes = seeded_probe_rows(df, n_probes, vec_col, id_col)
+    if not probes:
+        raise ValueError("empty table")
+    lo, hi = sq8_train(df, vec_col=vec_col, dim=dim)
+    want = _topk_union(
+        df, probes, "exact", k, candidates, None, None, vec_col, id_col, dim
+    )
+    denom = float(len(probes) * k)
+    reports = []
+    for pref, tier in enumerate(TIER_PREFERENCE):
+        got = _topk_union(
+            df, probes, tier, k, candidates, lo, hi, vec_col, id_col, dim
+        )
+        reports.append(
+            got.join(want, ["probe_id", "__nn"]).agg(
+                F.lit(tier).alias("tier"),
+                F.lit(pref).alias("__pref"),
+                F.count(F.lit(1)).cast("long").alias("n_overlap"),
+                F.round(F.count(F.lit(1)) / F.lit(denom), 6).alias("recall"),
+            )
+        )
+    rep = reduce(lambda a, b: a.unionByName(b), reports)
+    best = rep.filter(F.col("recall") >= F.lit(float(floor))).agg(
+        F.min("__pref").alias("__best")
+    )
+    return (
+        rep.crossJoin(best)
+        .withColumn(
+            "chosen",
+            F.coalesce(F.col("__pref") == F.col("__best"), F.lit(False)),
+        )
+        .select("tier", "n_overlap", "recall", "chosen")
+    )
+
+
+def choose_ann_tier(
+    df: DataFrame,
+    k: int = 10,
+    candidates: int = 50,
+    n_probes: int = 8,
+    floor: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> str:
+    """Pick the cheapest quantized tier whose sampled recall clears
+    ``floor``; ``"exact"`` when none does (the refusal path — the r7
+    baseline's clustered fixture makes Hamming score 0/10, and this
+    guard is what keeps that geometry off the 1-bit tier)."""
+    rows = tier_report(
+        df, k=k, candidates=candidates, n_probes=n_probes, floor=floor,
+        vec_col=vec_col, id_col=id_col, dim=dim,
+    ).collect()
+    chosen = [r["tier"] for r in rows if r["chosen"]]
+    return chosen[0] if chosen else "exact"

@@ -283,11 +283,27 @@ def ann_join_topk(
             adc = np.zeros((len(P), len(ids)))
             for j in range(m):  # left fold over subspaces, matches SQL
                 adc = adc + lut[:, j, :][:, C[:, j]]
+            # per-probe top-kk by (adc, id), vectorized: a full lexsort
+            # per probe measured ~3x the whole kernel at 10^6 probes.
+            # The kk-th value threshold keeps every row with adc <= it
+            # (ALL boundary ties included — adc is bit-deterministic,
+            # so no epsilon is needed), then only the ~kk survivors get
+            # the (adc, id) lexsort. Identical output to the full sort.
+            if kk < len(ids):
+                thr = np.partition(adc, kk - 1, axis=1)[:, kk - 1]
+                mask = adc <= thr[:, None]
+                cols_i = np.nonzero(mask)[1]
+                splits = np.cumsum(mask.sum(axis=1))[:-1]
+                groups = np.split(cols_i, splits)
+            else:
+                groups = [np.arange(len(ids))] * len(P)
             for bi in range(len(P)):
-                row = adc[bi]
-                order = np.lexsort((ids, row))[:kk]
+                cols = groups[bi]
+                row = adc[bi, cols]
+                order = np.lexsort((ids[cols], row))[:kk]
+                sel = cols[order]
                 o_pid.extend([int(pids[lo + bi])] * len(order))
-                o_id.extend(ids[order].tolist())
+                o_id.extend(ids[sel].tolist())
                 o_adc.extend(row[order].tolist())
         return pd.DataFrame(
             {probe_id_col: o_pid, id_col: o_id, "adc_dist": o_adc}

@@ -263,3 +263,133 @@ SELECT probe_id, vec_id, round(dist, 6) AS dist, rank FROM (
 
 
 register("ann_join_topk", _ann_join_topk_query, _ann_join_oracle())
+
+
+# --- ANN tier guard (VERDICT r7 item 2) --------------------------------------
+# The r7 baseline MEASURED the 1-bit tier collapsing (0/10 recall) on
+# clustered unnormalized vectors but nothing enforced tier choice;
+# operators/tiering.py turns the measurement into a guard. This
+# registers the guard's report as a driver query with the recall
+# columns exact-oracled: both tier rankings, the exact ground truth,
+# the overlap counts and the chosen decision all replay in SQL.
+
+_TIER_K = 10
+_TIER_CAND = 50
+_TIER_PROBES = 8
+_TIER_FLOOR = 0.8
+
+
+def _ann_tier_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tiering import tier_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return tier_report(
+        emb, k=_TIER_K, candidates=_TIER_CAND, n_probes=_TIER_PROBES,
+        floor=_TIER_FLOOR, dim=DIM,
+    )
+
+
+def _ann_tier_oracle() -> str:
+    half = DIM // 2
+    denom = float(_TIER_PROBES * _TIER_K)
+
+    def pack(src: str, lo: int, hi: int) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range({lo}, {hi + 1}), "
+            f"i -> CASE WHEN CAST({src}[i] AS DOUBLE) > 0 "
+            f"THEN CAST(2**(i-{lo}) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+        )
+
+    dist = _dist_sql("e.embedding", "p.pv", "euclidean_sq")
+    recon = (
+        "(sl.lo[i] + (least(greatest(floor((CAST(e.embedding[i] AS DOUBLE)"
+        " - sl.lo[i]) / (sl.hi[i] - sl.lo[i]) * 255.0), 0), 255) + 0.5)"
+        " * (sl.hi[i] - sl.lo[i]) / 256.0)"
+    )
+    adist = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> ({recon} - CAST(p.pv[i] AS DOUBLE)) * "
+        f"({recon} - CAST(p.pv[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_TIER_PROBES}
+), dd AS (
+  SELECT t.i, CAST(t.x AS DOUBLE) AS x FROM embeddings,
+  LATERAL (SELECT unnest(embedding) AS x,
+                  unnest(range(0, len(embedding))) AS i) t
+), s AS (
+  SELECT i, min(x) AS lo, max(x) AS hi FROM dd GROUP BY i
+), sl AS (
+  SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM s
+), exact AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.probe_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY p.probe_id ORDER BY {dist}, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN probes p
+  ) WHERE rn <= {_TIER_K}
+), packed AS (
+  SELECT vec_id, embedding,
+         {pack('embedding', 1, half)} AS w0,
+         {pack('embedding', half + 1, DIM)} AS w1
+  FROM embeddings
+), ppacked AS (
+  SELECT probe_id, pv,
+         {pack('pv', 1, half)} AS pw0,
+         {pack('pv', half + 1, DIM)} AS pw1
+  FROM probes
+), hcand AS (
+  SELECT probe_id, vec_id, embedding, pv FROM (
+    SELECT p.probe_id, e.vec_id, e.embedding, p.pv,
+           row_number() OVER (PARTITION BY p.probe_id ORDER BY
+             CAST(bit_count(xor(e.w0, p.pw0))
+                  + bit_count(xor(e.w1, p.pw1)) AS BIGINT),
+             e.vec_id) AS rn
+    FROM packed e CROSS JOIN ppacked p
+  ) WHERE rn <= {_TIER_CAND}
+), ham AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT e.probe_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY e.probe_id
+             ORDER BY {_dist_sql('e.embedding', 'e.pv', 'euclidean_sq')},
+                      e.vec_id) AS rn
+    FROM hcand e
+  ) WHERE rn <= {_TIER_K}
+), scand AS (
+  SELECT probe_id, vec_id, embedding, pv FROM (
+    SELECT p.probe_id, e.vec_id, e.embedding, p.pv,
+           row_number() OVER (
+             PARTITION BY p.probe_id ORDER BY {adist}, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN probes p CROSS JOIN sl
+  ) WHERE rn <= {_TIER_CAND}
+), sq8 AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT e.probe_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY e.probe_id
+             ORDER BY {_dist_sql('e.embedding', 'e.pv', 'euclidean_sq')},
+                      e.vec_id) AS rn
+    FROM scand e
+  ) WHERE rn <= {_TIER_K}
+), rep AS (
+  SELECT 'hamming' AS tier, 0 AS pref, count(*) AS n_overlap,
+         round(count(*) / {denom}, 6) AS recall
+  FROM ham JOIN exact USING (probe_id, vec_id)
+  UNION ALL
+  SELECT 'sq8' AS tier, 1 AS pref, count(*) AS n_overlap,
+         round(count(*) / {denom}, 6) AS recall
+  FROM sq8 JOIN exact USING (probe_id, vec_id)
+), best AS (
+  SELECT min(pref) AS b FROM rep WHERE recall >= {_TIER_FLOOR}
+)
+SELECT tier, CAST(n_overlap AS BIGINT) AS n_overlap, recall,
+       coalesce(pref = b, false) AS chosen
+FROM rep CROSS JOIN best
+"""
+
+
+register("ann_tier_report", _ann_tier_report_query, _ann_tier_oracle())
