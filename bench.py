@@ -81,6 +81,58 @@ def main() -> None:
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+
+    # --- batched-serving regression gate (VERDICT r7 item 8): a small
+    # probe-count ladder through knn_join_bulk with DEFAULT routing, so
+    # a future change that re-materializes probe tables on the driver
+    # or mis-routes the futility fallback moves a recorded bench number
+    # instead of hiding until the next code-read. NOT part of the
+    # headline total (BASELINE.md comparability); reported under its
+    # own key with its own BASELINE.md band.
+    ladder = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from lightweight_vector_database_spark.plans.bulk_knn import (
+            knn_join_bulk,
+        )
+        from lightweight_vector_database_spark.suite.index_suite import (
+            _INDEX,
+            _indexed_snapshot,
+        )
+
+        assigned, stats = _indexed_snapshot(spark, sf_dir)
+        n_base = sum(stats.values())
+        for label, n_probes in (("bulk_1e2", 100), ("bulk_1e4", 10_000)):
+            reps = -(-n_probes // n_base)
+            rep_df = F.broadcast(
+                spark.range(reps).select(F.col("id").alias("rep"))
+            )
+            probes = (
+                assigned.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"),
+                )
+                .crossJoin(rep_df)
+                .select(
+                    (F.col("vec_id") * reps + F.col("rep")).alias("probe_id"),
+                    F.transform(
+                        "v",
+                        lambda x: x
+                        * (F.lit(1.0) + F.col("rep").cast("double") * F.lit(1e-4)),
+                    ).alias("probe_vec"),
+                )
+                .limit(n_probes)
+                .repartition(16)
+            )
+            t0 = time.perf_counter()
+            out = knn_join_bulk(assigned, _INDEX, probes, k=2, stats=stats)
+            out.write.format("noop").mode("overwrite").save()
+            ladder[label] = round(time.perf_counter() - t0, 3)
+            print(f"# probe_ladder {label}: {ladder[label]:.3f}s", file=sys.stderr)
+    except Exception as e:  # the gate must never break the bench line
+        print(f"# probe_ladder failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -88,6 +140,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "probe_ladder": ladder,
                 "sf": sf_val,
             }
         )

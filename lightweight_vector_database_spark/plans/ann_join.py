@@ -264,6 +264,8 @@ def ann_join_topk(
     def score(left, right):
         import pandas as pd
 
+        from ..operators.knn import adaptive_probe_chunk, matmul_tie_thresholds
+
         if not len(left) or not len(right):
             return pd.DataFrame({probe_id_col: [], id_col: [], "adc_dist": []})
         cell = int(left[cell_col].iloc[0])
@@ -272,26 +274,35 @@ def ann_join_topk(
         pids = left[probe_id_col].to_numpy()
         P_all = np.stack(left[probe_vec_col].to_numpy()).astype(np.float64)
         kk = min(keep, len(ids))
+        dim = cents.shape[1]
+        # ADC identity: sum_j ||r_j - b[j][code_j]||^2 is the squared
+        # euclidean distance between the probe residual and the DECODED
+        # vector concat_j b[j][code_j]. Decoding the group's codes ONCE
+        # (ncodes x dim gather, amortized over every probe) turns the
+        # scoring into one BLAS matmul per chunk — the per-(j, probe)
+        # table gather this replaced ran ~16x more memory traffic and
+        # measured 52-77s for 10^5 probes; the matmul form is the same
+        # candidate-selection-then-exact-recompute contract as
+        # knn_join_matmul: approximate D picks a TIE-SAFE superset
+        # (matmul_tie_thresholds), the kept rows get their adc
+        # recomputed with the left-fold LUT formula, so emitted values
+        # — and therefore the global candidate cut and the SQL oracle
+        # match — are bit-identical to the pure-fold path.
+        V = np.concatenate([books[j][C[:, j]] for j in range(m)], axis=1)
+        v_sq = (V**2).sum(axis=1)
         o_pid, o_id, o_adc = [], [], []
-        from ..operators.knn import adaptive_probe_chunk
-
         step = adaptive_probe_chunk(len(ids), probe_chunk)
         for lo in range(0, len(pids), step):
             P = P_all[lo : lo + step]
             R = P - cents[cell][None, :]
             lut = fold_residual_luts(R, books)
-            adc = np.zeros((len(P), len(ids)))
-            for j in range(m):  # left fold over subspaces, matches SQL
-                adc = adc + lut[:, j, :][:, C[:, j]]
-            # per-probe top-kk by (adc, id), vectorized: a full lexsort
-            # per probe measured ~3x the whole kernel at 10^6 probes.
-            # The kk-th value threshold keeps every row with adc <= it
-            # (ALL boundary ties included — adc is bit-deterministic,
-            # so no epsilon is needed), then only the ~kk survivors get
-            # the (adc, id) lexsort. Identical output to the full sort.
+            r_sq = (R**2).sum(axis=1)
+            D = r_sq[:, None] - 2.0 * (R @ V.T) + v_sq[None, :]
             if kk < len(ids):
-                thr = np.partition(adc, kk - 1, axis=1)[:, kk - 1]
-                mask = adc <= thr[:, None]
+                thr = matmul_tie_thresholds(
+                    D.T, kk, dim, float(v_sq.max()), r_sq
+                )
+                mask = D <= thr[:, None]
                 cols_i = np.nonzero(mask)[1]
                 splits = np.cumsum(mask.sum(axis=1))[:-1]
                 groups = np.split(cols_i, splits)
@@ -299,7 +310,11 @@ def ann_join_topk(
                 groups = [np.arange(len(ids))] * len(P)
             for bi in range(len(P)):
                 cols = groups[bi]
-                row = adc[bi, cols]
+                # exact left-fold adc for the surviving rows only
+                row = np.zeros(len(cols))
+                lj = lut[bi]
+                for j in range(m):
+                    row = row + lj[j][C[cols, j]]
                 order = np.lexsort((ids[cols], row))[:kk]
                 sel = cols[order]
                 o_pid.extend([int(pids[lo + bi])] * len(order))
