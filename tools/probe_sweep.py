@@ -130,6 +130,14 @@ def main() -> None:
     if "--json" in sys.argv:
         out_json = sys.argv[sys.argv.index("--json") + 1]
     dim = int(sys.argv[sys.argv.index("--dim") + 1]) if "--dim" in sys.argv else 64
+    # --max-probes caps the ladder: the big-base runs (10^6 rows) use
+    # it to stop at 10^5 — the exact paths there are O(|base|x|probes|)
+    # and a 10^6x10^6 point is hours of pure brute-force arithmetic
+    max_probes = (
+        int(sys.argv[sys.argv.index("--max-probes") + 1])
+        if "--max-probes" in sys.argv
+        else max(PROBE_COUNTS)
+    )
     spark = get_spark("probe-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -175,8 +183,8 @@ def main() -> None:
 
     ann_m = min(8, dim)
     ann_cells = 64
-    ann_nprobe = 8
-    ann_refine = 4
+    ann_nprobe = 4
+    ann_refine = 2
     cents, books = train_ivfpq(
         base, n_centroids=ann_cells, m=ann_m, ksub=256, iters=4,
         sample_rows=8192, sample_id_col="vec_id",
@@ -196,7 +204,7 @@ def main() -> None:
     }
 
     results = []
-    for n_probes in PROBE_COUNTS:
+    for n_probes in [p for p in PROBE_COUNTS if p <= max_probes]:
         probes = make_probes(base, n_probes, n_rows)
         paths = {}
         if n_probes <= BRUTE_MAX:
