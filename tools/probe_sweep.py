@@ -138,6 +138,14 @@ def main() -> None:
         if "--max-probes" in sys.argv
         else max(PROBE_COUNTS)
     )
+    # --paths bulk,ann : restrict to a path subset (big-base runs skip
+    # the O(|base|x|probes|) brute baselines that the 200k-base run
+    # already characterizes)
+    only_paths = (
+        set(sys.argv[sys.argv.index("--paths") + 1].split(","))
+        if "--paths" in sys.argv
+        else None
+    )
     spark = get_spark("probe-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -183,8 +191,21 @@ def main() -> None:
 
     ann_m = min(8, dim)
     ann_cells = 64
-    ann_nprobe = 4
-    ann_refine = 2
+    # recall knobs, overridable per run: bigger bases pack more true
+    # neighbors per Voronoi boundary, so a fixed nprobe loses recall as
+    # the corpus grows (measured: 0.9997 at 200k rows vs 0.913 at 1M
+    # rows with nprobe=4) — the production rule is to size nprobe to a
+    # recall target, which is what the tier guard measures
+    ann_nprobe = (
+        int(sys.argv[sys.argv.index("--ann-nprobe") + 1])
+        if "--ann-nprobe" in sys.argv
+        else 4
+    )
+    ann_refine = (
+        int(sys.argv[sys.argv.index("--ann-refine") + 1])
+        if "--ann-refine" in sys.argv
+        else 2
+    )
     cents, books = train_ivfpq(
         base, n_centroids=ann_cells, m=ann_m, ksub=256, iters=4,
         sample_rows=8192, sample_id_col="vec_id",
@@ -222,6 +243,8 @@ def main() -> None:
             codes, cents, books, p, raw=base, k=K,
             nprobe=ann_nprobe, refine=ann_refine, code_stats=code_stats,
         )
+        if only_paths is not None:
+            paths = {n: f for n, f in paths.items() if n in only_paths}
         exact_sample: dict | None = None
         for name, fn in paths.items():
             t0 = time.time()
