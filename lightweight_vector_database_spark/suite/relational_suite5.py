@@ -381,7 +381,14 @@ def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi+anti version executed the big join twice and self-joined the
     pair set twice (measured: 3.37s -> 2.96s at sf1, 7.55s -> 6.3s at
     sf3 — and the gap widens with data since the duplicated join
-    dominates as overheads amortize)."""
+    dominates as overheads amortize).
+
+    The per-order counts are WINDOW aggregates over the pair relation,
+    not a groupBy + self-join: the r8 sf10 point (60M lineitems)
+    exposed that referencing ``pairs`` twice recomputes the whole
+    join+agg chain — 53.3s at sf10; the window form computes pairs
+    once and adds a single l_orderkey exchange (measured 9.8s at
+    sf10, identical results/oracle)."""
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -400,13 +407,15 @@ def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late")
         )
     )
-    per_order = pairs.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
-    )
+    wo = Window.partitionBy("l_orderkey")
     waiting = (
-        pairs.filter(F.col("is_late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        pairs.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn("n_late", F.sum("is_late").over(wo))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
