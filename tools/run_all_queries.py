@@ -73,6 +73,17 @@ def main() -> None:
             msg = str(e).splitlines()[0][:200]
             results[name] = {"status": "ERR", "sec": round(dt, 3), "err": msg}
             print(f"ERR   {name}: {msg}")
+        # release per-query cached relations: 226 queries through ONE
+        # session otherwise accumulate storage memory until a later
+        # heavy hash-agg tips the heap (observed: containment_pairs
+        # OOM'd the r8 sweep at sf1 after 164 queries; r7's shorter
+        # registry squeaked by)
+        from lightweight_vector_database_spark.operators.dedup import (
+            unpersist_caches,
+        )
+
+        unpersist_caches()
+        spark.catalog.clearCache()
     total = time.time() - t_all
 
     ok = sum(1 for r in results.values() if r["status"] == "OK")
