@@ -137,11 +137,10 @@ def _ann_join_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_join_oracle() -> str | None:
-    """Replay the whole IVF-PQ batched search in DuckDB (see module
-    docstring). Every float sum is a 1-based-range list_sum fold or an
-    explicit 0.0 + t1 + ... chain — the same IEEE accumulation order
-    as the kernel's fold_sq_dists / fold_residual_luts loops."""
+def _aj_trained_np():
+    """(cents, books) retrained in numpy from the sf0.01 fixture via
+    the identical md5-ordered sample rule — None when the fixture is
+    absent (queries register rows-only)."""
     try:
         import duckdb
 
@@ -151,19 +150,29 @@ def _ann_join_oracle() -> str | None:
             f"ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_AJ_SAMPLE}"
         ).fetchall()
         con.close()
-    except Exception:  # fixture absent: rows-only
+    except Exception:
         return None
     if not rows:
         return None
     from ..operators.similarity import train_ivfpq_np
 
     sample = np.array([r[0] for r in rows], dtype=np.float64)
-    cents, books = train_ivfpq_np(
+    return train_ivfpq_np(
         sample, n_centroids=_AJ_CENTROIDS, m=_AJ_M, ksub=_AJ_KSUB,
         iters=_AJ_ITERS,
     )
+
+
+def _aj_replay_sql(
+    cents, books, probes_cte: str, k: int, nprobe: int, refine: int
+) -> str:
+    """The shared WITH-chain replaying ann_join_topk in DuckDB up to
+    the per-probe top-k CTE ``topk(probe_id, vec_id, dist, rank)``.
+    Every float sum is a 1-based-range list_sum fold or an explicit
+    0.0 + t1 + ... chain — the same IEEE accumulation order as the
+    kernel's fold_sq_dists / fold_residual_luts loops. Callers append
+    their own final SELECT over ``topk``."""
     m, ksub, dsub = books.shape
-    ncells = len(cents)
     # literals hoisted into a ONE-ROW consts CTE (cross-joined where
     # needed): inlining the ~80 KB codebook array inside per-row
     # lambdas makes DuckDB re-evaluate the list constructor per row —
@@ -200,13 +209,7 @@ def _ann_join_oracle() -> str | None:
     return f"""
 WITH consts AS (
   SELECT {cents_sql} AS cents, {books_all} AS bks
-), probes AS (
-  SELECT vec_id * {_AJ_REPS} + rep AS probe_id,
-         list_transform(embedding,
-             x -> CAST(x AS DOUBLE) *
-                  (CAST(1 AS DOUBLE) + CAST(rep AS DOUBLE) * CAST(0.001 AS DOUBLE))
-         ) AS probe_vec
-  FROM embeddings, range({_AJ_REPS}) t(rep) WHERE vec_id < {_AJ_SEEDS}
+), probes AS ({probes_cte}
 ), cdist AS (
   SELECT vec_id, embedding,
          list_transform(cents, c -> list_sum(list_transform({rng_dim},
@@ -237,8 +240,8 @@ WITH consts AS (
            row_number() OVER (
              PARTITION BY probe_id ORDER BY pd[u.i], u.i
            ) AS rn
-    FROM pdist, range(1, {ncells + 1}) u(i)
-  ), consts WHERE rn <= {_AJ_NPROBE}
+    FROM pdist, range(1, {len(cents) + 1}) u(i)
+  ), consts WHERE rn <= {min(nprobe, len(cents))}
 ), adc AS (
   SELECT p.probe_id, p.probe_vec, c.vec_id, ({adc}) AS adc_dist
   FROM pcells p JOIN coded c ON p.cellp = c.cellp, consts
@@ -249,16 +252,39 @@ WITH consts AS (
              PARTITION BY probe_id ORDER BY adc_dist, vec_id
            ) AS crank
     FROM adc
-  ) WHERE crank <= {keep}
+  ) WHERE crank <= {k * refine}
 ), refined AS (
   SELECT x.probe_id, x.vec_id, {exact} AS dist
   FROM cand x JOIN embeddings e ON e.vec_id = x.vec_id
-)
-SELECT probe_id, vec_id, round(dist, 6) AS dist, rank FROM (
-  SELECT probe_id, vec_id, dist,
-         row_number() OVER (PARTITION BY probe_id ORDER BY dist, vec_id) AS rank
-  FROM refined
-) WHERE rank <= {_AJ_K}
+), topk AS (
+  SELECT probe_id, vec_id, dist, rank FROM (
+    SELECT probe_id, vec_id, dist,
+           row_number() OVER (PARTITION BY probe_id ORDER BY dist, vec_id) AS rank
+    FROM refined
+  ) WHERE rank <= {k}
+)"""
+
+
+_AJ_PROBES_CTE = f"""
+  SELECT vec_id * {_AJ_REPS} + rep AS probe_id,
+         list_transform(embedding,
+             x -> CAST(x AS DOUBLE) *
+                  (CAST(1 AS DOUBLE) + CAST(rep AS DOUBLE) * CAST(0.001 AS DOUBLE))
+         ) AS probe_vec
+  FROM embeddings, range({_AJ_REPS}) t(rep) WHERE vec_id < {_AJ_SEEDS}"""
+
+
+def _ann_join_oracle() -> str | None:
+    trained = _aj_trained_np()
+    if trained is None:
+        return None
+    cents, books = trained
+    body = _aj_replay_sql(
+        cents, books, _AJ_PROBES_CTE, k=_AJ_K, nprobe=_AJ_NPROBE,
+        refine=_AJ_REFINE,
+    )
+    return body + """
+SELECT probe_id, vec_id, round(dist, 6) AS dist, rank FROM topk
 """
 
 
@@ -509,3 +535,76 @@ FROM new_d CROSS JOIN thr
 register(
     "ann_ivf_staleness", _ann_ivf_staleness_query, _ann_ivf_staleness_oracle()
 )
+
+
+# --- semantic dedup through the ANN tier --------------------------------------
+# The flagship 100 TB dedup shape: the corpus probes ITSELF through
+# the IVF-PQ index — each row retrieves its k approximate nearest
+# neighbors and pairs within the distance threshold are emitted, so
+# the work is |corpus| x (nprobe/ncells x |codes| ADC + k*refine exact
+# distances) instead of the within-cell quadratic self-join the exact
+# baseline (`dedup_semantic_pairs`) runs. Approximate in the standard
+# SemDeDup sense (pairs beyond each row's k-NN or outside its probed
+# cells are missed — recall vs the brute within-threshold pair set is
+# pytest-pinned in tests/test_ann_join.py); DETERMINISTIC, so the
+# oracle replays the entire pipeline exactly. Pair symmetry: squared
+# euclidean is direction-exact ((x-y)^2 == (y-x)^2 in IEEE), so the
+# (least, greatest) projection + DISTINCT collapses both directions of
+# every pair to one row on both engines.
+
+_SD_K = 8
+_SD_NPROBE = 4
+_SD_REFINE = 4
+_SD_TAU = 1.35
+
+
+def _dedup_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ann_join import ann_join_topk
+
+    cents, books = _aj_model(spark, sf_dir)
+    codes = _aj_codes(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("probe_vec"),
+    )
+    nn = ann_join_topk(
+        codes, cents, books, probes, raw=emb,
+        k=_SD_K, nprobe=_SD_NPROBE, refine=_SD_REFINE,
+    )
+    return (
+        nn.filter(
+            (F.col("vec_id") != F.col("probe_id"))
+            & (F.col("dist") <= F.lit(_SD_TAU))
+        )
+        .select(
+            F.least("probe_id", "vec_id").alias("id1"),
+            F.greatest("probe_id", "vec_id").alias("id2"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .distinct()
+    )
+
+
+def _dedup_semantic_ann_oracle() -> str | None:
+    trained = _aj_trained_np()
+    if trained is None:
+        return None
+    cents, books = trained
+    probes_cte = """
+  SELECT vec_id AS probe_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS probe_vec
+  FROM embeddings"""
+    body = _aj_replay_sql(
+        cents, books, probes_cte, k=_SD_K, nprobe=_SD_NPROBE,
+        refine=_SD_REFINE,
+    )
+    return body + f"""
+SELECT DISTINCT least(probe_id, vec_id) AS id1,
+       greatest(probe_id, vec_id) AS id2,
+       round(dist, 6) AS dist
+FROM topk WHERE vec_id != probe_id AND dist <= {_SD_TAU}
+"""
+
+
+register("dedup_semantic_ann", _dedup_semantic_ann, _dedup_semantic_ann_oracle())

@@ -181,3 +181,37 @@ def test_nprobe_exceeding_cells_clamps(spark, model, probes):
     assert [r["rank"] for r in sorted(out, key=lambda r: r.dist)] == [1, 2, 3]
     # probe 0 is vec 0 scaled by 1.0 — its own vector must be rank 1
     assert out[0].vec_id == 0 or any(r.vec_id == 0 for r in out)
+
+
+def test_semantic_ann_pairs_recall_vs_brute(spark):
+    """dedup_semantic_ann (the corpus probing itself through the
+    IVF-PQ tier) must recover >= 0.9 of the TRUE within-threshold pair
+    set at sf0.01 — the SemDeDup-shaped contract: deterministic,
+    exact-oracled, approximate only in k/nprobe coverage."""
+    from lightweight_vector_database_spark.suite.pipeline_suite11 import (
+        _SD_TAU,
+        _dedup_semantic_ann,
+    )
+
+    got = {
+        (r.id1, r.id2) for r in _dedup_semantic_ann(spark, SF001).collect()
+    }
+    emb = load_table(spark, SF001, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb"))
+    from lightweight_vector_database_spark.functions.distance import (
+        euclidean_sq,
+    )
+
+    want = {
+        (r.id1, r.id2)
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("d", euclidean_sq(F.col("va"), F.col("vb")))
+        .filter(F.col("d") <= _SD_TAU)
+        .select("id1", "id2")
+        .collect()
+    }
+    assert want, "threshold too tight: empty ground truth"
+    assert got <= want  # every emitted pair is a true pair (exact refine)
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"pair recall {recall:.3f} < 0.9 ({len(want)} true)"
