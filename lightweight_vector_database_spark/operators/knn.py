@@ -343,9 +343,17 @@ def knn_join_matmul(
                             else np.arange(len(ids))
                         )
                         exact = ((M[rows] - P[bi][None, :]) ** 2).sum(axis=1)
-                        out_pid.extend([pids[bi]] * len(rows))
-                        out_id.extend(ids[rows].tolist())
-                        out_dist.extend(exact.tolist())
+                        # truncate the tie-widened set back to kk by
+                        # (exact, id) — same contract as knn_join_blocks
+                        # / knn_join_bulk. Without this, duplicate-heavy
+                        # corpora emit every boundary-tied row (ADVICE
+                        # r8: thousands per probe per batch), breaking
+                        # the "map output is k*B rows" invariant the
+                        # final window's input size relies on.
+                        order = np.lexsort((ids[rows], exact))[:kk]
+                        out_pid.extend([pids[bi]] * len(order))
+                        out_id.extend(ids[rows[order]].tolist())
+                        out_dist.extend(exact[order].tolist())
                     yield pd.DataFrame(
                         {probe_id_col: out_pid, id_col: out_id, "dist": out_dist}
                     )

@@ -225,8 +225,20 @@ def knn_join_bulk(
                 )
                 out_pid, out_vec, out_cell, out_salt, out_ub = [], [], [], [], []
 
-    cand = probes.select(probe_id_col, probe_vec_col).mapInPandas(
-        derive, cand_schema
+    # Persisted (spill-to-disk) because two jobs consume it — the
+    # cand_counts collect and the final scored pipeline; without the
+    # persist the full probe-table bound-derivation pass ran twice per
+    # job (VERDICT r8 item 4). Freed lazily via the shared dedup cache
+    # registry (operators/dedup.unpersist_caches) or eagerly on the
+    # early-return fallbacks below.
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import _register_cache
+
+    cand = _register_cache(
+        probes.select(probe_id_col, probe_vec_col)
+        .mapInPandas(derive, cand_schema)
+        .persist(StorageLevel.DISK_ONLY)
     )
 
     # ---- 2. base pruning + two-dimensional salting ---------------------
@@ -265,6 +277,7 @@ def knn_join_bulk(
     if not cand_counts:
         # no candidates (empty probe table): answer everything by the
         # exact brute join (itself empty for empty probes)
+        cand.unpersist()
         return knn_join(probes, assigned, k, metric=metric,
                         probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
                         vec_col=vec_col, id_col=id_col, strategy="partial",
@@ -284,6 +297,7 @@ def knn_join_bulk(
     if n_probes and total_cand >= futility_ratio * n_probes * len(cells):
         from ..operators.knn import knn_join_blocks
 
+        cand.unpersist()
         return knn_join_blocks(
             probes, assigned, k, metric=metric, probe_id_col=probe_id_col,
             probe_vec_col=probe_vec_col, vec_col=vec_col, id_col=id_col,

@@ -272,8 +272,22 @@ GROUP BY a.cell
 
 _SEM_PAIRS_ORACLE, _SEM_DROP_ORACLE = _build_semantic_oracles()
 
-register("dedup_semantic_pairs", _semantic_pairs, _SEM_PAIRS_ORACLE)
-register("dedup_semantic_drop", _semantic_drop, _SEM_DROP_ORACLE)
+# Both flagged quadratic since r9: they are the within-cluster exact
+# pair self-joins (operators/semantic.py) whose registered scale twin
+# is dedup_semantic_ann (the corpus probing itself through the IVF-PQ
+# tier, pipeline_suite11) — at sf3 the pair enumeration alone ran
+# 2120s + 1015s of the sweep (VERDICT r8), which is exactly the cost
+# the ANN twin exists to remove.
+register(
+    "dedup_semantic_pairs", _semantic_pairs, _SEM_PAIRS_ORACLE,
+    quadratic_baseline="within-cluster exact pairs "
+    "(oracle anchor for dedup_semantic_ann)",
+)
+register(
+    "dedup_semantic_drop", _semantic_drop, _SEM_DROP_ORACLE,
+    quadratic_baseline="within-cluster exact pair scan "
+    "(oracle anchor for dedup_semantic_ann)",
+)
 
 
 _SEM_CAP = 64  # sf0.01 clusters span 52-73 rows: the cap BITES partially

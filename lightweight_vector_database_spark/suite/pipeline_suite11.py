@@ -71,7 +71,10 @@ def _aj_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivfpq_encode
 
     cents, books = _aj_model(spark, sf_dir)
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a CPython id can alias a NEW
+    # session after the old one is garbage-collected, serving a
+    # DataFrame bound to a stopped SparkContext (ADVICE r8)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _AJ_SNAP:
         root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".index_snapshots")
@@ -93,6 +96,16 @@ def _aj_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.rename(tmp, path)
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)
+                # the rename losing the race to a CONCURRENT build is
+                # fine (a complete snapshot sits at path) — but a stale
+                # PARTIAL directory at path would block the rename and
+                # then be read as the snapshot (ADVICE r8): verify
+                if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                    raise RuntimeError(
+                        f"incomplete codes snapshot at {path}: rename "
+                        "failed and no _SUCCESS marker; remove the "
+                        "stale directory and rebuild"
+                    )
         _AJ_SNAP[key] = spark.read.parquet(path).withColumn(
             "cell", F.col("cell").cast("int")
         )

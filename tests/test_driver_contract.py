@@ -86,6 +86,8 @@ def test_quadratic_baselines_flagged_in_registry():
         "dedup_connected_clusters",
         "embedding_srp_pairs",
         "dedup_lsh_quality",
+        "dedup_semantic_pairs",
+        "dedup_semantic_drop",
     ):
         assert name in QUADRATIC and QUADRATIC[name], name
 
@@ -100,4 +102,20 @@ def test_quadratic_baselines_flagged_in_registry():
                 f"{name} is an unflagged pairs query that did not "
                 f"complete the sf1 sweep ({status}) — flag it with "
                 "quadratic_baseline or fix its scale path"
+            )
+        # VERDICT r8 item 2: "completed sf1" is not enough — a
+        # quadratic anchor can complete sf1 slowly and still dominate
+        # every sf>=3 sweep (dedup_semantic_pairs: 205.8s at sf1,
+        # 2120.3s at sf3). Any query whose RECORDED sf1 wall exceeds
+        # the budget must be flagged quadratic (and thereby name its
+        # registered scale twin) so bigger sweeps skip it.
+        sf1_budget_sec = 100.0
+        for name, rec in recorded.items():
+            if name in QUADRATIC or name not in QUERIES:
+                continue
+            sec = rec.get("sec")
+            assert sec is None or sec <= sf1_budget_sec, (
+                f"{name} took {sec}s at sf1 (> {sf1_budget_sec}s) and "
+                "is not flagged quadratic_baseline — flag it (naming "
+                "its scale twin) or fix its plan"
             )
