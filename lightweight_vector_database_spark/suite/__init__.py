@@ -75,3 +75,4 @@ from . import pipeline_suite8  # noqa: E402,F401
 from . import pipeline_suite9  # noqa: E402,F401
 from . import pipeline_suite10  # noqa: E402,F401
 from . import pipeline_suite11  # noqa: E402,F401
+from . import pipeline_suite12  # noqa: E402,F401

@@ -21,6 +21,8 @@ EXACT value-hash oracle (the approximation is deterministic).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,15 +61,48 @@ def _aj_model(spark: SparkSession, sf_dir: str):
     return _AJ_MEMO[sf_dir]
 
 
-def _aj_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-partitioned IVF-PQ code snapshot (the index BUILD, run once
-    per sf_dir — same build-once-serve-many layout as the
-    ann_ivfpq_refined snapshot: one parquet directory per cell, so the
-    candidate-cell join prunes files)."""
+def _write_cell_snapshot(spark: SparkSession, name: str, build) -> DataFrame:
+    """Build-once cell-partitioned parquet snapshot under
+    ``.index_snapshots/<name>`` (the build-once-serve-many layout: one
+    parquet directory per cell, so candidate-cell joins prune files).
+    ``build()`` returns the DataFrame to write (must carry ``cell``).
+    Concurrent builders race on an atomic directory rename; a loser
+    whose rename fails verifies the winner's _SUCCESS marker before
+    serving the directory (a stale PARTIAL dir must never be read as a
+    snapshot — ADVICE r8)."""
     import os
     import shutil
     import tempfile
 
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".index_snapshots")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = tempfile.mkdtemp(dir=root, prefix=name + ".tmp")
+        build().repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise RuntimeError(
+                    f"incomplete codes snapshot at {path}: rename "
+                    "failed and no _SUCCESS marker; remove the stale "
+                    "directory and rebuild"
+                )
+    return spark.read.parquet(path).withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+
+
+def _aj_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-partitioned IVF-PQ code snapshot (the index BUILD, run once
+    per sf_dir). v2 carries ``label`` so metadata predicates
+    (ann_join_filtered) push into the pruned parquet scan —
+    filter-then-retrieve at the code tier."""
     from ..operators.similarity import ivfpq_encode
 
     cents, books = _aj_model(spark, sf_dir)
@@ -76,38 +111,15 @@ def _aj_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame bound to a stopped SparkContext (ADVICE r8)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _AJ_SNAP:
-        root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".index_snapshots")
-        os.makedirs(root, exist_ok=True)
         name = (
             f"annjoin_{os.path.basename(sf_dir.rstrip('/'))}"
-            f"_c{_AJ_CENTROIDS}m{_AJ_M}k{_AJ_KSUB}_v1"
+            f"_c{_AJ_CENTROIDS}m{_AJ_M}k{_AJ_KSUB}_v2"
         )
-        path = os.path.join(root, name)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            emb = load_table(spark, sf_dir, "embeddings")
-            tmp = tempfile.mkdtemp(dir=root, prefix=name + ".tmp")
-            ivfpq_encode(emb, cents, books).select(
-                "vec_id", "cell", "pq_code"
-            ).repartition("cell").write.mode("overwrite").partitionBy(
-                "cell"
-            ).parquet(tmp)
-            try:
-                os.rename(tmp, path)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
-                # the rename losing the race to a CONCURRENT build is
-                # fine (a complete snapshot sits at path) — but a stale
-                # PARTIAL directory at path would block the rename and
-                # then be read as the snapshot (ADVICE r8): verify
-                if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                    raise RuntimeError(
-                        f"incomplete codes snapshot at {path}: rename "
-                        "failed and no _SUCCESS marker; remove the "
-                        "stale directory and rebuild"
-                    )
-        _AJ_SNAP[key] = spark.read.parquet(path).withColumn(
-            "cell", F.col("cell").cast("int")
+        _AJ_SNAP[key] = _write_cell_snapshot(
+            spark, name,
+            lambda: ivfpq_encode(
+                load_table(spark, sf_dir, "embeddings"), cents, books
+            ).select("vec_id", "label", "cell", "pq_code"),
         )
     return _AJ_SNAP[key]
 
@@ -177,14 +189,32 @@ def _aj_trained_np():
 
 
 def _aj_replay_sql(
-    cents, books, probes_cte: str, k: int, nprobe: int, refine: int
+    cents,
+    books,
+    probes_cte: str,
+    k: int,
+    nprobe: int,
+    refine: int,
+    base_where: str | None = None,
+    norm: bool = False,
+    exact_metric: str = "euclidean_sq",
 ) -> str:
     """The shared WITH-chain replaying ann_join_topk in DuckDB up to
     the per-probe top-k CTE ``topk(probe_id, vec_id, dist, rank)``.
     Every float sum is a 1-based-range list_sum fold or an explicit
     0.0 + t1 + ... chain — the same IEEE accumulation order as the
     kernel's fold_sq_dists / fold_residual_luts loops. Callers append
-    their own final SELECT over ``topk``."""
+    their own final SELECT over ``topk``.
+
+    ``base_where``: SQL predicate over embeddings (vec_id, label, ...)
+    replaying ``ann_join_topk(pred=...)``'s filter-then-retrieve —
+    filtering commutes with per-row encoding, so filtering the base
+    before the encode CTE equals filtering the codes snapshot.
+    ``norm``: replay ``metric='cosine'`` — base and probe vectors are
+    L2-normalized (x / sqrt(left-fold norm), the exact arithmetic of
+    the kernel's fold_norms and Spark's x / l2_norm) for assignment +
+    ADC, while the exact re-rank scores ``exact_metric`` on the RAW
+    vectors."""
     m, ksub, dsub = books.shape
     # literals hoisted into a ONE-ROW consts CTE (cross-joined where
     # needed): inlining the ~80 KB codebook array inside per-row
@@ -194,7 +224,37 @@ def _aj_replay_sql(
     cents_sql = _dlst2(cents.tolist())
     books_all = "[" + ",".join(_dlst2(books[j].tolist()) for j in range(m)) + "]"
     rng_dim = f"range(1, {DIM + 1})"
-    keep = _AJ_K * _AJ_REFINE
+    where = f" WHERE {base_where}" if base_where else ""
+
+    # encoded-space vectors: raw doubles, or L2-normalized doubles
+    if norm:
+        base_cte = f"""base AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(nn)) AS bv
+  FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           list_sum(list_transform({rng_dim},
+               i -> CAST(embedding[i] AS DOUBLE) *
+                    CAST(embedding[i] AS DOUBLE))) AS nn
+    FROM embeddings{where}
+  )
+)"""
+        pwork_cte = f"""pwork AS (
+  SELECT probe_id, probe_vec, list_transform(probe_vec, x -> x / sqrt(pn)) AS wv
+  FROM (
+    SELECT probe_id, probe_vec,
+           list_sum(list_transform({rng_dim},
+               i -> probe_vec[i] * probe_vec[i])) AS pn
+    FROM probes
+  )
+)"""
+    else:
+        base_cte = f"""base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv
+  FROM embeddings{where}
+)"""
+        pwork_cte = """pwork AS (
+  SELECT probe_id, probe_vec, probe_vec AS wv FROM probes
+)"""
 
     # residual code per subspace (same argmin construction as the
     # ann_ivfpq_refined oracle, index_suite._build_pq_oracle_sqls, but
@@ -218,38 +278,51 @@ def _aj_replay_sql(
         )
 
     adc = "0.0 + " + " + ".join(adc_term(j) for j in range(m))
-    exact = _dist_sql("e.embedding", "x.probe_vec", "euclidean_sq")
+    if exact_metric == "cosine":
+        dot = (
+            f"list_sum(list_transform({rng_dim}, i -> "
+            "CAST(e.embedding[i] AS DOUBLE) * x.probe_vec[i]))"
+        )
+        na = (
+            f"list_sum(list_transform({rng_dim}, i -> "
+            "CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+        )
+        nb = (
+            f"list_sum(list_transform({rng_dim}, i -> "
+            "x.probe_vec[i] * x.probe_vec[i]))"
+        )
+        exact = f"CAST(1.0 AS DOUBLE) - ({dot}) / (sqrt({na}) * sqrt({nb}))"
+    else:
+        exact = _dist_sql("e.embedding", "x.probe_vec", exact_metric)
     return f"""
 WITH consts AS (
   SELECT {cents_sql} AS cents, {books_all} AS bks
 ), probes AS ({probes_cte}
-), cdist AS (
-  SELECT vec_id, embedding,
+), {base_cte}, {pwork_cte}, cdist AS (
+  SELECT vec_id, bv,
          list_transform(cents, c -> list_sum(list_transform({rng_dim},
-             i -> (CAST(embedding[i] AS DOUBLE) - c[i]) *
-                  (CAST(embedding[i] AS DOUBLE) - c[i])))) AS cd
-  FROM embeddings, consts
+             i -> (bv[i] - c[i]) * (bv[i] - c[i])))) AS cd
+  FROM base, consts
 ), assigned AS (
   SELECT vec_id, list_position(cd, list_min(cd)) AS cellp,
          list_transform({rng_dim},
-             i -> CAST(embedding[i] AS DOUBLE)
-                  - cents[list_position(cd, list_min(cd))][i]) AS rv
+             i -> bv[i] - cents[list_position(cd, list_min(cd))][i]) AS rv
   FROM cdist, consts
 ), coded AS (
   SELECT vec_id, cellp,
          {", ".join(f"{code(j)} AS c{j}" for j in range(m))}
   FROM assigned, consts
 ), pdist AS (
-  SELECT probe_id, probe_vec,
+  SELECT probe_id, probe_vec, wv,
          list_transform(cents, c -> list_sum(list_transform({rng_dim},
-             i -> (probe_vec[i] - c[i]) * (probe_vec[i] - c[i])))) AS pd
-  FROM probes, consts
+             i -> (wv[i] - c[i]) * (wv[i] - c[i])))) AS pd
+  FROM pwork, consts
 ), pcells AS (
   SELECT probe_id, probe_vec, cellp,
          list_transform({rng_dim},
-             i -> probe_vec[i] - cents[cellp][i]) AS prv
+             i -> wv[i] - cents[cellp][i]) AS prv
   FROM (
-    SELECT probe_id, probe_vec, u.i AS cellp,
+    SELECT probe_id, probe_vec, wv, u.i AS cellp,
            row_number() OVER (
              PARTITION BY probe_id ORDER BY pd[u.i], u.i
            ) AS rn

@@ -1,0 +1,235 @@
+"""Training-pipeline queries, twelfth batch (round 9): FILTERED and
+COSINE batched ANN retrieval (VERDICT r8 item 1 — the last capability
+seam in the serving story).
+
+* ``ann_join_filtered`` — the batched IVF-PQ join under a metadata
+  predicate, filter-THEN-retrieve: the predicate is applied to the
+  (label-carrying) codes snapshot before the candidate-cell join, so
+  the ADC and the candidate cut see qualifying rows only and recall
+  does not collapse with selectivity the way post-filtering k results
+  would. This is the everyday contrastive-training query (mine hard
+  negatives WITHIN a label/source) at probe-table scale; the single-
+  probe tier has had it since r7 (``ann_ivf_filtered``). Reference
+  contract being scaled: metadata filter per kNN call
+  (kd_tree_database.py:285-304 filter-before-topk).
+* ``ann_join_cosine`` — the batched IVF-PQ join under the cosine
+  contract: model + codes are trained/encoded on L2-NORMALIZED
+  vectors (on unit vectors squared euclidean = 2 x cosine distance,
+  the same equivalence as plans/bulk_knn.knn_join_bulk_cosine), probes
+  normalize inside the assignment kernel, and the exact re-rank scores
+  TRUE cosine on the raw vectors. Reference contract being scaled:
+  pluggable metric per kNN call (database.py:31-48).
+
+Both oracles replay the ENTIRE approximate pipeline in DuckDB SQL via
+the shared ``_aj_replay_sql`` chain (pipeline_suite11): codebooks are
+retrained in numpy from the identical md5-ordered sample, every float
+accumulation is a left fold, the predicate filters the encode CTE
+(filtering commutes with per-row encoding), and the cosine replay
+normalizes with the exact x / sqrt(left-fold-norm) arithmetic of the
+kernel — so both APPROXIMATE operators get EXACT value-hash oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.distance import l2_norm
+from ..sources import load_table
+from . import register
+from .index_suite import _ORACLE_SF_DIR
+from .pipeline_suite11 import (
+    _AJ_CENTROIDS,
+    _AJ_ITERS,
+    _AJ_KSUB,
+    _AJ_M,
+    _AJ_PROBES_CTE,
+    _AJ_SAMPLE,
+    _aj_codes,
+    _aj_model,
+    _aj_probes,
+    _aj_replay_sql,
+    _aj_trained_np,
+    _write_cell_snapshot,
+)
+
+import os
+
+_AJF_K = 10
+_AJF_NPROBE = 8
+_AJF_REFINE = 16
+_AJF_PRED = "label < 5"  # ~0.5 selectivity on the 10-label fixture
+
+# cosine working point: same as the euclidean tier's. On this fixture
+# geometry (500 normalized rows, 8 cells, ksub=64) the measured recall
+# frontier is 0.7645 at (4, 8), 0.9295 at (8, 8), 0.9885 at (8, 16) —
+# cell miss dominates in the normalized space, so nprobe carries the
+# recall here (unlike the euclidean fixture where ADC ties did)
+_AJC_K = 10
+_AJC_NPROBE = 8
+_AJC_REFINE = 16
+
+_AJN_MEMO: dict[str, tuple] = {}
+_AJN_SNAP: dict[tuple, DataFrame] = {}
+
+
+# --- filtered batched ANN ------------------------------------------------------
+
+
+def _ann_join_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ann_join import ann_join_topk
+
+    cents, books = _aj_model(spark, sf_dir)
+    codes = _aj_codes(spark, sf_dir)  # v2: carries label
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_join_topk(
+        codes, cents, books, _aj_probes(spark, sf_dir), raw=emb,
+        k=_AJF_K, nprobe=_AJF_NPROBE, refine=_AJF_REFINE,
+        pred=F.expr(_AJF_PRED),
+    )
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round(F.col("dist"), 6).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ann_join_filtered_oracle() -> str | None:
+    trained = _aj_trained_np()
+    if trained is None:
+        return None
+    cents, books = trained
+    body = _aj_replay_sql(
+        cents, books, _AJ_PROBES_CTE, k=_AJF_K, nprobe=_AJF_NPROBE,
+        refine=_AJF_REFINE, base_where=_AJF_PRED,
+    )
+    return body + """
+SELECT probe_id, vec_id, round(dist, 6) AS dist, rank FROM topk
+"""
+
+
+register(
+    "ann_join_filtered", _ann_join_filtered_query, _ann_join_filtered_oracle()
+)
+
+
+# --- cosine batched ANN --------------------------------------------------------
+
+
+def _norm_emb(emb: DataFrame) -> DataFrame:
+    """L2-normalized copy of the embeddings table: x / sqrt(left-fold
+    norm), the exact arithmetic the kernel's fold_norms and the oracle
+    replay use, so the training sample / encoded cells match both."""
+    v = F.col("embedding").cast("array<double>")
+    n = l2_norm("embedding")
+    return emb.select(
+        "vec_id", F.transform(v, lambda x: x / n).alias("embedding")
+    )
+
+
+def _ajn_model(spark: SparkSession, sf_dir: str):
+    """IVF-PQ model trained on the NORMALIZED corpus (same sample rule
+    and hyperparameters as the euclidean model)."""
+    from ..operators.similarity import train_ivfpq
+
+    if sf_dir not in _AJN_MEMO:
+        emb = _norm_emb(load_table(spark, sf_dir, "embeddings"))
+        _AJN_MEMO[sf_dir] = train_ivfpq(
+            emb, n_centroids=_AJ_CENTROIDS, m=_AJ_M, ksub=_AJ_KSUB,
+            iters=_AJ_ITERS, sample_rows=_AJ_SAMPLE, sample_id_col="vec_id",
+        )
+    return _AJN_MEMO[sf_dir]
+
+
+def _ajn_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-partitioned codes snapshot over the NORMALIZED vectors —
+    the cosine tier's index build."""
+    from ..operators.similarity import ivfpq_encode
+
+    cents, books = _ajn_model(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AJN_SNAP:
+        name = (
+            f"annjoin_cos_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_c{_AJ_CENTROIDS}m{_AJ_M}k{_AJ_KSUB}_v1"
+        )
+        _AJN_SNAP[key] = _write_cell_snapshot(
+            spark, name,
+            lambda: ivfpq_encode(
+                _norm_emb(load_table(spark, sf_dir, "embeddings")),
+                cents, books,
+            ).select("vec_id", "cell", "pq_code"),
+        )
+    return _AJN_SNAP[key]
+
+
+def _ann_join_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ann_join import ann_join_topk
+
+    cents, books = _ajn_model(spark, sf_dir)
+    codes = _ajn_codes(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_join_topk(
+        codes, cents, books, _aj_probes(spark, sf_dir), raw=emb,
+        k=_AJC_K, nprobe=_AJC_NPROBE, refine=_AJC_REFINE,
+        metric="cosine",
+    )
+    # + 0.0 canonicalizes negative zero: 1 - cos of a vector against
+    # its own scaled copy lands at ~-1e-16, which rounds to -0.0 in
+    # DuckDB but 0.0 in Spark (Spark's ROUND normalizes the zero sign,
+    # DuckDB's keeps it); x + 0.0 == x for every other value
+    return out.select(
+        "probe_id",
+        "vec_id",
+        (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ajn_trained_np():
+    """(cents, books) of the cosine tier retrained in numpy: the
+    identical md5-ordered sample, L2-normalized with the left-fold
+    norm (bit-identical to the Spark _norm_emb expression), then the
+    shared trainer."""
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM '{_ORACLE_SF_DIR}/embeddings.parquet' "
+            f"ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_AJ_SAMPLE}"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    from ..operators.similarity import train_ivfpq_np
+    from ..plans.ann_join import fold_norms
+
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    sample = sample / np.sqrt(fold_norms(sample))[:, None]
+    return train_ivfpq_np(
+        sample, n_centroids=_AJ_CENTROIDS, m=_AJ_M, ksub=_AJ_KSUB,
+        iters=_AJ_ITERS,
+    )
+
+
+def _ann_join_cosine_oracle() -> str | None:
+    trained = _ajn_trained_np()
+    if trained is None:
+        return None
+    cents, books = trained
+    body = _aj_replay_sql(
+        cents, books, _AJ_PROBES_CTE, k=_AJC_K, nprobe=_AJC_NPROBE,
+        refine=_AJC_REFINE, norm=True, exact_metric="cosine",
+    )
+    return body + """
+SELECT probe_id, vec_id, round(dist, 6) + 0.0 AS dist, rank FROM topk
+"""
+
+
+register("ann_join_cosine", _ann_join_cosine_query, _ann_join_cosine_oracle())
