@@ -133,6 +133,64 @@ def main() -> None:
     except Exception as e:  # the gate must never break the bench line
         print(f"# probe_ladder failed: {e}", file=sys.stderr)
 
+    # --- ANN-tier regression gate (VERDICT r8 item 6): ann_join_topk at
+    # 10^4 probes over the fixed suite model snapshot, so an ANN
+    # routing/kernel regression moves a recorded number the way bulk
+    # regressions do. Snapshot build + model training happen OUTSIDE the
+    # timed window (they are deploy-time artifacts).
+    try:
+        from pyspark.sql import functions as F
+
+        from lightweight_vector_database_spark.operators.dedup import (
+            unpersist_caches,
+        )
+        from lightweight_vector_database_spark.plans.ann_join import (
+            ann_join_topk,
+        )
+        from lightweight_vector_database_spark.sources import load_table
+        from lightweight_vector_database_spark.suite.pipeline_suite11 import (
+            _AJ_NPROBE,
+            _AJ_REFINE,
+            _aj_codes,
+            _aj_model,
+        )
+
+        cents, books = _aj_model(spark, sf_dir)
+        codes = _aj_codes(spark, sf_dir)
+        codes.count()  # snapshot built/read before the clock starts
+        emb = load_table(spark, sf_dir, "embeddings")
+        n_base = emb.count()
+        n_probes = 10_000
+        reps = -(-n_probes // n_base)
+        rep_df = F.broadcast(spark.range(reps).select(F.col("id").alias("rep")))
+        probes = (
+            emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+            .crossJoin(rep_df)
+            .select(
+                (F.col("vec_id") * reps + F.col("rep")).alias("probe_id"),
+                F.transform(
+                    "v",
+                    lambda x: x
+                    * (F.lit(1.0) + F.col("rep").cast("double") * F.lit(1e-4)),
+                ).alias("probe_vec"),
+            )
+            .limit(n_probes)
+            .repartition(16)
+        )
+        t0 = time.perf_counter()
+        out = ann_join_topk(
+            codes, cents, books, probes, raw=emb, k=2,
+            nprobe=_AJ_NPROBE, refine=_AJ_REFINE,
+        )
+        out.write.format("noop").mode("overwrite").save()
+        ladder["ann_1e4"] = round(time.perf_counter() - t0, 3)
+        unpersist_caches()
+        print(f"# probe_ladder ann_1e4: {ladder['ann_1e4']:.3f}s", file=sys.stderr)
+    except Exception as e:
+        print(f"# ann ladder failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {

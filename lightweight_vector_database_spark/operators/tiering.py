@@ -41,8 +41,13 @@ from .knn import knn
 from .retrieval import hamming_rerank, sq8_rerank, sq8_train
 
 # preference order: cheapest candidate scan first (packed words are
-# 16x smaller than float32 vectors; SQ8 codes 4x)
-TIER_PREFERENCE = ("hamming", "sq8")
+# 16x smaller than float32 vectors; SQ8 codes 4x). The IVF-PQ tier
+# (32x-smaller codes, cell-pruned scans) arbitrates LAST despite its
+# cheap serving scan because it is the only tier that needs a trained
+# model: when a cheaper model-free tier clears the floor, prefer it.
+# It is evaluated only when the caller supplies the model (VERDICT r8
+# item 5 — tier arbitration must cover every serving path).
+TIER_PREFERENCE = ("hamming", "sq8", "ivfpq")
 
 
 def seeded_probe_rows(
@@ -74,9 +79,14 @@ def _topk_union(
     vec_col: str,
     id_col: str,
     dim: int,
+    ivfpq: tuple | None = None,
 ) -> DataFrame:
     """(probe_id, vec_id) of each probe's top-k under ``tier`` — one
-    lazy union of per-probe TakeOrdered subplans (a single job)."""
+    lazy union of per-probe TakeOrdered subplans (a single job).
+    ``ivfpq`` = (encoded codes DataFrame, centroids, codebooks,
+    nprobe) for the ivfpq tier."""
+    from .similarity import ivfpq_search
+
     parts = []
     for pid, vec in probes:
         if tier == "exact":
@@ -90,6 +100,13 @@ def _topk_union(
             top = sq8_rerank(
                 df, vec, k, candidates, lo, hi, vec_col=vec_col,
                 id_col=id_col,
+            )
+        elif tier == "ivfpq":
+            encoded, cents, books, nprobe = ivfpq
+            top = ivfpq_search(
+                encoded, cents, books, vec, k=k, nprobe=nprobe,
+                refine=max(1, candidates // k), vec_col=vec_col,
+                id_col=id_col, raw=df.select(id_col, vec_col),
             )
         else:
             raise KeyError(tier)
@@ -111,6 +128,7 @@ def tier_report(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    ivfpq: tuple | None = None,
 ) -> DataFrame:
     """Sampled recall@k per quantized tier vs the exact scan, plus the
     guard decision. Output (one row per tier, unordered):
@@ -120,7 +138,13 @@ def tier_report(
     ``chosen`` marks the first tier in TIER_PREFERENCE whose recall
     >= ``floor``; all-false means the guard refuses every quantized
     tier and the caller must serve exact (choose_ann_tier returns
-    "exact")."""
+    "exact").
+
+    ``ivfpq`` = (encoded codes DataFrame from ivfpq_encode, centroids,
+    codebooks, nprobe) adds the IVF-PQ tier to the arbitration at its
+    registered operating point (refine = candidates // k, the same
+    candidate budget the other tiers re-rank). Omitted -> the tier is
+    not evaluated (it needs a trained model)."""
     if k < 1 or candidates < k or n_probes < 1:
         raise ValueError("need candidates >= k >= 1 and n_probes >= 1")
     probes = seeded_probe_rows(df, n_probes, vec_col, id_col)
@@ -133,8 +157,11 @@ def tier_report(
     denom = float(len(probes) * k)
     reports = []
     for pref, tier in enumerate(TIER_PREFERENCE):
+        if tier == "ivfpq" and ivfpq is None:
+            continue
         got = _topk_union(
-            df, probes, tier, k, candidates, lo, hi, vec_col, id_col, dim
+            df, probes, tier, k, candidates, lo, hi, vec_col, id_col, dim,
+            ivfpq=ivfpq,
         )
         reports.append(
             got.join(want, ["probe_id", "__nn"]).agg(
@@ -158,6 +185,72 @@ def tier_report(
     )
 
 
+def frontier_from_sweeps(
+    files: dict[str, tuple[int, int] | None],
+    n_probes: int | None = None,
+) -> list[dict]:
+    """Load recorded probe-sweep JSONs (tools/probe_sweep.py --json)
+    into frontier records {nprobe, refine, recall, probes_per_sec,
+    n_probes}. ``files`` maps path -> (nprobe, refine) for legacy
+    sweeps that predate the embedded ``ann_nprobe``/``ann_refine``
+    fields (pass None for self-describing files). Keeps the ``ann``
+    row at ``n_probes`` when given, else the LARGEST recorded probe
+    count per file (the steady-state throughput point)."""
+    import json
+
+    out = []
+    for path, params in files.items():
+        with open(path) as f:
+            doc = json.load(f)
+        nprobe, refine = (
+            params
+            if params is not None
+            else (doc["ann_nprobe"], doc["ann_refine"])
+        )
+        rows = [
+            r
+            for r in doc["results"]
+            if r["path"] == "ann" and "recall_at_k" in r
+        ]
+        if n_probes is not None:
+            rows = [r for r in rows if r["n_probes"] == n_probes]
+        elif rows:
+            biggest = max(r["n_probes"] for r in rows)
+            rows = [r for r in rows if r["n_probes"] == biggest]
+        for r in rows:
+            out.append(
+                {
+                    "nprobe": int(nprobe),
+                    "refine": int(refine),
+                    "recall": float(r["recall_at_k"]),
+                    "probes_per_sec": float(r["probes_per_sec"]),
+                    "n_probes": int(r["n_probes"]),
+                }
+            )
+    return out
+
+
+def ann_operating_point(
+    recall_floor: float, frontier: list[dict]
+) -> tuple[int, int] | None:
+    """The cheapest recorded (nprobe, refine) point clearing
+    ``recall_floor`` — highest measured probes/sec wins; ties break to
+    the smaller (nprobe, refine) (less work at equal measured
+    throughput). None when no recorded point clears the floor (serve
+    exact — the same refusal contract as choose_ann_tier). A
+    driver-side table lookup over PROBE_SWEEP recordings (VERDICT r8
+    item 7): serving queries read their operating point from the
+    measured frontier instead of hard-coding nprobe/refine."""
+    ok = [r for r in frontier if r["recall"] >= recall_floor]
+    if not ok:
+        return None
+    best = max(
+        ok,
+        key=lambda r: (r["probes_per_sec"], -r["nprobe"], -r["refine"]),
+    )
+    return int(best["nprobe"]), int(best["refine"])
+
+
 def choose_ann_tier(
     df: DataFrame,
     k: int = 10,
@@ -167,14 +260,17 @@ def choose_ann_tier(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    ivfpq: tuple | None = None,
 ) -> str:
     """Pick the cheapest quantized tier whose sampled recall clears
     ``floor``; ``"exact"`` when none does (the refusal path — the r7
     baseline's clustered fixture makes Hamming score 0/10, and this
-    guard is what keeps that geometry off the 1-bit tier)."""
+    guard is what keeps that geometry off the 1-bit tier). Pass
+    ``ivfpq`` (see tier_report) so arbitration covers the IVF-PQ
+    serving path too."""
     rows = tier_report(
         df, k=k, candidates=candidates, n_probes=n_probes, floor=floor,
-        vec_col=vec_col, id_col=id_col, dim=dim,
+        vec_col=vec_col, id_col=id_col, dim=dim, ivfpq=ivfpq,
     ).collect()
     chosen = [r["tier"] for r in rows if r["chosen"]]
     return chosen[0] if chosen else "exact"

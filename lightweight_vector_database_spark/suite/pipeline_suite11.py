@@ -198,6 +198,7 @@ def _aj_replay_sql(
     base_where: str | None = None,
     norm: bool = False,
     exact_metric: str = "euclidean_sq",
+    cte_prefix: str = "",
 ) -> str:
     """The shared WITH-chain replaying ann_join_topk in DuckDB up to
     the per-probe top-k CTE ``topk(probe_id, vec_id, dist, rank)``.
@@ -294,7 +295,7 @@ def _aj_replay_sql(
         exact = f"CAST(1.0 AS DOUBLE) - ({dot}) / (sqrt({na}) * sqrt({nb}))"
     else:
         exact = _dist_sql("e.embedding", "x.probe_vec", exact_metric)
-    return f"""
+    sql = f"""
 WITH consts AS (
   SELECT {cents_sql} AS cents, {books_all} AS bks
 ), probes AS ({probes_cte}
@@ -349,6 +350,20 @@ WITH consts AS (
     FROM refined
   ) WHERE rank <= {k}
 )"""
+    if cte_prefix:
+        # rename every CTE (word-boundary; none of the names collides
+        # with a column/alias in the template — adc_dist/crank/probe_vec
+        # carry underscores, so \\b<name>\\b cannot match inside them)
+        # so the chain can embed inside ANOTHER oracle's WITH list
+        # (the ivfpq tier row of ann_tier_report)
+        import re
+
+        for name in ("consts", "probes", "base", "pwork", "cdist",
+                     "assigned", "coded", "pdist", "pcells", "adc",
+                     "cand", "refined", "topk"):
+            sql = re.sub(rf"\b{name}\b", f"{cte_prefix}{name}", sql)
+        sql = sql.replace("WITH ", "", 1).lstrip("\n")
+    return sql
 
 
 _AJ_PROBES_CTE = f"""
@@ -389,19 +404,40 @@ _TIER_K = 10
 _TIER_CAND = 50
 _TIER_PROBES = 8
 _TIER_FLOOR = 0.8
+_TIER_NPROBE = 2  # the IVF-PQ tier's arbitration operating point
 
 
 def _ann_tier_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tiering import tier_report
 
     emb = load_table(spark, sf_dir, "embeddings")
+    cents, books = _aj_model(spark, sf_dir)
+    codes = _aj_codes(spark, sf_dir)
     return tier_report(
         emb, k=_TIER_K, candidates=_TIER_CAND, n_probes=_TIER_PROBES,
         floor=_TIER_FLOOR, dim=DIM,
+        ivfpq=(codes, cents, books, _TIER_NPROBE),
     )
 
 
-def _ann_tier_oracle() -> str:
+def _ann_tier_oracle() -> str | None:
+    trained = _aj_trained_np()
+    if trained is None:
+        return None
+    iq_cents, iq_books = trained
+    # the IVF-PQ tier row replays through the shared ann_join chain,
+    # CTE-prefixed so it embeds inside this oracle's WITH list; its
+    # probe set is the same md5-seeded sample the report uses
+    iq_chain = _aj_replay_sql(
+        iq_cents, iq_books,
+        f"""
+  SELECT vec_id AS probe_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS probe_vec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_TIER_PROBES}""",
+        k=_TIER_K, nprobe=_TIER_NPROBE, refine=_TIER_CAND // _TIER_K,
+        cte_prefix="iq_",
+    )
     half = DIM // 2
     denom = float(_TIER_PROBES * _TIER_K)
 
@@ -424,7 +460,7 @@ def _ann_tier_oracle() -> str:
         f"({recon} - CAST(p.pv[i] AS DOUBLE))))"
     )
     return f"""
-WITH probes AS (
+WITH {iq_chain}, probes AS (
   SELECT vec_id AS probe_id, embedding AS pv
   FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {_TIER_PROBES}
@@ -495,6 +531,10 @@ WITH probes AS (
   SELECT 'sq8' AS tier, 1 AS pref, count(*) AS n_overlap,
          round(count(*) / {denom}, 6) AS recall
   FROM sq8 JOIN exact USING (probe_id, vec_id)
+  UNION ALL
+  SELECT 'ivfpq' AS tier, 2 AS pref, count(*) AS n_overlap,
+         round(count(*) / {denom}, 6) AS recall
+  FROM iq_topk JOIN exact USING (probe_id, vec_id)
 ), best AS (
   SELECT min(pref) AS b FROM rep WHERE recall >= {_TIER_FLOOR}
 )
@@ -639,9 +679,35 @@ register(
 # every pair to one row on both engines.
 
 _SD_K = 8
-_SD_NPROBE = 4
-_SD_REFINE = 4
 _SD_TAU = 1.35
+_SD_FLOOR = 0.9  # PAIR-recall floor the operating point must clear
+
+
+def _sd_operating_point() -> tuple[int, int]:
+    """(nprobe, refine) for the semantic-ANN dedup, resolved from the
+    RECORDED fixture frontier (FRONTIER_sf001.json, written by
+    tools/fixture_frontier.py) via ann_operating_point — the measured
+    table lookup replacing hard-coded knobs (VERDICT r8 item 7). The
+    recorded frontier at sf0.01: pair recall 0.36 at (1,2), 0.66 at
+    (2,2), 0.9163 at (4,4), 0.9922 at (8,4) — the floor picks the
+    cheapest point at or above 0.9. Falls back to (4, 4) (the r8
+    working point) when no recording exists."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "FRONTIER_sf001.json")
+    try:
+        with open(path) as f:
+            frontier = json.load(f)["results"]
+    except Exception:
+        return 4, 4
+    from ..operators.tiering import ann_operating_point
+
+    pt = ann_operating_point(_SD_FLOOR, frontier)
+    return pt if pt is not None else (4, 4)
+
+
+_SD_NPROBE, _SD_REFINE = _sd_operating_point()
 
 
 def _dedup_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,7 +55,8 @@ def clustered(spark):
 
 def test_guard_refuses_hamming_on_clustered_fixture(spark, clustered):
     rep = {r["tier"]: r for r in tier_report(clustered, floor=0.8).collect()}
-    assert set(rep) == set(TIER_PREFERENCE)
+    # without a supplied model the report covers the model-free tiers
+    assert set(rep) == {"hamming", "sq8"}
     # the r7 measurement, reproduced: 1-bit recall collapses, SQ8 holds
     assert rep["hamming"]["recall"] < 0.5
     assert rep["sq8"]["recall"] >= 0.8
@@ -80,6 +81,97 @@ def test_guard_prefers_cheapest_passing_tier(spark, sf_dir):
     if rep["hamming"]["recall"] >= 0.5:  # fixture-dependent guard
         assert rep["hamming"]["chosen"] and not rep["sq8"]["chosen"]
         assert choose_ann_tier(emb, floor=0.5) == "hamming"
+
+
+def test_ivfpq_tier_clears_when_both_quantized_tiers_fail(spark):
+    """VERDICT r8 item 5 'done' bar: a geometry where hamming AND sq8
+    both fail the floor but the IVF-PQ tier clears it. Clusters at
+    scale ~1000 with ~0.01-amplitude within-cluster structure: the
+    global SQ8 grid's step (range/256 ~ 8) swamps the within-cluster
+    distances, and every member shares one sign pattern — both
+    model-free tiers degenerate to id-order candidates. IVF-PQ's
+    RESIDUAL codebooks are trained on exactly that within-cluster
+    structure, so its ADC resolves it."""
+    from lightweight_vector_database_spark.operators.similarity import (
+        ivfpq_encode,
+        train_ivfpq,
+    )
+
+    n_clusters, per = 4, 500
+    rng = np.random.RandomState(11)
+    centers = rng.uniform(-0.35, 0.35, (n_clusters, DIM)) * 1000.0
+    centers_df = spark.createDataFrame(
+        [(int(c), centers[c].tolist()) for c in range(n_clusters)],
+        "cluster int, center array<double>",
+    )
+    base = spark.range(n_clusters * per).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % n_clusters).cast("int").alias("cluster"),
+    )
+    noise = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: 0.01 * F.sin((F.col("vec_id") + 1) * i.cast("double") * 0.7),
+    )
+    df = (
+        base.join(F.broadcast(centers_df), "cluster")
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("center"), noise, lambda c, nz: c + nz
+            ).cast("array<float>").alias("embedding"),
+        )
+        .cache()
+    )
+    cents, books = train_ivfpq(
+        df, n_centroids=n_clusters, m=8, ksub=64, iters=5,
+        sample_rows=1024, sample_id_col="vec_id",
+    )
+    codes = ivfpq_encode(df, cents, books).select("vec_id", "cell", "pq_code")
+    ivfpq = (codes, cents, books, 1)
+    rep = {
+        r["tier"]: r
+        for r in tier_report(df, floor=0.8, ivfpq=ivfpq).collect()
+    }
+    assert set(rep) == set(TIER_PREFERENCE)
+    assert rep["hamming"]["recall"] < 0.8, rep["hamming"]["recall"]
+    assert rep["sq8"]["recall"] < 0.8, rep["sq8"]["recall"]
+    assert rep["ivfpq"]["recall"] >= 0.8, rep["ivfpq"]["recall"]
+    assert rep["ivfpq"]["chosen"]
+    assert not rep["sq8"]["chosen"] and not rep["hamming"]["chosen"]
+    assert choose_ann_tier(df, floor=0.8, ivfpq=ivfpq) == "ivfpq"
+    df.unpersist()
+
+
+def test_operating_point_from_recorded_frontier():
+    """ann_operating_point picks the cheapest recorded (nprobe,
+    refine) clearing a recall floor — pinned on the r8 1M-base sweep
+    recordings (VERDICT r8 item 7). The r8 files predate the embedded
+    knob fields, so their operating points are supplied explicitly
+    (BASELINE.md records them)."""
+    from pathlib import Path
+
+    from lightweight_vector_database_spark.operators.tiering import (
+        ann_operating_point,
+        frontier_from_sweeps,
+    )
+
+    root = Path(__file__).resolve().parent.parent
+    files = {
+        str(root / "PROBE_SWEEP_r08_base1M.json"): (4, 2),
+        str(root / "PROBE_SWEEP_r08_base1M_np8.json"): (8, 2),
+        str(root / "PROBE_SWEEP_r08_base1M_r4.json"): (4, 4),
+        str(root / "PROBE_SWEEP_r08_base1M_r6.json"): (4, 6),
+    }
+    if not all(Path(p).exists() for p in files):
+        pytest.skip("r8 frontier recordings absent")
+    frontier = frontier_from_sweeps(files, n_probes=100_000)
+    assert len(frontier) == 4
+    # floors walk the recorded frontier: cheap low-recall point first,
+    # then the refine ladder; an impossible floor refuses (None)
+    assert ann_operating_point(0.90, frontier) == (4, 2)  # 2878 p/s
+    assert ann_operating_point(0.95, frontier) == (4, 4)  # 2053 p/s
+    assert ann_operating_point(0.999, frontier) == (4, 6)  # 1858 p/s
+    assert ann_operating_point(1.01, frontier) is None
 
 
 def test_seeded_probes_deterministic_and_validation(spark, sf_dir):

@@ -146,8 +146,13 @@ def main() -> None:
         if "--paths" in sys.argv
         else None
     )
+    # --filtered adds the 0.5-selectivity predicate column: ann_filt
+    # (ann_join_topk with pred) vs blocks_filt (the exact filtered
+    # comparator) — VERDICT r8 item 1's >=5x-hold-under-predicate check
+    filtered = "--filtered" in sys.argv
     spark = get_spark("probe-sweep")
     spark.sparkContext.setLogLevel("ERROR")
+    FILT_PRED = F.col("vec_id") % 2 == 0  # needs an active session
 
     if dim == 64:
         base, _centers = generate(spark, n_rows)
@@ -243,13 +248,28 @@ def main() -> None:
             codes, cents, books, p, raw=base, k=K,
             nprobe=ann_nprobe, refine=ann_refine, code_stats=code_stats,
         )
+        if filtered:
+            # the 0.5-selectivity predicate column (vec_id parity —
+            # needs no extra fixture column; the codes snapshot carries
+            # vec_id, so the predicate pushes into the pruned scan).
+            # blocks_filt is the exact comparator: same filter-then-
+            # retrieve semantics over the filtered base (capped like
+            # blocks — it is the same O(|base| x |probes|) tiling).
+            if n_probes <= BLOCKS_MAX:
+                paths["blocks_filt"] = lambda p=probes: knn_join_blocks(
+                    p, base.filter(FILT_PRED), K
+                )
+            paths["ann_filt"] = lambda p=probes: ann_join_topk(
+                codes, cents, books, p, raw=base, k=K,
+                nprobe=ann_nprobe, refine=ann_refine, pred=FILT_PRED,
+            )
         if only_paths is not None:
             paths = {n: f for n, f in paths.items() if n in only_paths}
-        exact_sample: dict | None = None
+        exact_samples: dict[str, dict] = {}
         for name, fn in paths.items():
             t0 = time.time()
             out = fn()
-            if name == "ann":
+            if name.startswith("ann"):
                 out = out.cache()
             n_out = out.count()
             dt = time.time() - t0
@@ -262,25 +282,29 @@ def main() -> None:
                 "rows_out": n_out,
             }
             note = ""
-            if name == "ann":
+            if name.startswith("ann"):
                 # recall@K on a ~200-probe sample vs the exact answer
-                # (every exact path returns the same rows)
+                # under the same predicate (every exact path returns
+                # the same rows)
                 sample_pred = F.col("probe_id") % F.lit(
                     max(1, n_probes // 200)
                 ) == 0
-                if exact_sample is None:
+                if name not in exact_samples:
                     sp = probes.filter(sample_pred)
-                    exact_sample = {}
-                    for r in knn_join_blocks(sp, base, K).collect():
-                        exact_sample.setdefault(r["probe_id"], set()).add(
-                            r["vec_id"]
-                        )
+                    gt_base = (
+                        base.filter(FILT_PRED) if name == "ann_filt" else base
+                    )
+                    exact_samples[name] = {}
+                    for r in knn_join_blocks(sp, gt_base, K).collect():
+                        exact_samples[name].setdefault(
+                            r["probe_id"], set()
+                        ).add(r["vec_id"])
                 got: dict[int, set] = {}
                 for r in out.filter(sample_pred).collect():
                     got.setdefault(r["probe_id"], set()).add(r["vec_id"])
                 recs = [
                     len(got.get(p, set()) & want) / len(want)
-                    for p, want in exact_sample.items()
+                    for p, want in exact_samples[name].items()
                 ]
                 rec["recall_at_k"] = round(sum(recs) / max(1, len(recs)), 4)
                 note = f" recall@{K}={rec['recall_at_k']}"
@@ -294,7 +318,17 @@ def main() -> None:
     if out_json:
         with open(out_json, "w") as f:
             json.dump(
-                {"n_rows": n_rows, "dim": dim, "k": K, "results": results},
+                {
+                    "n_rows": n_rows,
+                    "dim": dim,
+                    "k": K,
+                    # the ann operating point, embedded so the file is
+                    # a self-describing frontier record consumable by
+                    # operators/tiering.frontier_from_sweeps
+                    "ann_nprobe": ann_nprobe,
+                    "ann_refine": ann_refine,
+                    "results": results,
+                },
                 f,
                 indent=1,
             )
