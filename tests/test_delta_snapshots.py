@@ -566,7 +566,13 @@ def test_compact_cluster_by_restores_locality(spark, tmp_path):
     )
     after = {(r.rid, r.u, r.t) for r in store.read().collect()}
     assert after == before  # same visible rows
-    assert u_hit_fraction() <= 0.5  # clustered: the slice prunes
+    # repartitionByRange SAMPLES its boundaries with a seed derived
+    # from the RDD id, which shifts with session history — measured
+    # hit fractions across seeds: 0.31-0.57 (vs 1.0 unclustered). The
+    # threshold must sit OUTSIDE that jitter band: 0.75 still proves
+    # the clustered fold restores pruning (the r9 full-suite run
+    # flaked at the old 0.5 cut when new tests shifted the RDD ids).
+    assert u_hit_fraction() <= 0.75  # clustered: the slice prunes
 
 
 def test_read_changes_vacuumed_from_version(spark, tmp_path):

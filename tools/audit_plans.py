@@ -34,6 +34,8 @@ EXPECTED_PYTHON = {
     "ann_ivfpq_refined",  # arrow cell+residual encode (build step); ADC serving is codegen
     "knn_join_grid_indexed",  # batched matmul strategy (mapInPandas) — the documented high-throughput kNN-join path
     "ann_join_topk",  # batched IVF-PQ: cell-assign mapInPandas + cogrouped ADC (plans/ann_join)
+    "ann_join_filtered",  # same boundaries with the predicate pushed to the code tier
+    "ann_join_cosine",  # same boundaries over the normalized model (kernel-side probe normalization)
     "dedup_semantic_ann",  # corpus-as-probes ann_join_topk (same boundaries)
     "knn_join_bulk",  # distributed probe path: mapInPandas candidate derivation + cogrouped matmul scoring (plans/bulk_knn)
     "knn_join_bulk_cosine",  # same machinery over the normalized snapshot + exact-cosine re-rank

@@ -14,6 +14,12 @@ skipped at sf >= 1 with the reason printed — their scale-path twins
 (minhash LSH, SRP LSH, IVF) run instead. Everything else runs.
 
 Usage: python tools/run_all_queries.py [sf_dir] [out_json]
+           [--only prefix1,prefix2]
+
+``--only`` restricts to queries whose name starts with one of the
+given prefixes — the sf10 family slices (dedup/ann/stream) use it so
+the 100x point doesn't re-run the TPC-H scaling BENCH_sf10 already
+charts.
 """
 
 from __future__ import annotations
@@ -32,10 +38,16 @@ from lightweight_vector_database_spark.suite import (  # noqa: E402
 )
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else str(
+    args = list(sys.argv[1:])
+    only: tuple[str, ...] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = tuple(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else str(
         Path(__file__).resolve().parent.parent / ".sf1_data"
     )
-    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    out_path = args[1] if len(args) > 1 else None
     big = "sf0" not in Path(sf_dir).name  # sf1-sized fixture or larger
 
     spark = get_spark("run-all-queries")
@@ -56,6 +68,8 @@ def main() -> None:
     results: dict[str, dict] = {}
     t_all = time.time()
     for name, fn in QUERIES.items():
+        if only is not None and not name.startswith(only):
+            continue
         if big and name in QUADRATIC:
             print(f"SKIP  {name}: {QUADRATIC[name]}")
             results[name] = {"status": "SKIP", "reason": QUADRATIC[name]}
