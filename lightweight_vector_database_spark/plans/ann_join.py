@@ -197,15 +197,48 @@ def ann_join_topk(
         raise ValueError(
             f"codebooks cover dim {m * dsub}, centroids have {cents.shape[1]}"
         )
-    np_eff = min(nprobe, len(cents))
     keep = k * refine
+
+    # ---- 0. qualifying-cell mask (O(cells) metadata) -------------------------
+    # Probes are assigned to their nprobe nearest QUALIFYING cells —
+    # cells holding at least one (post-``pred``) code row. Without the
+    # mask, a predicate CORRELATED with the cluster geometry empties
+    # whole probed cells: measured on the 200k clustered sweep fixture,
+    # pred = "vec_id % 2 == 0" empties every odd cluster's cells
+    # (cluster = id % 16 there), so 26% of probes probed 4 empty cells
+    # and returned NOTHING — the classic filtered-ANN failure mode.
+    # Restricting assignment to qualifying cells routes those probes to
+    # the nearest cells that can answer them. (The complementary
+    # failure — post-filtering k results after unfiltered retrieval —
+    # loses up to sel^-1 of the answer set; this module filters BEFORE
+    # retrieval precisely to avoid it.)
+    if code_stats is None:
+        code_stats = {
+            int(r[cell_col]): int(r["cnt"])
+            for r in codes.groupBy(cell_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+    live_cells = np.array(
+        sorted(c for c, n in code_stats.items() if n > 0), dtype=np.int64
+    )
+    if not len(live_cells):
+        return (
+            probes.select(
+                F.col(probe_id_col).cast("long").alias(probe_id_col),
+                F.lit(None).cast("long").alias(id_col),
+                F.lit(None).cast("double").alias("dist"),
+                F.lit(None).cast("long").alias("rank"),
+            ).filter(F.lit(False))
+        )
+    np_eff = min(nprobe, len(live_cells))
+    live_cents = cents[live_cells]
 
     # ---- 1. distributed probe -> candidate-cell assignment -----------------
     cand_schema = (
         f"{probe_id_col} long, {probe_vec_col} array<double>, "
         f"{cell_col} int"
     )
-    cell_idx = np.arange(len(cents))
 
     def assign(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -223,13 +256,13 @@ def ann_join_topk(
                     # bit-for-bit; all downstream ADC runs in the
                     # normalized space the codes were encoded in
                     P = P / np.sqrt(fold_norms(P))[:, None]
-                d = fold_sq_dists(P, cents)
-                # nprobe nearest with cell-id tie-break: one lexsort
-                # per chunk (ties between equidistant centroids must
-                # resolve the same way the oracle's ORDER BY d, cell
-                # does)
+                d = fold_sq_dists(P, live_cents)
+                # nprobe nearest qualifying cells with cell-id
+                # tie-break: one lexsort per chunk (ties between
+                # equidistant centroids must resolve the same way the
+                # oracle's ORDER BY d, cell does)
                 order = np.lexsort(
-                    (np.broadcast_to(cell_idx, d.shape), d), axis=1
+                    (np.broadcast_to(live_cells, d.shape), d), axis=1
                 )[:, :np_eff]
                 n = len(P)
                 yield pd.DataFrame(
@@ -242,7 +275,9 @@ def ann_join_topk(
                             for v in P.tolist()
                             for _ in range(np_eff)
                         ],
-                        cell_col: order.reshape(n * np_eff).astype("int32"),
+                        cell_col: live_cells[
+                            order.reshape(n * np_eff)
+                        ].astype("int32"),
                     }
                 )
 
@@ -285,13 +320,6 @@ def ann_join_topk(
                 F.lit(None).cast("long").alias("rank"),
             ).filter(F.lit(False))
         )
-    if code_stats is None:
-        code_stats = {
-            int(r[cell_col]): int(r["cnt"])
-            for r in codes.groupBy(cell_col)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
     cell_map = F.broadcast(
         spark.createDataFrame(
             [

@@ -327,8 +327,11 @@ WITH consts AS (
            row_number() OVER (
              PARTITION BY probe_id ORDER BY pd[u.i], u.i
            ) AS rn
-    FROM pdist, range(1, {len(cents) + 1}) u(i)
-  ), consts WHERE rn <= {min(nprobe, len(cents))}
+    -- nprobe nearest QUALIFYING cells (cells holding coded rows),
+    -- mirroring the kernel's live-cell mask: a geometry-correlated
+    -- predicate must not leave probes pointing at emptied cells
+    FROM pdist, (SELECT DISTINCT cellp AS i FROM coded) u
+  ), consts WHERE rn <= {nprobe}
 ), adc AS (
   SELECT p.probe_id, p.probe_vec, c.vec_id, ({adc}) AS adc_dist
   FROM pcells p JOIN coded c ON p.cellp = c.cellp, consts

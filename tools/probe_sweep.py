@@ -285,10 +285,16 @@ def main() -> None:
             if name.startswith("ann"):
                 # recall@K on a ~200-probe sample vs the exact answer
                 # under the same predicate (every exact path returns
-                # the same rows)
-                sample_pred = F.col("probe_id") % F.lit(
-                    max(1, n_probes // 200)
-                ) == 0
+                # the same rows). HASH-sampled: a modulus sample on the
+                # sequential probe_id is cluster-correlated on this
+                # generator (probe_id % 5000 == 0 picked ONLY
+                # even-cluster probes, which masked the r9
+                # empty-probed-cell filtered-ANN bug)
+                sample_pred = (
+                    F.pmod(F.hash(F.col("probe_id")), F.lit(
+                        max(1, n_probes // 200)
+                    )) == 0
+                )
                 if name not in exact_samples:
                     sp = probes.filter(sample_pred)
                     gt_base = (
