@@ -116,7 +116,18 @@ def make_probes(base, n_probes: int, n_base: int):
                 * (F.lit(1.0) + F.col("rep").cast("double") * F.lit(1e-4)),
             ).alias("probe_vec"),
         )
-        .filter(F.col("probe_id") % F.lit(max(1, (n_base * reps) // n_probes)) == 0)
+        # hash-sampled, not modulus: probe_id % step on the sequential
+        # expansion is PARITY-BIASED (step 10 at the 1e5 point selected
+        # only even-seed probes on the 200k fixture, i.e. only even
+        # clusters — which skewed recall at every sub-maximal ladder
+        # point once predicates correlate with cluster parity)
+        .filter(
+            F.pmod(
+                F.hash(F.col("probe_id")),
+                F.lit(max(1, (n_base * reps) // n_probes)),
+            )
+            == 0
+        )
         .limit(n_probes)
         # limit() collapses to one partition; the batch paths need the
         # probe table spread like any real probe table would be
@@ -148,11 +159,27 @@ def main() -> None:
     )
     # --filtered adds the 0.5-selectivity predicate column: ann_filt
     # (ann_join_topk with pred) vs blocks_filt (the exact filtered
-    # comparator) — VERDICT r8 item 1's >=5x-hold-under-predicate check
+    # comparator) — VERDICT r8 item 1's >=5x-hold-under-predicate check.
+    # --filter-mode parity (default) is the ADVERSARIAL predicate on
+    # this generator: vec_id parity implies cluster parity, so the
+    # filter empties half the clusters and surviving probes retrieve
+    # from off-cluster cells (recall structurally lower — see
+    # BASELINE.md r9). --filter-mode hash scatters the same 0.5
+    # selectivity UNIFORMLY across clusters — the common metadata-
+    # filter shape, where filtered recall matches unfiltered.
     filtered = "--filtered" in sys.argv
+    filter_mode = (
+        sys.argv[sys.argv.index("--filter-mode") + 1]
+        if "--filter-mode" in sys.argv
+        else "parity"
+    )
     spark = get_spark("probe-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    FILT_PRED = F.col("vec_id") % 2 == 0  # needs an active session
+    FILT_PRED = (  # needs an active session
+        F.col("vec_id") % 2 == 0
+        if filter_mode == "parity"
+        else F.pmod(F.hash(F.col("vec_id")), F.lit(2)) == 0
+    )
 
     if dim == 64:
         base, _centers = generate(spark, n_rows)
@@ -333,6 +360,11 @@ def main() -> None:
                     # operators/tiering.frontier_from_sweeps
                     "ann_nprobe": ann_nprobe,
                     "ann_refine": ann_refine,
+                    # which 0.5-selectivity predicate the *_filt columns
+                    # used: 'parity' (cluster-correlated, adversarial on
+                    # this generator) or 'hash' (uniform across clusters,
+                    # the common metadata-filter shape). None = unfiltered.
+                    "filter_mode": filter_mode if filtered else None,
                     "results": results,
                 },
                 f,
