@@ -159,6 +159,20 @@ def ivf_assign(
     return df.withColumn("cell", best["c"])
 
 
+def ivf_cell_order(
+    centroids: np.ndarray | Sequence[Sequence[float]],
+    probe: Sequence[float],
+) -> list[int]:
+    """ALL cells ordered by centroid distance to ``probe`` (nearest
+    first), ties broken by cell id. Shared by ``ivf_search`` and the
+    suite oracles so both sides rank cells identically — including the
+    tie rule (lexsort by (distance, cell) == SQL ORDER BY d, cell)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    p = np.asarray(list(probe), dtype=np.float64)
+    d = ((cents - p) ** 2).sum(axis=1)
+    return [int(c) for c in np.lexsort((np.arange(len(d)), d))]
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: np.ndarray | Sequence[Sequence[float]],
@@ -169,10 +183,12 @@ def ivf_search(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     pred: Column | None = None,
+    cell_counts: dict[int, int] | None = None,
+    qualify: bool = True,
 ) -> DataFrame:
     """kNN restricted to the ``nprobe`` cells nearest the probe.
 
-    Cell selection is a driver-side argsort over n_centroids values
+    Cell selection is a driver-side sort over n_centroids values
     (tiny); the scan then carries an IN-list filter on ``cell`` that
     prunes partitions/row-groups.
 
@@ -182,11 +198,30 @@ def ivf_search(
     vectors among the probed cells, mirroring the reference's
     filter-before-topk contract, kd_tree_database.py:186-190). Both
     filters reach the scan, so a cell-partitioned + predicate-indexed
-    layout prunes on both."""
-    cents = np.asarray(centroids, dtype=np.float64)
-    p = np.asarray(list(probe), dtype=np.float64)
-    order = np.argsort(((cents - p) ** 2).sum(axis=1))
-    probe_cells = [int(c) for c in order[:nprobe]]
+    layout prunes on both.
+
+    ``qualify`` (default on): with a predicate, the nprobe cells are
+    the nearest QUALIFYING cells — cells holding at least one matching
+    row. Without it, a predicate CORRELATED with the cell geometry
+    empties whole probed cells and the search returns fewer than k
+    rows (or nothing) while matches sit one cell over — the same hole
+    the batched tier closes with its qualifying-cell mask
+    (plans/ann_join.py step 0). Qualification costs one O(cells)
+    distinct-aggregate over the filtered table per query; serving
+    deployments amortize it by passing ``cell_counts`` — precomputed
+    POST-predicate per-cell counts (per-predicate stats), which skips
+    the aggregate entirely."""
+    order = ivf_cell_order(centroids, probe)
+    if pred is not None and qualify:
+        if cell_counts is None:
+            qual = {
+                int(r[0])
+                for r in assigned.filter(pred).select("cell").distinct().collect()
+            }
+        else:
+            qual = {int(c) for c, n in cell_counts.items() if n > 0}
+        order = [c for c in order if c in qual]
+    probe_cells = order[:nprobe]
     cand = assigned.filter(F.col("cell").isin(probe_cells))
     if pred is not None:
         cand = cand.filter(pred)

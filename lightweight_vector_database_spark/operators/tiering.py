@@ -188,19 +188,24 @@ def tier_report(
 def frontier_from_sweeps(
     files: dict[str, tuple[int, int] | None],
     n_probes: int | None = None,
+    path: str = "ann",
 ) -> list[dict]:
     """Load recorded probe-sweep JSONs (tools/probe_sweep.py --json)
     into frontier records {nprobe, refine, recall, probes_per_sec,
     n_probes}. ``files`` maps path -> (nprobe, refine) for legacy
     sweeps that predate the embedded ``ann_nprobe``/``ann_refine``
-    fields (pass None for self-describing files). Keeps the ``ann``
-    row at ``n_probes`` when given, else the LARGEST recorded probe
-    count per file (the steady-state throughput point)."""
+    fields (pass None for self-describing files). Keeps the ``path``
+    rows ('ann' by default; 'ann_filt' loads a FILTERED frontier — a
+    predicate changes the recall/cost surface, especially when it
+    correlates with the cell geometry, so filtered serving points must
+    come from sweeps recorded UNDER the filter, BASELINE.md r9) at
+    ``n_probes`` when given, else the LARGEST recorded probe count per
+    file (the steady-state throughput point)."""
     import json
 
     out = []
-    for path, params in files.items():
-        with open(path) as f:
+    for fpath, params in files.items():
+        with open(fpath) as f:
             doc = json.load(f)
         nprobe, refine = (
             params
@@ -210,7 +215,7 @@ def frontier_from_sweeps(
         rows = [
             r
             for r in doc["results"]
-            if r["path"] == "ann" and "recall_at_k" in r
+            if r["path"] == path and "recall_at_k" in r
         ]
         if n_probes is not None:
             rows = [r for r in rows if r["n_probes"] == n_probes]

@@ -6,12 +6,16 @@ FILTERED IVF serving.
   exact distance inside them. Until now IVF appeared only inside the
   PQ paths; this registers the coarse tier itself.
 * ``ann_ivf_filtered`` — filtered ANN, the classically hard vector-DB
-  case: a metadata predicate applied INSIDE the probed cells before
-  top-k (pre-filter semantics, matching the reference's
-  filter-before-topk contract for brute kNN). Both queries share the
-  semantic-dedup centroids (same seeded-uniform sample, same Lloyd
-  refinement), and the oracle retrains them in numpy from the
-  identical sample rule and replays assignment + search in SQL.
+  case: a metadata predicate applied BEFORE top-k (pre-filter
+  semantics, matching the reference's filter-before-topk contract for
+  brute kNN), probing the nprobe nearest QUALIFYING cells.
+* ``ann_ivf_filtered_hard`` — the predicate is cell-correlated: it
+  empties the probe's nearest cells entirely, the case where
+  inside-the-probed-cells filtering (pre-r9) starved the result.
+All three share the semantic-dedup centroids (same seeded-uniform
+sample, same Lloyd refinement), and the oracle retrains them in numpy
+from the identical sample rule and replays assignment + qualification
++ search in SQL.
 """
 
 from __future__ import annotations
@@ -21,7 +25,12 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import ivf_assign, ivf_search, train_centroids_np
+from ..operators.similarity import (
+    ivf_assign,
+    ivf_cell_order,
+    ivf_search,
+    train_centroids_np,
+)
 from ..probes import DIM, probe_vector
 from ..sources import load_table
 from . import register
@@ -69,9 +78,7 @@ def _ivf_oracle(pred_sql: str | None) -> str | None:
         return None
     sample = np.array([r[0] for r in rows], dtype=np.float64)
     cents = train_centroids_np(sample, _SEM_CLUSTERS, iters=5, seed=42)
-    p = np.asarray(_IVF_PROBE, dtype=np.float64)
-    order = np.argsort(((cents - p) ** 2).sum(axis=1))
-    probe_cells = ", ".join(str(int(c)) for c in order[:_IVF_NPROBE])
+    order = ivf_cell_order(cents, _IVF_PROBE)
     cents_sql = _dlst2(cents.tolist())
     rng = f"range(1, {DIM + 1})"
     probe_sql = _dlst(list(_IVF_PROBE))
@@ -80,9 +87,25 @@ def _ivf_oracle(pred_sql: str | None) -> str | None:
         f"(CAST(embedding[i] AS DOUBLE) - ({probe_sql})[i]) * "
         f"(CAST(embedding[i] AS DOUBLE) - ({probe_sql})[i])))"
     )
-    where = f"cell IN ({probe_cells})"
-    if pred_sql is not None:
-        where += f" AND ({pred_sql})"
+    if pred_sql is None:
+        # unfiltered: the probed cells are a driver-side constant
+        probe_cells = ", ".join(str(c) for c in order[:_IVF_NPROBE])
+        pcells_cte = ""
+        where = f"cell IN ({probe_cells})"
+    else:
+        # filtered: replay the QUALIFYING-cell routing in SQL — the
+        # driver-computed centroid-distance preference order is a
+        # literal, the data-dependent qualification (>=1 matching row
+        # per cell) is a subquery, exactly mirroring ivf_search's
+        # distinct-collect + masked order (operators/similarity.py)
+        pref = ", ".join(f"({c}, {r})" for r, c in enumerate(order))
+        pcells_cte = f""",
+pcells AS (
+  SELECT cell FROM (VALUES {pref}) AS pref(cell, rnk)
+  WHERE cell IN (SELECT DISTINCT cell FROM assigned WHERE ({pred_sql}))
+  ORDER BY rnk LIMIT {_IVF_NPROBE}
+)"""
+        where = f"cell IN (SELECT cell FROM pcells) AND ({pred_sql})"
     return f"""
 WITH assigned AS (
   SELECT vec_id, label, embedding,
@@ -94,7 +117,7 @@ WITH assigned AS (
                   (CAST(embedding[i] AS DOUBLE) - c[i])))) AS cd
     FROM embeddings
   )
-)
+){pcells_cte}
 SELECT vec_id, label, CAST(cell AS BIGINT) AS cell, round(dist, 6) AS dist
 FROM (
   SELECT vec_id, label, cell, {dist} AS dist
@@ -106,6 +129,17 @@ FROM (
 register("ann_ivf_topk", _ivf_query(None), _ivf_oracle(None))
 register(
     "ann_ivf_filtered", _ivf_query("label < 5"), _ivf_oracle("label < 5")
+)
+# The cell-correlated case: at sf0.01 this predicate (21 of 500 rows)
+# leaves NO matching rows in two of the probe's three nearest cells,
+# so pre-r9 inside-the-probed-cells filtering returned 3 rows. The
+# qualifying-cell routing probes the nearest three cells that CAN
+# answer and returns the full k — and the oracle replays that routing
+# (pcells CTE), so the match is exact, not rows-only.
+register(
+    "ann_ivf_filtered_hard",
+    _ivf_query("vec_id % 23 = 18"),
+    _ivf_oracle("vec_id % 23 = 18"),
 )
 
 

@@ -65,6 +65,59 @@ def test_ivf_subset_of_probed_cells(spark, assigned):
     assert len({r["cell"] for r in rows}) <= 2
 
 
+def test_ivf_filtered_routes_to_qualifying_cells(spark):
+    """A predicate CORRELATED with the cell geometry empties the
+    probe's nearest cells entirely — every matching row lives in the
+    FARTHEST cell. Qualifying-cell routing (r9) must find them; the
+    pre-r9 inside-the-probed-cells filter starves."""
+    import numpy as np
+
+    cents = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]])
+    rows = []
+    for c, (cx, cy) in enumerate(cents):
+        for j in range(5):
+            rows.append(
+                (c * 5 + j, 1 if c == 3 else 0,
+                 [float(cx + 0.1 * j), float(cy)])
+            )
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    adf = ivf_assign(df, cents)
+    probe = [0.0, 0.0]
+    pred = F.col("label") == 1
+
+    got = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in ivf_search(adf, cents, probe, k=3, nprobe=1, pred=pred).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in knn(df, probe, 3, metric="euclidean_sq", pred=pred).collect()
+    ]
+    assert got == want and len(got) == 3
+
+    # the pre-r9 hole, kept reachable for comparison: the single
+    # nearest cell holds no matching row, so the search returns nothing
+    assert (
+        ivf_search(
+            adf, cents, probe, k=3, nprobe=1, pred=pred, qualify=False
+        ).collect()
+        == []
+    )
+
+    # precomputed per-predicate stats (the serving path) skip the
+    # qualification aggregate and route identically
+    got_stats = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in ivf_search(
+            adf, cents, probe, k=3, nprobe=1, pred=pred,
+            cell_counts={0: 0, 1: 0, 2: 0, 3: 5},
+        ).collect()
+    ]
+    assert got_stats == got
+
+
 def test_knn_by_id_excludes_self_and_matches_probe_form(spark, emb):
     """Query-by-id == query-by-that-row's-vector, minus the row."""
     from lightweight_vector_database_spark.suite.pipeline_suite10 import (

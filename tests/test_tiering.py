@@ -174,6 +174,40 @@ def test_operating_point_from_recorded_frontier():
     assert ann_operating_point(1.01, frontier) is None
 
 
+def test_filtered_operating_point_from_filtered_frontier():
+    """Filtered serving points resolve from frontiers recorded UNDER
+    the filter (frontier_from_sweeps path='ann_filt') — pinned on the
+    r9 1M-base filtered recordings. The same 0.5 selectivity needs a
+    DIFFERENT operating point depending on whether the predicate
+    correlates with the cell geometry: uncorrelated ('hash' mode)
+    clears 0.95 at the cheap (4, 2) point; the adversarial
+    cluster-correlated predicate ('parity' mode) needs (4, 8) for a
+    0.85 floor and REFUSES 0.95 outright (no recorded point clears —
+    serve exact or record a deeper ladder), which is exactly the
+    refusal contract that makes hard-coded knobs unsafe."""
+    from pathlib import Path
+
+    from lightweight_vector_database_spark.operators.tiering import (
+        ann_operating_point,
+        frontier_from_sweeps,
+    )
+
+    root = Path(__file__).resolve().parent.parent
+    parity = {
+        str(root / "PROBE_SWEEP_r09_base1M_filt.json"): None,
+        str(root / "PROBE_SWEEP_r09_base1M_filt_r8.json"): None,
+    }
+    hashed = {str(root / "PROBE_SWEEP_r09_base1M_filt_hash.json"): None}
+    if not all(Path(p).exists() for p in {**parity, **hashed}):
+        pytest.skip("r9 filtered frontier recordings absent")
+    f_parity = frontier_from_sweeps(parity, n_probes=100_000, path="ann_filt")
+    f_hash = frontier_from_sweeps(hashed, n_probes=100_000, path="ann_filt")
+    assert len(f_parity) == 2 and len(f_hash) == 1
+    assert ann_operating_point(0.95, f_hash) == (4, 2)  # recall 0.9862
+    assert ann_operating_point(0.85, f_parity) == (4, 8)  # recall 0.8859
+    assert ann_operating_point(0.95, f_parity) is None  # refusal
+
+
 def test_seeded_probes_deterministic_and_validation(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     a = seeded_probe_rows(emb, 5)
