@@ -256,6 +256,26 @@ def ann_operating_point(
     return int(best["nprobe"]), int(best["refine"])
 
 
+def fixture_operating_point(
+    path: str, floor: float, fallback: tuple[int, int]
+) -> tuple[int, int]:
+    """Resolve a serving query's (nprobe, refine) from a RECORDED
+    fixture-frontier JSON (tools/fixture_frontier.py) — the measured
+    table lookup replacing hard-coded knobs. Falls back to the given
+    working point when the recording is absent or no recorded point
+    clears the floor (the refusal contract: a knob that was never
+    measured to clear the floor must not be invented)."""
+    import json
+
+    try:
+        with open(path) as f:
+            frontier = json.load(f)["results"]
+    except Exception:
+        return fallback
+    pt = ann_operating_point(floor, frontier)
+    return pt if pt is not None else fallback
+
+
 def choose_ann_tier(
     df: DataFrame,
     k: int = 10,

@@ -695,19 +695,16 @@ def _sd_operating_point() -> tuple[int, int]:
     (2,2), 0.9163 at (4,4), 0.9922 at (8,4) — the floor picks the
     cheapest point at or above 0.9. Falls back to (4, 4) (the r8
     working point) when no recording exists."""
-    import json
+    from ..operators.tiering import fixture_operating_point
 
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), "FRONTIER_sf001.json")
-    try:
-        with open(path) as f:
-            frontier = json.load(f)["results"]
-    except Exception:
-        return 4, 4
-    from ..operators.tiering import ann_operating_point
+    return fixture_operating_point(
+        _repo_file("FRONTIER_sf001.json"), _SD_FLOOR, (4, 4)
+    )
 
-    pt = ann_operating_point(_SD_FLOOR, frontier)
-    return pt if pt is not None else (4, 4)
+
+def _repo_file(name: str) -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), name)
 
 
 _SD_NPROBE, _SD_REFINE = _sd_operating_point()

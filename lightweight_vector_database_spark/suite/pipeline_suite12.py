@@ -58,18 +58,31 @@ from .pipeline_suite11 import (
 import os
 
 _AJF_K = 10
-_AJF_NPROBE = 8
-_AJF_REFINE = 16
 _AJF_PRED = "label < 5"  # ~0.5 selectivity on the 10-label fixture
+_AJF_FLOOR = 0.95  # the VERDICT r8 item-1 recall bar
 
-# cosine working point: same as the euclidean tier's. On this fixture
-# geometry (500 normalized rows, 8 cells, ksub=64) the measured recall
-# frontier is 0.7645 at (4, 8), 0.9295 at (8, 8), 0.9885 at (8, 16) —
-# cell miss dominates in the normalized space, so nprobe carries the
-# recall here (unlike the euclidean fixture where ADC ties did)
+# Operating points resolve from RECORDED fixture frontiers (written by
+# tools/fixture_frontier.py --shape filtered/cosine; see BASELINE.md
+# r9: filtered serving points must come from sweeps recorded UNDER the
+# filter) via the same fixture_operating_point lookup dedup_semantic_ann
+# uses — no hard-coded knobs on any batched serving query. Fallback is
+# the r9 working point (8, 16), the measured 0.95-clearing point on
+# this fixture for both shapes.
+from ..operators.tiering import fixture_operating_point
+from .pipeline_suite11 import _repo_file
+
+_AJF_NPROBE, _AJF_REFINE = fixture_operating_point(
+    _repo_file("FRONTIER_sf001_filt.json"), _AJF_FLOOR, (8, 16)
+)
+
+# cosine: on this fixture geometry (500 normalized rows, 8 cells,
+# ksub=64) cell miss dominates in the normalized space, so nprobe
+# carries the recall (unlike the euclidean fixture where ADC ties did)
 _AJC_K = 10
-_AJC_NPROBE = 8
-_AJC_REFINE = 16
+_AJC_FLOOR = 0.95
+_AJC_NPROBE, _AJC_REFINE = fixture_operating_point(
+    _repo_file("FRONTIER_sf001_cos.json"), _AJC_FLOOR, (8, 16)
+)
 
 _AJN_MEMO: dict[str, tuple] = {}
 _AJN_SNAP: dict[tuple, DataFrame] = {}

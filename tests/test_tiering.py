@@ -10,6 +10,8 @@ the guard returns "exact" instead of silently serving garbage.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -206,6 +208,42 @@ def test_filtered_operating_point_from_filtered_frontier():
     assert ann_operating_point(0.95, f_hash) == (4, 2)  # recall 0.9862
     assert ann_operating_point(0.85, f_parity) == (4, 8)  # recall 0.8859
     assert ann_operating_point(0.95, f_parity) is None  # refusal
+
+
+def test_serving_knobs_resolve_from_committed_fixture_frontiers():
+    """No batched serving query hard-codes (nprobe, refine): the suite
+    constants must equal fixture_operating_point over the COMMITTED
+    frontier recordings (a stale or hand-edited recording shows up
+    here), and a missing recording falls back to the documented
+    working point instead of inventing one."""
+    from lightweight_vector_database_spark.operators.tiering import (
+        fixture_operating_point,
+    )
+    from lightweight_vector_database_spark.suite import (
+        pipeline_suite11 as s11,
+        pipeline_suite12 as s12,
+    )
+
+    filt = s11._repo_file("FRONTIER_sf001_filt.json")
+    cos = s11._repo_file("FRONTIER_sf001_cos.json")
+    sem = s11._repo_file("FRONTIER_sf001.json")
+    if not all(os.path.exists(p) for p in (filt, cos, sem)):
+        pytest.skip("fixture frontier recordings absent")
+    assert fixture_operating_point(filt, s12._AJF_FLOOR, (8, 16)) == (
+        s12._AJF_NPROBE, s12._AJF_REFINE,
+    )
+    assert fixture_operating_point(cos, s12._AJC_FLOOR, (8, 16)) == (
+        s12._AJC_NPROBE, s12._AJC_REFINE,
+    )
+    assert fixture_operating_point(sem, s11._SD_FLOOR, (4, 4)) == (
+        s11._SD_NPROBE, s11._SD_REFINE,
+    )
+    # refusal/fallback contract: absent recording -> documented point
+    assert fixture_operating_point("/nonexistent.json", 0.9, (8, 16)) == (
+        8, 16,
+    )
+    # a floor no recorded point clears -> fallback, never extrapolation
+    assert fixture_operating_point(filt, 1.01, (8, 16)) == (8, 16)
 
 
 def test_seeded_probes_deterministic_and_validation(spark, sf_dir):

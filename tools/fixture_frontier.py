@@ -1,17 +1,28 @@
-"""Record the semantic-ANN dedup operating-point frontier at fixture
-scale (VERDICT r8 item 7).
+"""Record ANN operating-point frontiers at fixture scale (VERDICT r8
+item 7) — the measured tables the registered serving queries resolve
+their (nprobe, refine) from instead of hard-coding.
 
-For each candidate (nprobe, refine) point this measures the
-dedup_semantic_ann shape at sf0.01 — the corpus probing ITSELF through
-the IVF-PQ tier — against the brute within-threshold pair set, and
-records PAIR recall (the semantic-dedup contract, stricter than
-kNN recall) plus wall seconds. The output JSON's ``results`` are
-frontier records consumable directly by
-operators/tiering.ann_operating_point; suite/pipeline_suite11 resolves
-the registered query's (nprobe, refine) from this recording instead of
-hard-coding it.
+Shapes:
 
-Usage: python tools/fixture_frontier.py [--json FRONTIER_sf001.json]
+* ``semantic`` (default) — the dedup_semantic_ann shape: the corpus
+  probing ITSELF through the IVF-PQ tier vs the brute within-threshold
+  pair set; records PAIR recall (the semantic-dedup contract, stricter
+  than kNN recall). Resolved by suite/pipeline_suite11.
+* ``filtered`` — the ann_join_filtered shape: the suite probe table
+  through the label-carrying codes snapshot under the registered
+  predicate, vs the exact FILTERED kNN join; records mean per-probe
+  recall@k. Resolved by suite/pipeline_suite12. A predicate changes
+  the recall/cost surface, so the filtered point comes from a frontier
+  recorded UNDER the filter (BASELINE.md r9).
+* ``cosine`` — the ann_join_cosine shape: the normalized model/codes
+  with the true-cosine re-rank, vs the exact brute cosine join.
+  Resolved by suite/pipeline_suite12.
+
+The output JSON's ``results`` are frontier records consumable directly
+by operators/tiering.ann_operating_point.
+
+Usage: python tools/fixture_frontier.py [--shape semantic|filtered|cosine]
+                                        [--json FRONTIER_sf001.json]
 """
 
 from __future__ import annotations
@@ -28,14 +39,122 @@ from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.01"
 POINTS = [(1, 2), (2, 2), (2, 4), (4, 4), (8, 4), (8, 8)]
+# the kNN-join shapes walk the refine ladder too: on the fixture
+# geometry ADC ties / cell miss dominate at different ends, so the
+# floor must see both knobs
+POINTS_KNN = [(2, 8), (4, 8), (4, 16), (8, 8), (8, 16)]
+
+
+def run_knn_shape(shape: str, out_json: str) -> None:
+    """Record the ann_join_filtered / ann_join_cosine frontier: mean
+    per-probe recall@k vs the exact (filtered / cosine) join over the
+    suite probe table, at each candidate operating point."""
+    from lightweight_vector_database_spark.operators.dedup import (
+        unpersist_caches,
+    )
+    from lightweight_vector_database_spark.operators.knn import knn_join
+    from lightweight_vector_database_spark.plans.ann_join import ann_join_topk
+    from lightweight_vector_database_spark.session import get_spark
+    from lightweight_vector_database_spark.sources import load_table
+    from lightweight_vector_database_spark.suite.pipeline_suite11 import (
+        _aj_codes,
+        _aj_model,
+        _aj_probes,
+    )
+    from lightweight_vector_database_spark.suite.pipeline_suite12 import (
+        _AJC_K,
+        _AJF_K,
+        _AJF_PRED,
+        _ajn_codes,
+        _ajn_model,
+    )
+
+    spark = get_spark("fixture-frontier")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = _aj_probes(spark, SF_DIR)
+    n = probes.count()
+    if shape == "filtered":
+        k, pred = _AJF_K, F.expr(_AJF_PRED)
+        cents, books = _aj_model(spark, SF_DIR)
+        codes = _aj_codes(spark, SF_DIR)  # v2: carries the label column
+        exact = knn_join(probes, emb.filter(pred), k=k, strategy="partial")
+        kwargs = {"pred": pred}
+    else:
+        k, pred = _AJC_K, None
+        cents, books = _ajn_model(spark, SF_DIR)
+        codes = _ajn_codes(spark, SF_DIR)
+        exact = knn_join(
+            probes, emb, k=k, metric="cosine", strategy="partial"
+        )
+        kwargs = {"metric": "cosine"}
+    codes.count()
+    want: dict[int, set] = {}
+    for r in exact.collect():
+        want.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    results = []
+    for nprobe, refine in POINTS_KNN:
+        t0 = time.time()
+        nn = ann_join_topk(
+            codes, cents, books, probes, raw=emb, k=k,
+            nprobe=nprobe, refine=refine, **kwargs,
+        )
+        got: dict[int, set] = {}
+        for r in nn.collect():
+            got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        dt = time.time() - t0
+        unpersist_caches()
+        recalls = [
+            len(got.get(p, set()) & w) / len(w) for p, w in want.items()
+        ]
+        rec = {
+            "nprobe": nprobe,
+            "refine": refine,
+            "recall": round(sum(recalls) / max(1, len(recalls)), 4),
+            "probes_per_sec": round(n / dt, 1),
+            "n_probes": n,
+            "sec": round(dt, 2),
+        }
+        results.append(rec)
+        print(rec, flush=True)
+
+    with open(out_json, "w") as f:
+        json.dump(
+            {
+                "sf_dir": SF_DIR,
+                "shape": shape,
+                "k": k,
+                "metric_note": "recall is mean per-probe recall@k of "
+                f"the ann_join_{shape} shape vs the exact "
+                f"{'filtered' if shape == 'filtered' else 'cosine'} join",
+                "results": results,
+            },
+            f,
+            indent=1,
+        )
+    spark.stop()
 
 
 def main() -> None:
+    shape = (
+        sys.argv[sys.argv.index("--shape") + 1]
+        if "--shape" in sys.argv
+        else "semantic"
+    )
+    default_json = {
+        "semantic": "FRONTIER_sf001.json",
+        "filtered": "FRONTIER_sf001_filt.json",
+        "cosine": "FRONTIER_sf001_cos.json",
+    }[shape]
     out_json = (
         sys.argv[sys.argv.index("--json") + 1]
         if "--json" in sys.argv
-        else "FRONTIER_sf001.json"
+        else default_json
     )
+    if shape in ("filtered", "cosine"):
+        run_knn_shape(shape, out_json)
+        return
     from lightweight_vector_database_spark.functions.distance import (
         euclidean_sq,
     )
