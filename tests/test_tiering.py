@@ -209,6 +209,18 @@ def test_filtered_operating_point_from_filtered_frontier():
     assert ann_operating_point(0.85, f_parity) == (4, 8)  # recall 0.8859
     assert ann_operating_point(0.95, f_parity) is None  # refusal
 
+    # ... and the refusal is ANSWERABLE by recording deeper: the
+    # (8, 16) parity recording (recall 0.962 at every ladder point —
+    # nprobe recovers the rerouted probes, refine recovers the
+    # off-codebook ADC ranking) lifts the 0.95 floor from refusal to a
+    # measured point
+    deep = str(root / "PROBE_SWEEP_r09_base1M_filt_np8r16.json")
+    if Path(deep).exists():
+        f_deep = frontier_from_sweeps(
+            {**parity, deep: None}, path="ann_filt"
+        )
+        assert ann_operating_point(0.95, f_deep) == (8, 16)
+
 
 def test_serving_knobs_resolve_from_committed_fixture_frontiers():
     """No batched serving query hard-codes (nprobe, refine): the suite
