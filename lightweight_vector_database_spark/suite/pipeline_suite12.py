@@ -132,14 +132,16 @@ register(
 # --- cosine batched ANN --------------------------------------------------------
 
 
-def _norm_emb(emb: DataFrame) -> DataFrame:
+def _norm_emb(emb: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """L2-normalized copy of the embeddings table: x / sqrt(left-fold
     norm), the exact arithmetic the kernel's fold_norms and the oracle
-    replay use, so the training sample / encoded cells match both."""
+    replay use, so the training sample / encoded cells match both.
+    ``keep``: extra metadata columns carried through (predicate
+    columns for the filtered-cosine tier)."""
     v = F.col("embedding").cast("array<double>")
     n = l2_norm("embedding")
     return emb.select(
-        "vec_id", F.transform(v, lambda x: x / n).alias("embedding")
+        "vec_id", F.transform(v, lambda x: x / n).alias("embedding"), *keep
     )
 
 
@@ -159,7 +161,9 @@ def _ajn_model(spark: SparkSession, sf_dir: str):
 
 def _ajn_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-partitioned codes snapshot over the NORMALIZED vectors —
-    the cosine tier's index build."""
+    the cosine tier's index build. v2 carries the label column (like
+    the euclidean tier's _aj_codes) so metadata predicates push into
+    the cell-pruned scan for the filtered-cosine query."""
     from ..operators.similarity import ivfpq_encode
 
     cents, books = _ajn_model(spark, sf_dir)
@@ -167,14 +171,16 @@ def _ajn_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _AJN_SNAP:
         name = (
             f"annjoin_cos_{os.path.basename(sf_dir.rstrip('/'))}"
-            f"_c{_AJ_CENTROIDS}m{_AJ_M}k{_AJ_KSUB}_v1"
+            f"_c{_AJ_CENTROIDS}m{_AJ_M}k{_AJ_KSUB}_v2"
         )
         _AJN_SNAP[key] = _write_cell_snapshot(
             spark, name,
             lambda: ivfpq_encode(
-                _norm_emb(load_table(spark, sf_dir, "embeddings")),
+                _norm_emb(
+                    load_table(spark, sf_dir, "embeddings"), keep=("label",)
+                ),
                 cents, books,
-            ).select("vec_id", "cell", "pq_code"),
+            ).select("vec_id", "label", "cell", "pq_code"),
         )
     return _AJN_SNAP[key]
 
@@ -246,3 +252,63 @@ SELECT probe_id, vec_id, round(dist, 6) + 0.0 AS dist, rank FROM topk
 
 
 register("ann_join_cosine", _ann_join_cosine_query, _ann_join_cosine_oracle())
+
+
+# --- filtered + cosine combined ------------------------------------------------
+#
+# The two serving axes COMPOSE: hard-negative mining within a label
+# under the cosine contract — the predicate filters the (label-carrying,
+# normalized) codes snapshot before assignment/ADC, qualifying-cell
+# routing and the candidate cut see matching rows only, and the exact
+# re-rank reports TRUE cosine on the raw vectors. The oracle replay
+# composes the same way: base_where filters the encode CTE, norm
+# normalizes it (filtering commutes with per-row normalize + encode).
+
+_AJFC_K = 10
+_AJFC_FLOOR = 0.95
+_AJFC_NPROBE, _AJFC_REFINE = fixture_operating_point(
+    _repo_file("FRONTIER_sf001_fcos.json"), _AJFC_FLOOR, (8, 16)
+)
+
+
+def _ann_join_filtered_cosine_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.ann_join import ann_join_topk
+
+    cents, books = _ajn_model(spark, sf_dir)
+    codes = _ajn_codes(spark, sf_dir)  # v2: carries label
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_join_topk(
+        codes, cents, books, _aj_probes(spark, sf_dir), raw=emb,
+        k=_AJFC_K, nprobe=_AJFC_NPROBE, refine=_AJFC_REFINE,
+        metric="cosine", pred=F.expr(_AJF_PRED),
+    )
+    return out.select(
+        "probe_id",
+        "vec_id",
+        (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ann_join_filtered_cosine_oracle() -> str | None:
+    trained = _ajn_trained_np()
+    if trained is None:
+        return None
+    cents, books = trained
+    body = _aj_replay_sql(
+        cents, books, _AJ_PROBES_CTE, k=_AJFC_K, nprobe=_AJFC_NPROBE,
+        refine=_AJFC_REFINE, base_where=_AJF_PRED, norm=True,
+        exact_metric="cosine",
+    )
+    return body + """
+SELECT probe_id, vec_id, round(dist, 6) + 0.0 AS dist, rank FROM topk
+"""
+
+
+register(
+    "ann_join_filtered_cosine",
+    _ann_join_filtered_cosine_query,
+    _ann_join_filtered_cosine_oracle(),
+)

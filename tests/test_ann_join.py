@@ -256,6 +256,57 @@ def test_filtered_recall_and_pred(spark, model, probes):
     assert mean >= 0.95, f"filtered mean recall@10 {mean:.3f} < 0.95"
 
 
+def test_filtered_cosine_compose(spark, model, probes):
+    """pred= and metric='cosine' COMPOSE — hard-negative mining within
+    a label under the cosine contract, the combined everyday serving
+    query. The label-carrying codes are encoded over the NORMALIZED
+    corpus; the predicate filters the code tier before assignment/ADC
+    (so qualifying-cell routing and the candidate cut see matching
+    rows only) and the exact re-rank reports TRUE cosine on the raw
+    vectors. Recall >= 0.95 vs the exact FILTERED cosine join;
+    bit-level distance equality on the overlap."""
+    from lightweight_vector_database_spark.operators.knn import knn_join
+    from lightweight_vector_database_spark.suite.pipeline_suite12 import (
+        _norm_emb,
+    )
+
+    emb, *_ = model
+    emb_n = _norm_emb(emb)
+    cents, books = train_ivfpq(
+        emb_n, n_centroids=8, m=8, ksub=64, iters=3, sample_id_col="vec_id"
+    )
+    labels = emb.select("vec_id", "label")
+    codes = (
+        ivfpq_encode(emb_n, cents, books)
+        .join(labels, "vec_id")
+        .select("vec_id", "label", "cell", "pq_code")
+    )
+    pred = F.col("label") < 5
+    ann = ann_join_topk(
+        codes, cents, books, probes, raw=emb, k=10, nprobe=8, refine=16,
+        metric="cosine", pred=pred,
+    )
+    rows = ann.join(labels, "vec_id").collect()
+    assert rows and all(r.label < 5 for r in rows)
+    got_rows = {(r.probe_id, r.vec_id): r.dist for r in rows}
+    exact = knn_join(
+        probes, emb.filter(pred), k=10, metric="cosine", strategy="partial"
+    )
+    want_rows = {(r.probe_id, r.vec_id): r.dist for r in exact.collect()}
+    want: dict[int, set] = {}
+    for p, v in want_rows:
+        want.setdefault(p, set()).add(v)
+    got: dict[int, set] = {}
+    for p, v in got_rows:
+        got.setdefault(p, set()).add(v)
+    assert set(got) == set(want)
+    recalls = [len(got[p] & want[p]) / len(want[p]) for p in want]
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.95, f"filtered-cosine mean recall@10 {mean:.3f} < 0.95"
+    for key in set(got_rows) & set(want_rows):
+        assert got_rows[key] == want_rows[key], key
+
+
 def test_cosine_recall_vs_exact(spark, model, probes):
     """ann_join_topk(metric='cosine') over the normalized model must
     hold recall@10 >= 0.95 vs the exact brute cosine join, and every

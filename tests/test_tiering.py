@@ -238,14 +238,18 @@ def test_serving_knobs_resolve_from_committed_fixture_frontiers():
 
     filt = s11._repo_file("FRONTIER_sf001_filt.json")
     cos = s11._repo_file("FRONTIER_sf001_cos.json")
+    fcos = s11._repo_file("FRONTIER_sf001_fcos.json")
     sem = s11._repo_file("FRONTIER_sf001.json")
-    if not all(os.path.exists(p) for p in (filt, cos, sem)):
+    if not all(os.path.exists(p) for p in (filt, cos, fcos, sem)):
         pytest.skip("fixture frontier recordings absent")
     assert fixture_operating_point(filt, s12._AJF_FLOOR, (8, 16)) == (
         s12._AJF_NPROBE, s12._AJF_REFINE,
     )
     assert fixture_operating_point(cos, s12._AJC_FLOOR, (8, 16)) == (
         s12._AJC_NPROBE, s12._AJC_REFINE,
+    )
+    assert fixture_operating_point(fcos, s12._AJFC_FLOOR, (8, 16)) == (
+        s12._AJFC_NPROBE, s12._AJFC_REFINE,
     )
     assert fixture_operating_point(sem, s11._SD_FLOOR, (4, 4)) == (
         s11._SD_NPROBE, s11._SD_REFINE,

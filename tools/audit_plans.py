@@ -36,6 +36,7 @@ EXPECTED_PYTHON = {
     "ann_join_topk",  # batched IVF-PQ: cell-assign mapInPandas + cogrouped ADC (plans/ann_join)
     "ann_join_filtered",  # same boundaries with the predicate pushed to the code tier
     "ann_join_cosine",  # same boundaries over the normalized model (kernel-side probe normalization)
+    "ann_join_filtered_cosine",  # both axes composed: same boundaries, predicate on the normalized code tier
     "dedup_semantic_ann",  # corpus-as-probes ann_join_topk (same boundaries)
     "knn_join_bulk",  # distributed probe path: mapInPandas candidate derivation + cogrouped matmul scoring (plans/bulk_knn)
     "knn_join_bulk_cosine",  # same machinery over the normalized snapshot + exact-cosine re-rank

@@ -17,6 +17,9 @@ Shapes:
 * ``cosine`` — the ann_join_cosine shape: the normalized model/codes
   with the true-cosine re-rank, vs the exact brute cosine join.
   Resolved by suite/pipeline_suite12.
+* ``filtered_cosine`` — the ann_join_filtered_cosine shape: both axes
+  composed (predicate on the normalized label-carrying codes, true-
+  cosine re-rank), vs the exact FILTERED cosine join.
 
 The output JSON's ``results`` are frontier records consumable directly
 by operators/tiering.ann_operating_point.
@@ -65,6 +68,7 @@ def run_knn_shape(shape: str, out_json: str) -> None:
         _AJC_K,
         _AJF_K,
         _AJF_PRED,
+        _AJFC_K,
         _ajn_codes,
         _ajn_model,
     )
@@ -80,6 +84,15 @@ def run_knn_shape(shape: str, out_json: str) -> None:
         codes = _aj_codes(spark, SF_DIR)  # v2: carries the label column
         exact = knn_join(probes, emb.filter(pred), k=k, strategy="partial")
         kwargs = {"pred": pred}
+    elif shape == "filtered_cosine":
+        k, pred = _AJFC_K, F.expr(_AJF_PRED)
+        cents, books = _ajn_model(spark, SF_DIR)
+        codes = _ajn_codes(spark, SF_DIR)  # v2: normalized + label
+        exact = knn_join(
+            probes, emb.filter(pred), k=k, metric="cosine",
+            strategy="partial",
+        )
+        kwargs = {"metric": "cosine", "pred": pred}
     else:
         k, pred = _AJC_K, None
         cents, books = _ajn_model(spark, SF_DIR)
@@ -127,7 +140,12 @@ def run_knn_shape(shape: str, out_json: str) -> None:
                 "k": k,
                 "metric_note": "recall is mean per-probe recall@k of "
                 f"the ann_join_{shape} shape vs the exact "
-                f"{'filtered' if shape == 'filtered' else 'cosine'} join",
+                + {
+                    "filtered": "filtered",
+                    "cosine": "cosine",
+                    "filtered_cosine": "filtered cosine",
+                }[shape]
+                + " join",
                 "results": results,
             },
             f,
@@ -146,13 +164,14 @@ def main() -> None:
         "semantic": "FRONTIER_sf001.json",
         "filtered": "FRONTIER_sf001_filt.json",
         "cosine": "FRONTIER_sf001_cos.json",
+        "filtered_cosine": "FRONTIER_sf001_fcos.json",
     }[shape]
     out_json = (
         sys.argv[sys.argv.index("--json") + 1]
         if "--json" in sys.argv
         else default_json
     )
-    if shape in ("filtered", "cosine"):
+    if shape in ("filtered", "cosine", "filtered_cosine"):
         run_knn_shape(shape, out_json)
         return
     from lightweight_vector_database_spark.functions.distance import (
