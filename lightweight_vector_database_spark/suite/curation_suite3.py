@@ -343,6 +343,11 @@ SELECT id1, id2, shared,
 FROM sh JOIN sz s1 ON sh.id1 = s1.doc_id JOIN sz s2 ON sh.id2 = s2.doc_id
 WHERE round(shared * 1.0 / least(s1.n, s2.n), 6) >= {_CONTAIN_CUT}
 """,
+    quadratic_baseline=(
+        "all-sharing-pairs containment via inverted-index self-join "
+        "(89.7s sf1 / 486s sf3; scale twin: dedup_containment_lsh, "
+        "catch-all asymmetric twin: dedup_containment_banded)"
+    ),
 )
 
 

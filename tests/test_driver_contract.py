@@ -119,3 +119,28 @@ def test_quadratic_baselines_flagged_in_registry():
                 "is not flagged quadratic_baseline — flag it (naming "
                 "its scale twin) or fix its plan"
             )
+
+    # VERDICT r9 item 2: the sf1 wall alone lets a quadratic slip under
+    # the bar (dedup_containment_pairs: 89.7s at sf1 — under budget —
+    # but 7.8x at 3x data). Reject unflagged SUPER-LINEAR growth across
+    # the recorded sf points: at 3x data a linear query should grow
+    # ~3x; >4.5x with a non-trivial sf3 wall means the plan has an
+    # all-pairs term and must be flagged (naming its scale twin).
+    sf3_path = Path(__file__).resolve().parent.parent / "SCALE_ALL_sf3.json"
+    if scale_all.exists() and sf3_path.exists():
+        rec1 = json.loads(scale_all.read_text())["queries"]
+        rec3 = json.loads(sf3_path.read_text())["queries"]
+        growth_cap = 4.5       # 1.5x superlinear margin over the 3x data
+        sf3_floor_sec = 60.0   # ignore sub-minute walls (warm-up noise)
+        for name, r3 in rec3.items():
+            if name in QUADRATIC or name not in QUERIES:
+                continue
+            s1 = rec1.get(name, {}).get("sec")
+            s3 = r3.get("sec")
+            if not s1 or not s3 or s3 <= sf3_floor_sec:
+                continue
+            assert s3 / s1 <= growth_cap, (
+                f"{name} grew {s3 / s1:.1f}x from sf1 ({s1:.1f}s) to sf3 "
+                f"({s3:.1f}s) — super-linear and unflagged; add "
+                "quadratic_baseline naming its scale twin or fix the plan"
+            )
