@@ -39,36 +39,13 @@ from ..functions.text import (
 
 _LOG = logging.getLogger(__name__)
 
-# relations persisted by operators in this module (signature caches,
-# fingerprint indexes, bucket stats). They are deliberately left
-# cached while the returned plans are alive — the plans reference
-# them — but repeated calls in one long session would otherwise
-# accumulate executor storage (ADVICE r6): call unpersist_caches()
-# after materializing the results you need.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def _register_cache(df: DataFrame) -> DataFrame:
-    _LIVE_CACHES.append(df)
-    return df
-
-
-def unpersist_caches(blocking: bool = False) -> int:
-    """Release every relation this module has persisted (signature /
-    fingerprint / bucket-stats caches). Call after the DataFrames
-    returned by the dedup operators have been materialized (written or
-    collected); plans still holding a released cache recompute it
-    lazily, so this is always safe, never wrong — just possibly
-    slower. Returns the number of relations released."""
-    n = 0
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
-        try:
-            df.unpersist(blocking)
-            n += 1
-        except Exception:  # session already stopped: nothing to free
-            pass
-    return n
+# The persisted-relation registry lives in the shared public
+# ``caching`` module (ADVICE r9: plans/ann_join and plans/bulk_knn
+# depended on this module's private name); re-exported here because
+# the established release hook for every tool/test is
+# ``operators.dedup.unpersist_caches``.
+from ..caching import register_cache as _register_cache  # noqa: F401
+from ..caching import unpersist_caches  # noqa: F401
 
 # --- exact ---------------------------------------------------------------
 

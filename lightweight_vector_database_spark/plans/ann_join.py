@@ -14,8 +14,10 @@ candidate list ever materializes on the driver.
 Plan shape (``ann_join_topk``):
 
 1. **Probe cell assignment, distributed.** ``mapInPandas`` over the
-   probe table; the closure carries only the coarse centroids
-   (O(cells x dim) doubles). Per probe: left-fold squared distances to
+   probe table; the coarse centroids + codebooks ride a BROADCAST
+   variable (O(cells x dim) values, torrent-shipped once per executor
+   — not serialized into every task closure). Per probe: left-fold
+   squared distances to
    every centroid (the same IEEE accumulation order as the SQL
    ``list_sum`` fold, so cell choice ties out bit-for-bit against the
    DuckDB oracle), emit the ``nprobe`` nearest (dist, cell-id
@@ -153,6 +155,10 @@ def ann_join_topk(
     probe_group_rows: int = DEFAULT_PROBE_GROUP_ROWS,
     code_stats: dict[int, int] | None = None,
     probe_chunk: int = 4_096,
+    adaptive: bool = False,
+    esc_nprobe: int | None = None,
+    esc_refine: int | None = None,
+    model_dtype=np.float64,
 ) -> DataFrame:
     """Batched IVF-PQ top-k join (see module docstring).
 
@@ -178,6 +184,41 @@ def ann_join_topk(
     the filter columns so the predicate pushes into the pruned parquet
     scan. When you pass precomputed ``code_stats``, they must be
     post-``pred`` counts (pass None to let this function count).
+
+    ``adaptive`` enables PER-PROBE escalation (VERDICT r9 item 1): a
+    globally deeper (nprobe, refine) point makes EVERY probe pay the
+    adversarial-predicate cost; instead each probe is escalated only
+    when the predicate actually displaced it, on two O(cells) signals
+    computed inside the assignment kernel:
+
+    * **displaced home** — the probe's nearest cell OVERALL is not a
+      qualifying cell (its home territory was emptied by ``pred``, so
+      its true filtered neighbors are scattered across farther cells
+      and the ADC residuals are off-model): that probe searches
+      ``esc_nprobe`` cells and keeps ``k * esc_refine`` candidates.
+    * **qualifying-mass shortfall** — the cumulative post-``pred``
+      code count over the probe's chosen cells is below its candidate
+      budget (k*refine, or k*esc_refine when displaced): the probe
+      widens its OWN cell list to the nearest qualifying cells whose
+      cumulative mass covers the budget (capped at all live cells).
+
+    Probes triggering neither signal run the base (nprobe, refine)
+    point BIT-IDENTICALLY to ``adaptive=False``. Defaults:
+    ``esc_nprobe = 2*nprobe``, ``esc_refine = 8*refine`` — at the
+    default (4, 2) these reproduce (8, 16), the recorded operating
+    point that clears the 0.95 recall floor under the
+    cluster-correlated predicate (PROBE_SWEEP_r09_base1M_filt_np8r16)
+    — while uncorrelated probes keep the cheap knob.
+
+    ``metric='cosine'`` additionally requires every probe and corpus
+    vector to be non-zero (the kernel raises on a zero-norm probe —
+    ADVICE r9 — rather than emitting NaN coordinates).
+
+    ``model_dtype``: storage dtype for the broadcast centroids +
+    codebooks. float64 (default) is required for the bit-exact oracle
+    contract; float32 halves the broadcast at 100 TB model sizes
+    (kernels upcast to float64 for the folds, so results are still
+    deterministic — just quantized to the float32 model).
     """
     if k < 1 or nprobe < 1 or refine < 1:
         raise ValueError("k, nprobe and refine must be >= 1")
@@ -190,14 +231,25 @@ def ann_join_topk(
     if pred is not None:
         codes = codes.filter(pred)
     spark = codes.sparkSession
-    cents = np.asarray(centroids, dtype=np.float64)
-    books = np.asarray(codebooks, dtype=np.float64)
+    # model_dtype quantizes the STORED model (broadcast payload); the
+    # folds always run in float64 on the (possibly quantized) values
+    cents = np.asarray(centroids, dtype=np.float64).astype(
+        model_dtype, copy=False
+    )
+    books = np.asarray(codebooks, dtype=np.float64).astype(
+        model_dtype, copy=False
+    )
     m, ksub, dsub = books.shape
     if cents.shape[1] != m * dsub:
         raise ValueError(
             f"codebooks cover dim {m * dsub}, centroids have {cents.shape[1]}"
         )
     keep = k * refine
+    if esc_nprobe is None:
+        esc_nprobe = 2 * nprobe
+    if esc_refine is None:
+        esc_refine = 8 * refine
+    keep_esc = k * esc_refine if adaptive else keep
 
     # ---- 0. qualifying-cell mask (O(cells) metadata) -------------------------
     # Probes are assigned to their nprobe nearest QUALIFYING cells —
@@ -222,6 +274,9 @@ def ann_join_topk(
     live_cells = np.array(
         sorted(c for c, n in code_stats.items() if n > 0), dtype=np.int64
     )
+    live_counts = np.array(
+        [code_stats[int(c)] for c in live_cells], dtype=np.int64
+    )
     if not len(live_cells):
         return (
             probes.select(
@@ -232,17 +287,38 @@ def ann_join_topk(
             ).filter(F.lit(False))
         )
     np_eff = min(nprobe, len(live_cells))
-    live_cents = cents[live_cells]
+    np_esc_eff = min(esc_nprobe, len(live_cells)) if adaptive else np_eff
+    n_live = len(live_cells)
+
+    # Model state ships as a BROADCAST variable, not closure capture
+    # (VERDICT r9 item 5): mapInPandas serializes the closure per task,
+    # so at 10^6 coarse cells x high dim the captured centroids +
+    # codebooks were ~0.5 GB re-shipped with EVERY task; a broadcast is
+    # torrent-distributed once per executor and shared by all its
+    # tasks. Registered in the shared cache registry so the sweep
+    # tools' between-query unpersist also frees executor-side copies
+    # (the driver keeps its copy — a later job simply re-fetches).
+    from ..caching import register_cache
+
+    b_model = register_cache(
+        spark.sparkContext.broadcast((cents, books, live_cells, live_counts))
+    )
 
     # ---- 1. distributed probe -> candidate-cell assignment -----------------
     cand_schema = (
         f"{probe_id_col} long, {probe_vec_col} array<double>, "
-        f"{cell_col} int"
+        f"{cell_col} int, __esc int"
     )
 
     def assign(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        bc_cents, _bc_books, bc_live, bc_counts = b_model.value
+        cents_f = bc_cents.astype(np.float64, copy=False)
+        live_cents = cents_f[bc_live]
+        all_ids = np.arange(len(cents_f), dtype=np.int64)
+        live_mask = np.zeros(len(cents_f), dtype=bool)
+        live_mask[bc_live] = True
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -255,43 +331,75 @@ def ann_join_topk(
                     # coordinates match the oracle's x / sqrt(list_sum)
                     # bit-for-bit; all downstream ADC runs in the
                     # normalized space the codes were encoded in
-                    P = P / np.sqrt(fold_norms(P))[:, None]
-                d = fold_sq_dists(P, live_cents)
-                # nprobe nearest qualifying cells with cell-id
-                # tie-break: one lexsort per chunk (ties between
-                # equidistant centroids must resolve the same way the
-                # oracle's ORDER BY d, cell does)
-                order = np.lexsort(
-                    (np.broadcast_to(live_cells, d.shape), d), axis=1
-                )[:, :np_eff]
+                    nn = fold_norms(P)
+                    if not np.all(nn > 0.0):
+                        bad = pids[lo : lo + probe_chunk][nn <= 0.0][:5]
+                        raise ValueError(
+                            "metric='cosine' requires non-zero probe "
+                            f"vectors; zero-norm probe ids: {bad.tolist()}"
+                        )
+                    P = P / np.sqrt(nn)[:, None]
                 n = len(P)
+                if adaptive:
+                    # one fold over ALL centroids; the live columns are
+                    # sliced out of it (each column's fold is
+                    # independent, so the sliced values are bit-
+                    # identical to folding over live_cents alone)
+                    d_all = fold_sq_dists(P, cents_f)
+                    d = d_all[:, bc_live]
+                    home = np.lexsort(
+                        (np.broadcast_to(all_ids, d_all.shape), d_all),
+                        axis=1,
+                    )[:, 0]
+                    esc = ~live_mask[home]
+                else:
+                    d = fold_sq_dists(P, live_cents)
+                    esc = np.zeros(n, dtype=bool)
+                # full qualifying-cell ordering with cell-id tie-break:
+                # one lexsort per chunk (ties between equidistant
+                # centroids must resolve the same way the oracle's
+                # ORDER BY d, cell does)
+                order = np.lexsort(
+                    (np.broadcast_to(bc_live, d.shape), d), axis=1
+                )
+                if adaptive:
+                    base_n = np.where(esc, np_esc_eff, np_eff)
+                    keep_p = np.where(esc, keep_esc, keep)
+                    # qualifying-mass shortfall: the smallest prefix of
+                    # the probe's ranked cells whose cumulative
+                    # post-pred mass covers its candidate budget
+                    cum = np.cumsum(bc_counts[order], axis=1)
+                    need = (cum >= keep_p[:, None]).argmax(axis=1) + 1
+                    need[cum[:, -1] < keep_p] = n_live  # short: all cells
+                    take = np.minimum(np.maximum(base_n, need), n_live)
+                else:
+                    take = np.full(n, np_eff, dtype=np.int64)
+                row_sel = np.arange(n_live)[None, :] < take[:, None]
+                cols = order[row_sel]  # row-major: first take[i] per row
+                P_list = P.tolist()
+                idx_rows = np.repeat(np.arange(n), take)
                 yield pd.DataFrame(
                     {
                         probe_id_col: np.repeat(
-                            pids[lo : lo + probe_chunk], np_eff
+                            pids[lo : lo + probe_chunk], take
                         ),
-                        probe_vec_col: [
-                            v
-                            for v in P.tolist()
-                            for _ in range(np_eff)
-                        ],
-                        cell_col: live_cells[
-                            order.reshape(n * np_eff)
-                        ].astype("int32"),
+                        probe_vec_col: [P_list[i] for i in idx_rows],
+                        cell_col: bc_live[cols].astype("int32"),
+                        "__esc": np.repeat(
+                            esc.astype("int32"), take
+                        ),
                     }
                 )
 
     # Persisted (spill-to-disk, never executor memory pressure) because
     # TWO jobs consume it: the cand_counts collect below and the final
-    # scored pipeline. Unpersisted lazily via the shared dedup cache
-    # registry (operators/dedup.unpersist_caches — the same hook
-    # run_all_queries calls between queries); without the persist the
-    # full probe-table centroid-distance pass executed TWICE per job
-    # (ADVICE r8 / VERDICT r8 item 4 — a doubled hottest stage at the
-    # 10^8-probe workload).
-    from ..operators.dedup import _register_cache
-
-    cand = _register_cache(
+    # scored pipeline. Unpersisted lazily via the shared cache registry
+    # (caching.unpersist_caches — the same hook run_all_queries calls
+    # between queries); without the persist the full probe-table
+    # centroid-distance pass executed TWICE per job (ADVICE r8 /
+    # VERDICT r8 item 4 — a doubled hottest stage at the 10^8-probe
+    # workload).
+    cand = register_cache(
         probes.select(probe_id_col, probe_vec_col)
         .mapInPandas(assign, cand_schema)
         .persist(StorageLevel.DISK_ONLY)
@@ -352,11 +460,13 @@ def ann_join_topk(
         )
         .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("__nsalt") - 1)))
         .withColumn("salt", F.col("salt").cast("int"))
-        .select(cell_col, "salt", "psalt", probe_id_col, probe_vec_col)
+        .select(cell_col, "salt", "psalt", probe_id_col, probe_vec_col, "__esc")
     )
 
     # ---- 3. cogrouped ADC scoring -------------------------------------------
-    out_schema = f"{probe_id_col} long, {id_col} long, adc_dist double"
+    out_schema = (
+        f"{probe_id_col} long, {id_col} long, adc_dist double, __esc int"
+    )
 
     def score(left, right):
         import pandas as pd
@@ -364,14 +474,22 @@ def ann_join_topk(
         from ..operators.knn import adaptive_probe_chunk, matmul_tie_thresholds
 
         if not len(left) or not len(right):
-            return pd.DataFrame({probe_id_col: [], id_col: [], "adc_dist": []})
+            return pd.DataFrame(
+                {probe_id_col: [], id_col: [], "adc_dist": [], "__esc": []}
+            )
+        bc_cents, bc_books, _bc_live, _bc_counts = b_model.value
+        cents_f = bc_cents.astype(np.float64, copy=False)
+        books_f = bc_books.astype(np.float64, copy=False)
         cell = int(left[cell_col].iloc[0])
         ids = right[id_col].to_numpy().astype(np.int64)
         C = np.stack(right[code_col].to_numpy()).astype(np.int64)
         pids = left[probe_id_col].to_numpy()
+        escs = left["__esc"].to_numpy().astype(np.int64)
         P_all = np.stack(left[probe_vec_col].to_numpy()).astype(np.float64)
-        kk = min(keep, len(ids))
-        dim = cents.shape[1]
+        # per-probe candidate budget: escalated probes keep k*esc_refine
+        keeps = np.where(escs == 1, keep_esc, keep)
+        kk = min(int(keeps.max()), len(ids))
+        dim = cents_f.shape[1]
         # ADC identity: sum_j ||r_j - b[j][code_j]||^2 is the squared
         # euclidean distance between the probe residual and the DECODED
         # vector concat_j b[j][code_j]. Decoding the group's codes ONCE
@@ -385,17 +503,21 @@ def ann_join_topk(
         # recomputed with the left-fold LUT formula, so emitted values
         # — and therefore the global candidate cut and the SQL oracle
         # match — are bit-identical to the pure-fold path.
-        V = np.concatenate([books[j][C[:, j]] for j in range(m)], axis=1)
+        V = np.concatenate([books_f[j][C[:, j]] for j in range(m)], axis=1)
         v_sq = (V**2).sum(axis=1)
-        o_pid, o_id, o_adc = [], [], []
+        o_pid, o_id, o_adc, o_esc = [], [], [], []
         step = adaptive_probe_chunk(len(ids), probe_chunk)
         for lo in range(0, len(pids), step):
             P = P_all[lo : lo + step]
-            R = P - cents[cell][None, :]
-            lut = fold_residual_luts(R, books)
+            R = P - cents_f[cell][None, :]
+            lut = fold_residual_luts(R, books_f)
             r_sq = (R**2).sum(axis=1)
             D = r_sq[:, None] - 2.0 * (R @ V.T) + v_sq[None, :]
             if kk < len(ids):
+                # thresholds sized by the chunk's LARGEST budget: a
+                # superset for cheaper probes, whose own top-keep cut
+                # below is unchanged — so non-escalated probes emit
+                # bit-identically to the uniform-budget path
                 thr = matmul_tie_thresholds(
                     D.T, kk, dim, float(v_sq.max()), r_sq
                 )
@@ -412,13 +534,16 @@ def ann_join_topk(
                 lj = lut[bi]
                 for j in range(m):
                     row = row + lj[j][C[cols, j]]
-                order = np.lexsort((ids[cols], row))[:kk]
+                kk_p = min(int(keeps[lo + bi]), len(ids))
+                order = np.lexsort((ids[cols], row))[:kk_p]
                 sel = cols[order]
                 o_pid.extend([int(pids[lo + bi])] * len(order))
                 o_id.extend(ids[sel].tolist())
                 o_adc.extend(row[order].tolist())
+                o_esc.extend([int(escs[lo + bi])] * len(order))
         return pd.DataFrame(
-            {probe_id_col: o_pid, id_col: o_id, "adc_dist": o_adc}
+            {probe_id_col: o_pid, id_col: o_id, "adc_dist": o_adc,
+             "__esc": o_esc}
         )
 
     scored = (
@@ -427,13 +552,16 @@ def ann_join_topk(
         .applyInPandas(score, out_schema)
     )
 
-    # ---- 4. global candidate cut (salting-independent) ----------------------
+    # ---- 4. global candidate cut (salting-independent, per-probe budget) ----
     wc = Window.partitionBy(probe_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )
+    keep_col = F.when(F.col("__esc") == 1, F.lit(keep_esc)).otherwise(
+        F.lit(keep)
+    )
     cand_topk = (
         scored.withColumn("__crank", F.row_number().over(wc))
-        .filter(F.col("__crank") <= keep)
+        .filter(F.col("__crank") <= keep_col)
         .select(probe_id_col, id_col)
     )
 

@@ -228,14 +228,14 @@ def knn_join_bulk(
     # Persisted (spill-to-disk) because two jobs consume it — the
     # cand_counts collect and the final scored pipeline; without the
     # persist the full probe-table bound-derivation pass ran twice per
-    # job (VERDICT r8 item 4). Freed lazily via the shared dedup cache
-    # registry (operators/dedup.unpersist_caches) or eagerly on the
+    # job (VERDICT r8 item 4). Freed lazily via the shared cache
+    # registry (caching.unpersist_caches) or eagerly on the
     # early-return fallbacks below.
     from pyspark import StorageLevel
 
-    from ..operators.dedup import _register_cache
+    from ..caching import register_cache
 
-    cand = _register_cache(
+    cand = register_cache(
         probes.select(probe_id_col, probe_vec_col)
         .mapInPandas(derive, cand_schema)
         .persist(StorageLevel.DISK_ONLY)
