@@ -183,7 +183,7 @@ def ivf_search(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     pred: Column | None = None,
-    cell_counts: dict[int, int] | None = None,
+    filtered_cell_counts: dict[int, int] | None = None,
     qualify: bool = True,
 ) -> DataFrame:
     """kNN restricted to the ``nprobe`` cells nearest the probe.
@@ -208,18 +208,22 @@ def ivf_search(
     the batched tier closes with its qualifying-cell mask
     (plans/ann_join.py step 0). Qualification costs one O(cells)
     distinct-aggregate over the filtered table per query; serving
-    deployments amortize it by passing ``cell_counts`` — precomputed
-    POST-predicate per-cell counts (per-predicate stats), which skips
-    the aggregate entirely."""
+    deployments amortize it by passing ``filtered_cell_counts`` —
+    per-cell counts computed UNDER THE SAME ``pred`` (per-predicate
+    stats), which skips the aggregate entirely. Passing UNFILTERED
+    counts here silently reverts to the empty-probed-cell hole the
+    qualification exists to close (every cell appears live, probes
+    route into predicate-emptied cells) — hence the name (ADVICE r9;
+    the r9 parameter name ``cell_counts`` did not say which counts)."""
     order = ivf_cell_order(centroids, probe)
     if pred is not None and qualify:
-        if cell_counts is None:
+        if filtered_cell_counts is None:
             qual = {
                 int(r[0])
                 for r in assigned.filter(pred).select("cell").distinct().collect()
             }
         else:
-            qual = {int(c) for c, n in cell_counts.items() if n > 0}
+            qual = {int(c) for c, n in filtered_cell_counts.items() if n > 0}
         order = [c for c in order if c in qual]
     probe_cells = order[:nprobe]
     cand = assigned.filter(F.col("cell").isin(probe_cells))

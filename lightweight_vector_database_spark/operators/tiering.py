@@ -262,17 +262,33 @@ def fixture_operating_point(
     """Resolve a serving query's (nprobe, refine) from a RECORDED
     fixture-frontier JSON (tools/fixture_frontier.py) — the measured
     table lookup replacing hard-coded knobs. Falls back to the given
-    working point when the recording is absent or no recorded point
+    working point when the recording is ABSENT or no recorded point
     clears the floor (the refusal contract: a knob that was never
-    measured to clear the floor must not be invented)."""
+    measured to clear the floor must not be invented). A recording
+    that exists but cannot be parsed RAISES (ADVICE r9): a corrupted
+    frontier silently serving the fallback would degrade every
+    resolved query with no signal."""
     import json
 
     try:
         with open(path) as f:
-            frontier = json.load(f)["results"]
-    except Exception:
+            doc = json.load(f)
+    except FileNotFoundError:
         return fallback
-    pt = ann_operating_point(floor, frontier)
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        raise ValueError(
+            f"frontier recording {path} exists but is unreadable "
+            f"({e}); re-record it with tools/fixture_frontier.py or "
+            "delete it to serve the documented fallback"
+        ) from e
+    try:
+        frontier = doc["results"]
+        pt = ann_operating_point(floor, frontier)
+    except (KeyError, TypeError) as e:
+        raise ValueError(
+            f"frontier recording {path} has an unexpected schema "
+            f"({e}); re-record it with tools/fixture_frontier.py"
+        ) from e
     return pt if pt is not None else fallback
 
 

@@ -79,20 +79,52 @@ def _write_cell_snapshot(spark: SparkSession, name: str, build) -> DataFrame:
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # sweep crash orphans before building (ADVICE r9): a builder
+        # that died mid-write leaves '<name>.tmp*' trees (only the
+        # rename-loser path cleaned its own). Age-gated so a CONCURRENT
+        # builder's live tmp is never swept — a crashed build's tree
+        # stops changing, a live one is minutes old at most.
+        import time as _time
+
+        for entry in os.listdir(root):
+            if entry.startswith(name + ".tmp"):
+                p = os.path.join(root, entry)
+                try:
+                    stale = _time.time() - os.path.getmtime(p) > 3600
+                except OSError:
+                    continue
+                if stale:
+                    shutil.rmtree(p, ignore_errors=True)
         tmp = tempfile.mkdtemp(dir=root, prefix=name + ".tmp")
-        build().repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(tmp)
+        try:
+            build().repartition("cell").write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(tmp)
+        except BaseException:
+            # a failed build must not orphan its tmp tree (ADVICE r9)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, path)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                raise RuntimeError(
-                    f"incomplete codes snapshot at {path}: rename "
-                    "failed and no _SUCCESS marker; remove the stale "
-                    "directory and rebuild"
-                )
+                # the target exists but is PARTIAL (a crashed builder's
+                # leftover, not a concurrent winner — a winner's rename
+                # is atomic and its tree carries _SUCCESS): recover
+                # automatically instead of demanding manual deletion
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                        raise RuntimeError(
+                            f"incomplete codes snapshot at {path}: rename "
+                            "failed twice and no _SUCCESS marker; remove "
+                            "the stale directory and rebuild"
+                        )
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path).withColumn(
         "cell", F.col("cell").cast("int")
     )
@@ -199,6 +231,8 @@ def _aj_replay_sql(
     norm: bool = False,
     exact_metric: str = "euclidean_sq",
     cte_prefix: str = "",
+    cell_where: str | None = None,
+    adaptive_esc: tuple[int, int] | None = None,
 ) -> str:
     """The shared WITH-chain replaying ann_join_topk in DuckDB up to
     the per-probe top-k CTE ``topk(probe_id, vec_id, dist, rank)``.
@@ -215,7 +249,17 @@ def _aj_replay_sql(
     L2-normalized (x / sqrt(left-fold norm), the exact arithmetic of
     the kernel's fold_norms and Spark's x / l2_norm) for assignment +
     ADC, while the exact re-rank scores ``exact_metric`` on the RAW
-    vectors."""
+    vectors.
+
+    ``cell_where``: SQL predicate over the 1-BASED coarse-cell position
+    ``cellp`` (Spark cell id c == cellp c+1), replaying a predicate on
+    the codes snapshot's cell column (retired-shard filtering) —
+    qualifying rows, live cells and the ADC all see the filtered set.
+    ``adaptive_esc``: (esc_nprobe, esc_refine) replaying
+    ``ann_join_topk(adaptive=True)`` — per-probe displaced-home
+    escalation + qualifying-mass widening, the same two signals as the
+    kernel (see plans/ann_join.py), each expressed as window/aggregate
+    SQL over the same bit-deterministic fold distances."""
     m, ksub, dsub = books.shape
     # literals hoisted into a ONE-ROW consts CTE (cross-joined where
     # needed): inlining the ~80 KB codebook array inside per-row
@@ -295,6 +339,99 @@ def _aj_replay_sql(
         exact = f"CAST(1.0 AS DOUBLE) - ({dot}) / (sqrt({na}) * sqrt({nb}))"
     else:
         exact = _dist_sql("e.embedding", "x.probe_vec", exact_metric)
+
+    # qualifying codes: the cell-predicate filters the coded relation
+    # (the Spark side filters the codes snapshot on its cell column;
+    # cellp here is the SAME deterministic function of the row)
+    qual = "codedq" if cell_where else "coded"
+    qual_cte = (
+        f""", codedq AS (
+  SELECT * FROM coded WHERE {cell_where}
+)"""
+        if cell_where
+        else ""
+    )
+    if adaptive_esc is None:
+        mid = f"""pcells AS (
+  SELECT probe_id, probe_vec, cellp,
+         list_transform({rng_dim},
+             i -> wv[i] - cents[cellp][i]) AS prv
+  FROM (
+    SELECT probe_id, probe_vec, wv, u.i AS cellp,
+           row_number() OVER (
+             PARTITION BY probe_id ORDER BY pd[u.i], u.i
+           ) AS rn
+    -- nprobe nearest QUALIFYING cells (cells holding coded rows),
+    -- mirroring the kernel's live-cell mask: a geometry-correlated
+    -- predicate must not leave probes pointing at emptied cells
+    FROM pdist, (SELECT DISTINCT cellp AS i FROM {qual}) u
+  ), consts WHERE rn <= {nprobe}
+), adc AS (
+  SELECT p.probe_id, p.probe_vec, c.vec_id, ({adc}) AS adc_dist
+  FROM pcells p JOIN {qual} c ON p.cellp = c.cellp, consts
+), cand AS (
+  SELECT probe_id, probe_vec, vec_id FROM (
+    SELECT probe_id, probe_vec, vec_id,
+           row_number() OVER (
+             PARTITION BY probe_id ORDER BY adc_dist, vec_id
+           ) AS crank
+    FROM adc
+  ) WHERE crank <= {k * refine}
+)"""
+    else:
+        esc_np, esc_rf = adaptive_esc
+        # per-probe escalation (plans/ann_join.py adaptive=True):
+        # pesc  — displaced-home signal: the probe's FIRST-min cell over
+        #         ALL centroids (list_position = smallest index on ties,
+        #         the kernel's lexsort tie-break) holds no qualifying row
+        # pranked/ptake — qualifying-mass widening: the smallest ranked-
+        #         cell prefix whose cumulative mass covers the probe's
+        #         budget, floored at its (esc_)nprobe, capped at all
+        #         live cells (coalesce to max(rn) when mass runs short)
+        mid = f"""ccnt AS (
+  SELECT cellp, count(*) AS cnt FROM {qual} GROUP BY cellp
+), pesc AS (
+  SELECT probe_id,
+         CASE WHEN list_position(pd, list_min(pd)) IN (SELECT cellp FROM ccnt)
+              THEN 0 ELSE 1 END AS esc
+  FROM pdist
+), pranked AS (
+  SELECT d.probe_id, d.probe_vec, d.wv, e.esc, u.cellp,
+         row_number() OVER (
+           PARTITION BY d.probe_id ORDER BY d.pd[u.cellp], u.cellp
+         ) AS rn,
+         sum(u.cnt) OVER (
+           PARTITION BY d.probe_id ORDER BY d.pd[u.cellp], u.cellp
+         ) AS cum
+  FROM pdist d JOIN pesc e USING (probe_id), ccnt u
+), ptake AS (
+  SELECT probe_id,
+         greatest(
+           max(CASE WHEN esc = 1 THEN {esc_np} ELSE {nprobe} END),
+           coalesce(min(CASE WHEN cum >= (CASE WHEN esc = 1
+                        THEN {k * esc_rf} ELSE {k * refine} END)
+                        THEN rn END), max(rn))
+         ) AS ntake
+  FROM pranked GROUP BY probe_id
+), pcells AS (
+  SELECT r.probe_id, r.probe_vec, r.cellp,
+         list_transform({rng_dim},
+             i -> r.wv[i] - cents[r.cellp][i]) AS prv
+  FROM pranked r JOIN ptake t USING (probe_id), consts
+  WHERE r.rn <= t.ntake
+), adc AS (
+  SELECT p.probe_id, p.probe_vec, c.vec_id, ({adc}) AS adc_dist
+  FROM pcells p JOIN {qual} c ON p.cellp = c.cellp, consts
+), cand AS (
+  SELECT probe_id, probe_vec, vec_id FROM (
+    SELECT a.probe_id, a.probe_vec, a.vec_id, e.esc,
+           row_number() OVER (
+             PARTITION BY a.probe_id ORDER BY a.adc_dist, a.vec_id
+           ) AS crank
+    FROM adc a JOIN pesc e USING (probe_id)
+  ) WHERE crank <= (CASE WHEN esc = 1
+                    THEN {k * esc_rf} ELSE {k * refine} END)
+)"""
     sql = f"""
 WITH consts AS (
   SELECT {cents_sql} AS cents, {books_all} AS bks
@@ -313,37 +450,12 @@ WITH consts AS (
   SELECT vec_id, cellp,
          {", ".join(f"{code(j)} AS c{j}" for j in range(m))}
   FROM assigned, consts
-), pdist AS (
+){qual_cte}, pdist AS (
   SELECT probe_id, probe_vec, wv,
          list_transform(cents, c -> list_sum(list_transform({rng_dim},
              i -> (wv[i] - c[i]) * (wv[i] - c[i])))) AS pd
   FROM pwork, consts
-), pcells AS (
-  SELECT probe_id, probe_vec, cellp,
-         list_transform({rng_dim},
-             i -> wv[i] - cents[cellp][i]) AS prv
-  FROM (
-    SELECT probe_id, probe_vec, wv, u.i AS cellp,
-           row_number() OVER (
-             PARTITION BY probe_id ORDER BY pd[u.i], u.i
-           ) AS rn
-    -- nprobe nearest QUALIFYING cells (cells holding coded rows),
-    -- mirroring the kernel's live-cell mask: a geometry-correlated
-    -- predicate must not leave probes pointing at emptied cells
-    FROM pdist, (SELECT DISTINCT cellp AS i FROM coded) u
-  ), consts WHERE rn <= {nprobe}
-), adc AS (
-  SELECT p.probe_id, p.probe_vec, c.vec_id, ({adc}) AS adc_dist
-  FROM pcells p JOIN coded c ON p.cellp = c.cellp, consts
-), cand AS (
-  SELECT probe_id, probe_vec, vec_id FROM (
-    SELECT probe_id, probe_vec, vec_id,
-           row_number() OVER (
-             PARTITION BY probe_id ORDER BY adc_dist, vec_id
-           ) AS crank
-    FROM adc
-  ) WHERE crank <= {k * refine}
-), refined AS (
+), {mid}, refined AS (
   SELECT x.probe_id, x.vec_id, {exact} AS dist
   FROM cand x JOIN embeddings e ON e.vec_id = x.vec_id
 ), topk AS (
@@ -362,7 +474,8 @@ WITH consts AS (
         import re
 
         for name in ("consts", "probes", "base", "pwork", "cdist",
-                     "assigned", "coded", "pdist", "pcells", "adc",
+                     "assigned", "codedq", "coded", "ccnt", "pesc",
+                     "pranked", "ptake", "pdist", "pcells", "adc",
                      "cand", "refined", "topk"):
             sql = re.sub(rf"\b{name}\b", f"{cte_prefix}{name}", sql)
         sql = sql.replace("WITH ", "", 1).lstrip("\n")

@@ -137,7 +137,14 @@ def _norm_emb(emb: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     norm), the exact arithmetic the kernel's fold_norms and the oracle
     replay use, so the training sample / encoded cells match both.
     ``keep``: extra metadata columns carried through (predicate
-    columns for the filtered-cosine tier)."""
+    columns for the filtered-cosine tier).
+
+    PRECONDITION (ADVICE r9): every row must be non-zero — a zero-norm
+    vector divides by sqrt(0) and silently yields NaN coordinates with
+    engine-dependent NaN ordering downstream. The cosine contract as a
+    whole requires it (the probe-side kernel RAISES on zero norms,
+    plans/ann_join.py); the fixture corpus is unit-norm by
+    construction, so no per-row guard is spent here."""
     v = F.col("embedding").cast("array<double>")
     n = l2_norm("embedding")
     return emb.select(

@@ -1,0 +1,104 @@
+"""Training-pipeline queries, thirteenth batch (round 10): PER-PROBE
+ADAPTIVE escalation for the batched ANN join (VERDICT r9 item 1).
+
+``ann_join_adaptive`` — the batched IVF-PQ join under a predicate that
+RETIRES whole coarse cells (``cell >= 2`` on the codes snapshot: the
+shard-decommission / quarantined-partition shape, maximally correlated
+with the cluster geometry by construction). A fixed (nprobe, refine)
+must choose between paying the adversarial deep point for EVERY probe
+or losing the displaced probes' recall; ``adaptive=True`` escalates
+per probe instead (plans/ann_join.py):
+
+* probes whose home cell survives run the base point bit-identically,
+* probes whose home cell was retired search esc_nprobe cells and keep
+  k*esc_refine candidates,
+* any probe whose chosen cells cannot cover its candidate budget
+  widens its own cell list until the qualifying mass does.
+
+The oracle replays the ENTIRE adaptive pipeline in DuckDB SQL — the
+displaced-home test, the per-probe cumulative-mass widening, the
+per-probe candidate budget — via ``_aj_replay_sql(cell_where=,
+adaptive_esc=)``, so the adaptive path gets the same EXACT value-hash
+contract as the fixed-knob queries.
+
+Reference contract being scaled: filter-before-topk kNN
+(kd_tree_database.py:285-304) where the filter is an index-metadata
+predicate; the escalation is the batched analogue of widening a
+failing probe's search radius instead of re-tuning the whole index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.tiering import fixture_operating_point
+from ..sources import load_table
+from . import register
+from .pipeline_suite11 import (
+    _AJ_PROBES_CTE,
+    _aj_codes,
+    _aj_model,
+    _aj_probes,
+    _aj_replay_sql,
+    _aj_trained_np,
+    _repo_file,
+)
+
+_ADAPT_K = 10
+# retired coarse cells: everything below this cell id is banned (the
+# 0-based Spark cell id; the oracle's 1-based cellp adds one)
+_ADAPT_MIN_CELL = 2
+_ADAPT_FLOOR = 0.95
+# The BASE point resolves from the recorded adaptive-shape frontier
+# (tools/fixture_frontier.py --shape adaptive); escalated probes pay
+# the 2x/8x escalation of plans/ann_join's defaults, pinned explicitly
+# here because the oracle replay needs the concrete values.
+_ADAPT_NPROBE, _ADAPT_REFINE = fixture_operating_point(
+    _repo_file("FRONTIER_sf001_adapt.json"), _ADAPT_FLOOR, (2, 2)
+)
+_ADAPT_ESC_NPROBE = 2 * _ADAPT_NPROBE
+_ADAPT_ESC_REFINE = 8 * _ADAPT_REFINE
+
+
+def _ann_join_adaptive_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ann_join import ann_join_topk
+
+    cents, books = _aj_model(spark, sf_dir)
+    codes = _aj_codes(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_join_topk(
+        codes, cents, books, _aj_probes(spark, sf_dir), raw=emb,
+        k=_ADAPT_K, nprobe=_ADAPT_NPROBE, refine=_ADAPT_REFINE,
+        pred=F.col("cell") >= _ADAPT_MIN_CELL,
+        adaptive=True,
+        esc_nprobe=_ADAPT_ESC_NPROBE,
+        esc_refine=_ADAPT_ESC_REFINE,
+    )
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round(F.col("dist"), 6).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ann_join_adaptive_oracle() -> str | None:
+    trained = _aj_trained_np()
+    if trained is None:
+        return None
+    cents, books = trained
+    body = _aj_replay_sql(
+        cents, books, _AJ_PROBES_CTE, k=_ADAPT_K, nprobe=_ADAPT_NPROBE,
+        refine=_ADAPT_REFINE,
+        cell_where=f"cellp >= {_ADAPT_MIN_CELL + 1}",
+        adaptive_esc=(_ADAPT_ESC_NPROBE, _ADAPT_ESC_REFINE),
+    )
+    return body + """
+SELECT probe_id, vec_id, round(dist, 6) AS dist, rank FROM topk
+"""
+
+
+register(
+    "ann_join_adaptive", _ann_join_adaptive_query, _ann_join_adaptive_oracle()
+)

@@ -263,3 +263,47 @@ def test_cosine_zero_norm_probe_raises(spark):
     assert "zero-norm probe ids: [0]" in str(ei.value) or isinstance(
         ei.value, Py4JJavaError
     )
+
+
+def test_cell_snapshot_recovers_from_crash_leftovers(spark, tmp_path, monkeypatch):
+    """ADVICE r9: a builder that crashed mid-write must not poison the
+    snapshot store — a failed build leaves no tmp tree, and a stale
+    PARTIAL target (no _SUCCESS) is recovered automatically on the
+    next build instead of demanding manual deletion."""
+    import os
+    import shutil
+
+    from lightweight_vector_database_spark.suite import pipeline_suite11 as s11
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(s11.__file__)))
+        ),
+        ".index_snapshots",
+    )
+    os.makedirs(root, exist_ok=True)
+    name = "unittest_crash_recovery"
+    path = os.path.join(root, name)
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        # 1. a build that dies mid-write cleans its own tmp tree
+        def boom():
+            raise RuntimeError("simulated builder crash")
+
+        before = {e for e in os.listdir(root) if e.startswith(name + ".tmp")}
+        with pytest.raises(RuntimeError, match="simulated"):
+            s11._write_cell_snapshot(spark, name, boom)
+        after = {e for e in os.listdir(root) if e.startswith(name + ".tmp")}
+        assert after == before  # no orphan tmp tree
+
+        # 2. a stale PARTIAL target (crashed after rename started /
+        # legacy leftover) is replaced by the next successful build
+        os.makedirs(path, exist_ok=True)  # no _SUCCESS inside
+        df = spark.createDataFrame(
+            [(1, 0, [1, 2]), (2, 1, [3, 4])], "vec_id long, cell int, pq_code array<int>"
+        )
+        out = s11._write_cell_snapshot(spark, name, lambda: df)
+        assert out.count() == 2
+        assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

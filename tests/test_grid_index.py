@@ -336,6 +336,88 @@ def test_custom_metric_falls_back(indexed):
         METRICS.pop("weighted_l1_test", None)
 
 
+def test_custom_metric_blackbox_bounds_prune(indexed):
+    """VERDICT r9 item 4: a custom metric registered WITHOUT a
+    hand-written cell_bounds — only the vectorized point_fn plus the
+    box_monotone declaration — prunes through the indexed path (the
+    blackbox analogue of the reference's scipy point2plane,
+    distance_metric.py:7-19), and indexed == brute exactly: the
+    synthesized clamp/far-corner bounds are exact for box-monotone
+    metrics, never approximations."""
+    from lightweight_vector_database_spark.functions.distance import (
+        METRIC_CELL_BOUNDS,
+        METRICS,
+        _as_double,
+        _coerce,
+        _fold_sum,
+        register_metric,
+        vec_lit,
+    )
+
+    w = [1.0 + (i % 3) * 0.25 for i in range(DIM)]
+
+    def weighted_cheby(a, b):
+        a, b = _as_double(a), _coerce(b)
+        diff = F.zip_with(a, b, lambda x, y: F.abs(x - y))
+        wd = F.zip_with(diff, vec_lit(w), lambda d, ww: d * ww)
+        return F.array_max(wd)
+
+    def weighted_cheby_np(p, X):
+        return (np.abs(X - p[None, :]) * np.asarray(w)[None, :]).max(axis=1)
+
+    register_metric(
+        "weighted_cheby_test", weighted_cheby,
+        point_fn=weighted_cheby_np, box_monotone=True,
+    )
+    try:
+        assert GridIndex.supports("weighted_cheby_test")  # prunes, not brute
+        emb, idx, assigned, stats = indexed
+        for seed in (5, 23):
+            probe = probe_vector(seed=seed)
+            exact = [
+                (r.vec_id, round(r.dist, 9))
+                for r in knn(
+                    emb, probe, 10, metric="weighted_cheby_test"
+                ).collect()
+            ]
+            got = [
+                (r.vec_id, round(r.dist, 9))
+                for r in knn_indexed(
+                    assigned, idx, probe, 10, metric="weighted_cheby_test",
+                    stats=stats,
+                ).collect()
+            ]
+            assert got == exact
+        # the synthesized bounds are VALID: lower <= true min and
+        # upper >= true max over each cell's rows
+        probe = probe_vector(seed=5)
+        p = np.asarray(probe)
+        rows = assigned.select("cell_id", "embedding").collect()
+        per_cell: dict[int, list] = {}
+        for r in rows:
+            per_cell.setdefault(r.cell_id, []).append(r.embedding)
+        cells = sorted(per_cell)
+        lower = idx.lower_bound_dists(probe, cells, metric="weighted_cheby_test")
+        inb = [
+            c for c in cells
+            if all(
+                (np.asarray(v) >= np.asarray(idx.lower)).all()
+                and (np.asarray(v) <= np.asarray(idx.upper)).all()
+                for v in per_cell[c]
+            )
+        ]
+        upper = idx.upper_bound_dists(probe, inb, metric="weighted_cheby_test")
+        for ci, c in enumerate(cells):
+            d = weighted_cheby_np(p, np.asarray(per_cell[c], dtype=np.float64))
+            assert lower[ci] <= d.min() + 1e-9
+        for ci, c in enumerate(inb):
+            d = weighted_cheby_np(p, np.asarray(per_cell[c], dtype=np.float64))
+            assert d.max() <= upper[ci] + 1e-9
+    finally:
+        METRICS.pop("weighted_cheby_test", None)
+        METRIC_CELL_BOUNDS.pop("weighted_cheby_test", None)
+
+
 class TestAdaptiveIndex:
     """Reference leaf-split semantics (kd_tree_database.py:94-104):
     overfull regions deepen, sparse regions stay shallow."""

@@ -112,7 +112,7 @@ def test_ivf_filtered_routes_to_qualifying_cells(spark):
         (r["vec_id"], round(r["dist"], 6))
         for r in ivf_search(
             adf, cents, probe, k=3, nprobe=1, pred=pred,
-            cell_counts={0: 0, 1: 0, 2: 0, 3: 5},
+            filtered_cell_counts={0: 0, 1: 0, 2: 0, 3: 5},
         ).collect()
     ]
     assert got_stats == got

@@ -234,14 +234,23 @@ def test_serving_knobs_resolve_from_committed_fixture_frontiers():
     from lightweight_vector_database_spark.suite import (
         pipeline_suite11 as s11,
         pipeline_suite12 as s12,
+        pipeline_suite13 as s13,
     )
 
     filt = s11._repo_file("FRONTIER_sf001_filt.json")
     cos = s11._repo_file("FRONTIER_sf001_cos.json")
     fcos = s11._repo_file("FRONTIER_sf001_fcos.json")
     sem = s11._repo_file("FRONTIER_sf001.json")
-    if not all(os.path.exists(p) for p in (filt, cos, fcos, sem)):
+    adapt = s11._repo_file("FRONTIER_sf001_adapt.json")
+    if not all(os.path.exists(p) for p in (filt, cos, fcos, sem, adapt)):
         pytest.skip("fixture frontier recordings absent")
+    assert fixture_operating_point(adapt, s13._ADAPT_FLOOR, (2, 2)) == (
+        s13._ADAPT_NPROBE, s13._ADAPT_REFINE,
+    )
+    # the escalation multipliers are the plans/ann_join defaults (the
+    # oracle replay pins the concrete values)
+    assert s13._ADAPT_ESC_NPROBE == 2 * s13._ADAPT_NPROBE
+    assert s13._ADAPT_ESC_REFINE == 8 * s13._ADAPT_REFINE
     assert fixture_operating_point(filt, s12._AJF_FLOOR, (8, 16)) == (
         s12._AJF_NPROBE, s12._AJF_REFINE,
     )
@@ -260,6 +269,27 @@ def test_serving_knobs_resolve_from_committed_fixture_frontiers():
     )
     # a floor no recorded point clears -> fallback, never extrapolation
     assert fixture_operating_point(filt, 1.01, (8, 16)) == (8, 16)
+
+
+def test_corrupted_frontier_recording_raises(tmp_path):
+    """ADVICE r9: a frontier recording that EXISTS but cannot be parsed
+    must raise, not silently serve the fallback knobs — a corrupted
+    recording degrading every resolved serving query needs a signal."""
+    from lightweight_vector_database_spark.operators.tiering import (
+        fixture_operating_point,
+    )
+
+    bad = tmp_path / "frontier.json"
+    bad.write_text("{not json")
+    with pytest.raises(ValueError, match="unreadable"):
+        fixture_operating_point(str(bad), 0.9, (8, 16))
+    bad.write_text('{"no_results_key": []}')
+    with pytest.raises(ValueError, match="unexpected schema"):
+        fixture_operating_point(str(bad), 0.9, (8, 16))
+    # absent stays the documented fallback path
+    assert fixture_operating_point(
+        str(tmp_path / "missing.json"), 0.9, (4, 4)
+    ) == (4, 4)
 
 
 def test_seeded_probes_deterministic_and_validation(spark, sf_dir):

@@ -20,6 +20,11 @@ Shapes:
 * ``filtered_cosine`` — the ann_join_filtered_cosine shape: both axes
   composed (predicate on the normalized label-carrying codes, true-
   cosine re-rank), vs the exact FILTERED cosine join.
+* ``adaptive`` — the ann_join_adaptive shape: the cell-retirement
+  predicate (cell >= 2 on the codes snapshot) with per-probe
+  escalation at 2x/8x of each base point, vs the exact join over the
+  surviving cells' rows. The BASE (nprobe, refine) is what the
+  frontier ladder walks; escalation rides it.
 
 The output JSON's ``results`` are frontier records consumable directly
 by operators/tiering.ann_operating_point.
@@ -46,6 +51,9 @@ POINTS = [(1, 2), (2, 2), (2, 4), (4, 4), (8, 4), (8, 8)]
 # geometry ADC ties / cell miss dominate at different ends, so the
 # floor must see both knobs
 POINTS_KNN = [(2, 8), (4, 8), (4, 16), (8, 8), (8, 16)]
+# adaptive walks BASE points (escalation pays the deep knob per probe,
+# so the base ladder starts cheap — that is the mechanism's point)
+POINTS_ADAPTIVE = [(1, 2), (2, 2), (2, 4), (4, 4), (8, 8)]
 
 
 def run_knn_shape(shape: str, out_json: str) -> None:
@@ -78,7 +86,22 @@ def run_knn_shape(shape: str, out_json: str) -> None:
     emb = load_table(spark, SF_DIR, "embeddings")
     probes = _aj_probes(spark, SF_DIR)
     n = probes.count()
-    if shape == "filtered":
+    if shape == "adaptive":
+        from lightweight_vector_database_spark.suite.pipeline_suite13 import (
+            _ADAPT_K,
+            _ADAPT_MIN_CELL,
+        )
+
+        k = _ADAPT_K
+        cents, books = _aj_model(spark, SF_DIR)
+        codes = _aj_codes(spark, SF_DIR)
+        pred = F.col("cell") >= _ADAPT_MIN_CELL
+        surviving = emb.join(
+            codes.filter(pred).select("vec_id"), "vec_id", "semi"
+        )
+        exact = knn_join(probes, surviving, k=k, strategy="partial")
+        kwargs = {"pred": pred, "adaptive": True}
+    elif shape == "filtered":
         k, pred = _AJF_K, F.expr(_AJF_PRED)
         cents, books = _aj_model(spark, SF_DIR)
         codes = _aj_codes(spark, SF_DIR)  # v2: carries the label column
@@ -107,7 +130,9 @@ def run_knn_shape(shape: str, out_json: str) -> None:
         want.setdefault(r["probe_id"], set()).add(r["vec_id"])
 
     results = []
-    for nprobe, refine in POINTS_KNN:
+    for nprobe, refine in (
+        POINTS_ADAPTIVE if shape == "adaptive" else POINTS_KNN
+    ):
         t0 = time.time()
         nn = ann_join_topk(
             codes, cents, books, probes, raw=emb, k=k,
@@ -144,8 +169,17 @@ def run_knn_shape(shape: str, out_json: str) -> None:
                     "filtered": "filtered",
                     "cosine": "cosine",
                     "filtered_cosine": "filtered cosine",
+                    "adaptive": "surviving-cells filtered",
                 }[shape]
                 + " join",
+                **(
+                    {"esc_note": "per-point escalation at "
+                     "esc_nprobe=2*nprobe, esc_refine=8*refine "
+                     "(plans/ann_join defaults, pinned by "
+                     "pipeline_suite13)"}
+                    if shape == "adaptive"
+                    else {}
+                ),
                 "results": results,
             },
             f,
@@ -165,13 +199,14 @@ def main() -> None:
         "filtered": "FRONTIER_sf001_filt.json",
         "cosine": "FRONTIER_sf001_cos.json",
         "filtered_cosine": "FRONTIER_sf001_fcos.json",
+        "adaptive": "FRONTIER_sf001_adapt.json",
     }[shape]
     out_json = (
         sys.argv[sys.argv.index("--json") + 1]
         if "--json" in sys.argv
         else default_json
     )
-    if shape in ("filtered", "cosine", "filtered_cosine"):
+    if shape in ("filtered", "cosine", "filtered_cosine", "adaptive"):
         run_knn_shape(shape, out_json)
         return
     from lightweight_vector_database_spark.functions.distance import (

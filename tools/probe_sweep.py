@@ -290,6 +290,16 @@ def main() -> None:
                 codes, cents, books, p, raw=base, k=K,
                 nprobe=ann_nprobe, refine=ann_refine, pred=FILT_PRED,
             )
+            # per-probe adaptive escalation at the SAME base knob
+            # (VERDICT r9 item 1): only predicate-displaced probes pay
+            # the deep point, so the adversarial parity predicate
+            # should recover recall at a fraction of the global
+            # (8,16)-for-everyone cost
+            paths["ann_adapt"] = lambda p=probes: ann_join_topk(
+                codes, cents, books, p, raw=base, k=K,
+                nprobe=ann_nprobe, refine=ann_refine, pred=FILT_PRED,
+                adaptive=True,
+            )
         if only_paths is not None:
             paths = {n: f for n, f in paths.items() if n in only_paths}
         exact_samples: dict[str, dict] = {}
@@ -325,7 +335,9 @@ def main() -> None:
                 if name not in exact_samples:
                     sp = probes.filter(sample_pred)
                     gt_base = (
-                        base.filter(FILT_PRED) if name == "ann_filt" else base
+                        base.filter(FILT_PRED)
+                        if name in ("ann_filt", "ann_adapt")
+                        else base
                     )
                     exact_samples[name] = {}
                     for r in knn_join_blocks(sp, gt_base, K).collect():
