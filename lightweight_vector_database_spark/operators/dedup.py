@@ -125,6 +125,74 @@ def jaccard_pairs(
     return pairs
 
 
+# --- short-side banded containment candidates --------------------------------
+
+
+def containment_candidates_short(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    h: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate (id1 < id2) pairs for ASYMMETRIC containment — the
+    tiny-doc-inside-huge-doc case jaccard-keyed MinHash-LSH structurally
+    misses (a 15-word quote inside a 200-word template has jaccard
+    ~0.07: no band ever collides), called out in curation_suite3's own
+    scale-twin docstring (VERDICT r9 item 9).
+
+    Key the SHORT side: every doc emits its ``h`` smallest gram hashes
+    (a bottom-h sketch of its OWN gram set — the banding is over the
+    candidate containee). If doc S is contained in doc B, every sampled
+    gram of S is in B's gram set, so S's probes hit B's postings with
+    certainty at containment 1.0 and with probability ~1-(1-c)^h at
+    containment c. Candidates join the probes against the distinct-gram
+    inverted index — shuffle is h rows per doc on the probe side and
+    the gram stream on the posting side, both linear in the corpus.
+
+    ``max_df`` drops grams appearing in more than that many docs from
+    the POSTING side (boilerplate n-grams are the classic mega-posting
+    blowup); the probe side keeps them, so a short doc made entirely of
+    boilerplate still probes — it just only finds docs sharing its
+    rarer grams. Deterministic (a df-cap, not a per-bucket sample), so
+    the whole candidate set replays exactly in SQL.
+
+    Returns (id1, id2) distinct; compose with the exact containment
+    scorer exactly like the jaccard-keyed twin (see
+    suite/curation_suite3.dedup_containment_banded)."""
+    if h < 1:
+        raise ValueError("h must be >= 1")
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, ngram))).alias("ng"),
+    )
+    hashed = grams.withColumn("gh", portable_token_hash(F.col("ng")))
+    w = Window.partitionBy("id").orderBy(F.col("gh").asc(), F.col("ng").asc())
+    probes = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= h)
+        .select(F.col("id").alias("pid"), "ng")
+    )
+    postings = grams
+    if max_df is not None:
+        df_counts = grams.groupBy("ng").agg(F.count(F.lit(1)).alias("__df"))
+        postings = (
+            grams.join(df_counts, "ng")
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    return (
+        probes.join(postings.withColumnRenamed("id", "oid"), "ng")
+        .filter(F.col("pid") != F.col("oid"))
+        .select(
+            F.least("pid", "oid").alias("id1"),
+            F.greatest("pid", "oid").alias("id2"),
+        )
+        .distinct()
+    )
+
+
 # --- winnowing fingerprints -------------------------------------------------
 
 def winnow_pairs(

@@ -419,6 +419,98 @@ WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
 register("dedup_containment_lsh", _containment_lsh, _containment_lsh_oracle())
 
 
+# --- short-side banded containment (VERDICT r9 item 9) ------------------------
+
+_CB_H = 8
+_CB_MAX_DF = 50
+
+
+def _containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CATCH-ALL asymmetric containment path: candidates keyed on
+    the SHORT side's bottom-h gram sketch
+    (operators/dedup.containment_candidates_short) instead of
+    jaccard-similar MinHash bands — a tiny quote inside a huge template
+    has jaccard ~0.07 (no LSH band ever collides) but every sampled
+    gram of the quote is in the template, so the probe hits with
+    certainty at containment 1.0. Scoring is the same exact
+    array_intersect formula as the LSH twin; candidates are linear in
+    the corpus (h probe rows per doc against a df-capped inverted
+    index)."""
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.containment_candidates_short(
+        docs, ngram=3, h=_CB_H, max_df=_CB_MAX_DF
+    )
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(T.word_ngrams("text", 3)).alias("g"),
+    ).withColumn("n", F.size("g").cast("long"))
+    g1 = sets.select(
+        F.col("doc_id").alias("id1"), F.col("g").alias("g1"), F.col("n").alias("n1")
+    )
+    g2 = sets.select(
+        F.col("doc_id").alias("id2"), F.col("g").alias("g2"), F.col("n").alias("n2")
+    )
+    return (
+        cands.join(g1, "id1")
+        .join(g2, "id2")
+        .withColumn(
+            "shared", F.size(F.array_intersect("g1", "g2")).cast("long")
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least(F.col("n1"), F.col("n2")), 6),
+        )
+        .filter(F.col("containment") >= _CONTAIN_CUT)
+        .select("id1", "id2", "shared", "containment")
+    )
+
+
+register(
+    "dedup_containment_banded",
+    _containment_banded,
+    f"""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(w[i:i + 2], ' ')
+                 FOR i IN range(1, greatest(len(w) - 2, 0) + 1)]) AS ng
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), hashed AS (
+  SELECT doc_id, ng,
+         ('0x' || substr(md5(ng), 1, 15))::BIGINT % 2147483647 AS gh
+  FROM g
+), probes AS (
+  SELECT doc_id AS pid, ng FROM (
+    SELECT doc_id, ng,
+           row_number() OVER (PARTITION BY doc_id ORDER BY gh, ng) AS rn
+    FROM hashed
+  ) WHERE rn <= {_CB_H}
+), dfc AS (
+  SELECT ng, count(*) AS df FROM g GROUP BY ng
+), postings AS (
+  SELECT doc_id AS oid, g.ng FROM g JOIN dfc USING (ng)
+  WHERE dfc.df <= {_CB_MAX_DF}
+), cand AS (
+  SELECT DISTINCT least(pid, oid) AS id1, greatest(pid, oid) AS id2
+  FROM probes JOIN postings USING (ng) WHERE pid != oid
+), gset AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT c.id1, c.id2,
+       len(list_intersect(a.grams, b.grams)) AS shared,
+       round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+             least(len(a.grams), len(b.grams)), 6) AS containment
+FROM cand c JOIN gset a ON a.doc_id = c.id1 JOIN gset b ON b.doc_id = c.id2
+WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+            least(len(a.grams), len(b.grams)), 6) >= {_CONTAIN_CUT}
+""",
+)
+
+
 # --- cross-document n-gram novelty -------------------------------------------
 
 

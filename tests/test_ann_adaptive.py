@@ -307,3 +307,35 @@ def test_cell_snapshot_recovers_from_crash_leftovers(spark, tmp_path, monkeypatc
         assert os.path.exists(os.path.join(path, "_SUCCESS"))
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_adaptive_scan_counts_unchanged(spark, clustered):
+    """The escalation signals are computed INSIDE the existing
+    assignment pass (O(cells) arrays from the broadcast, no extra job):
+    the probe table is still scanned exactly twice — assignment +
+    re-rank join (the r8 pin, adaptive variant)."""
+    df, cents, books, codes, probes = clustered
+    p = probes.filter(F.col("probe_id") < 150)
+    n = p.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted_probes = p.mapInPandas(
+        counted, "probe_id long, probe_vec array<double>"
+    )
+    out = ann_join_topk(
+        codes, cents, books, counted_probes, raw=df, k=5, nprobe=2,
+        refine=2, pred=F.col("vec_id") % 2 == 0, adaptive=True,
+    )
+    assert out.count() == n * 5
+    assert acc.value == 2 * n, (
+        f"probe table scanned {acc.value / n:.1f}x (expected 2x) — "
+        "adaptive escalation added a probe-table pass"
+    )
+    from lightweight_vector_database_spark.caching import unpersist_caches
+
+    assert unpersist_caches() >= 1
