@@ -58,6 +58,8 @@ class VectorIngest:
         id_col: str = "vec_id",
         retain_versions: int | None = None,
         compact_every: int | None = 64,
+        drift_monitor=None,
+        retrain_fn=None,
     ):
         self.store = store
         self.index = index
@@ -72,11 +74,34 @@ class VectorIngest:
         # whenever it exceeds ``compact_every`` dirs — the maintenance
         # cadence a log-structured table needs (None disables).
         self.compact_every = compact_every
+        # IVF serving-tier maintenance wired INTO the ingest loop
+        # (VERDICT r9 item 6): every committed batch of new vectors
+        # feeds the operators/drift.DriftMonitor (one O(batch) codegen
+        # aggregate); when its stale fraction crosses the limit,
+        # ``retrain_fn(store, monitor) -> (centroids, threshold)``
+        # rebuilds the serving model from the CURRENT snapshot (retrain
+        # + re-encode is the caller's deploy step — the store and grid
+        # index are unaffected) and the monitor resets to the new
+        # model. ``retrain_epochs`` records when retrains fired.
+        self.drift_monitor = drift_monitor
+        self.retrain_fn = retrain_fn
+        self.retrain_epochs: list[int] = []
         try:
             snap = store.read()
             self.stats = index_stats(snap)
         except KeyError:
             self.stats = {}
+
+    def _observe_drift(self, new_rows: DataFrame, epoch_id: int) -> None:
+        """Post-commit drift bookkeeping over the batch's NEW vectors
+        (insert path: the whole batch; CDC path: U + I rows)."""
+        if self.drift_monitor is None:
+            return
+        self.drift_monitor.observe(new_rows, vec_col=self.vec_col)
+        if self.drift_monitor.should_retrain and self.retrain_fn is not None:
+            cents, thr = self.retrain_fn(self.store, self.drift_monitor)
+            self.drift_monitor.reset(cents, thr)
+            self.retrain_epochs.append(epoch_id)
 
     # -- epoch bookkeeping (idempotent replay) -------------------------
 
@@ -160,6 +185,7 @@ class VectorIngest:
         self.stats = update_stats(self.stats, self.index, inserted=batch_df,
                                   vec_col=self.vec_col)
         self._maintain()
+        self._observe_drift(batch_df, epoch_id)
         self._record_epoch(epoch_id)
 
     def apply_cdc_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -253,6 +279,12 @@ class VectorIngest:
             self.stats, self.index, inserted=i_rows, vec_col=self.vec_col
         )
         self._maintain()
+        self._observe_drift(
+            u_rows.select(self.vec_col).unionByName(
+                i_rows.select(self.vec_col)
+            ),
+            epoch_id,
+        )
         self._record_epoch(epoch_id)
 
     def start(self, stream_df: DataFrame, checkpoint: str, **trigger):

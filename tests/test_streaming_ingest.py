@@ -347,3 +347,123 @@ def test_ingest_delta_auto_compaction(spark, tmp_path, index):
     # the high-water mark survived compaction: next batch keeps minting
     ingest.apply_batch(_batch(spark, 5, 5), 4)
     assert sorted(r.vec_id for r in store.read().collect()) == list(range(45))
+
+
+def test_ingest_delta_drift_triggers_retrain_and_recall_restores(
+    spark, tmp_path, index
+):
+    """VERDICT r9 item 6: the DriftMonitor wired INTO the ingest loop,
+    end to end through a REAL stream over the delta store — planted
+    drift mid-stream trips the retrain trigger from inside
+    foreachBatch, the retrain_fn rebuilds the serving model from the
+    CURRENT snapshot, and post-retrain nprobe recall on the drifted
+    probes is restored while the refreshed monitor goes quiet."""
+    from lightweight_vector_database_spark.operators.drift import (
+        DriftMonitor,
+        staleness_threshold,
+    )
+    from lightweight_vector_database_spark.operators.knn import knn_join
+    from lightweight_vector_database_spark.operators.similarity import (
+        ivf_assign,
+        ivf_search,
+        train_centroids,
+    )
+    from lightweight_vector_database_spark.sources.delta_snapshots import (
+        DeltaSnapshotStore,
+    )
+
+    def cluster_batch(seed: int, n: int, center: float, amp: float = 0.02):
+        rng = np.random.RandomState(seed)
+        rows = [
+            ((center + amp * rng.uniform(-1, 1, DIM)).tolist(), int(seed))
+            for _ in range(n)
+        ]
+        return spark.createDataFrame(rows, "embedding array<double>, label int")
+
+    # deploy-time state: base data committed, model trained on it
+    store = DeltaSnapshotStore(spark, str(tmp_path / "delta"))
+    bootstrap = VectorIngest(store, index)
+    bootstrap.apply_batch(
+        cluster_batch(1, 60, 0.15).unionByName(cluster_batch(2, 60, 0.85)), 0
+    )
+    deployed = store.read()
+    cents = train_centroids(
+        deployed, n_centroids=2, iters=5, sample_rows=512,
+        sample_id_col="vec_id",
+    )
+    thr = staleness_threshold(deployed, cents, q=0.95)
+
+    def retrain(st, mon):
+        snap = st.read()
+        new_cents = train_centroids(
+            snap, n_centroids=4, iters=5, sample_rows=512,
+            sample_id_col="vec_id",
+        )
+        return new_cents, staleness_threshold(snap, new_cents, q=0.95)
+
+    monitor = DriftMonitor(cents, thr, stale_limit=0.5)
+    ingest = VectorIngest(
+        store, index, drift_monitor=monitor, retrain_fn=retrain
+    )
+
+    # mid-stream batches: 2 in-distribution (no trigger), then the
+    # drifted cluster at the midpoint — equidistant from both trained
+    # centroids, the silent-recall-loss geometry
+    src = tmp_path / "incoming"
+    cluster_batch(3, 40, 0.16).coalesce(1).write.mode("append").parquet(str(src))
+    cluster_batch(4, 40, 0.84).coalesce(1).write.mode("append").parquet(str(src))
+    cluster_batch(5, 80, 0.5, amp=0.04).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    stream = (
+        spark.readStream.schema("embedding array<double>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = ingest.start(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    # the trigger fired exactly once, on the drifted batch, and the
+    # refreshed monitor is quiet
+    assert len(ingest.retrain_epochs) == 1
+    assert not monitor.should_retrain
+    new_cents = monitor.centroids
+
+    # recall re-pin on the final snapshot: drifted probes through the
+    # OLD model lose their neighborhood, through the retrained model
+    # they recover it
+    snap = store.read()
+    drifted = snap.filter(
+        F.col("embedding")[0].between(0.4, 0.6)
+    )
+    probes = drifted.limit(12).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("probe_vec"),
+    )
+    want: dict[int, set] = {}
+    for r in knn_join(probes, snap, 10, strategy="window").collect():
+        want.setdefault(r.probe_id, set()).add(r.vec_id)
+
+    def mean_recall(model):
+        assigned = ivf_assign(snap, model).cache()
+        recs = []
+        for pid, vec in sorted(
+            (r.probe_id, [float(x) for x in r.probe_vec])
+            for r in probes.collect()
+        ):
+            got = {
+                r.vec_id
+                for r in ivf_search(
+                    assigned, model, vec, k=10, nprobe=1
+                ).collect()
+            }
+            recs.append(len(got & want[pid]) / 10)
+        assigned.unpersist()
+        return sum(recs) / len(recs)
+
+    degraded = mean_recall(cents)
+    restored = mean_recall(new_cents)
+    assert restored >= 0.9, f"retrain did not restore recall: {restored}"
+    assert restored > degraded + 0.2, (
+        f"drift fixture too easy: old {degraded}, new {restored}"
+    )
