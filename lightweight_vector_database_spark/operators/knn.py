@@ -203,11 +203,20 @@ def np_dists(metric: str, M: np.ndarray, p: np.ndarray, inv_diag=None) -> np.nda
     if metric == "mahalanobis_diag":
         w = np.asarray(list(inv_diag), dtype=np.float64)
         return (w[None, :] * (M - p[None, :]) ** 2).sum(axis=1)
+    if metric == "cosine":
+        # r10: without this the distributed block join silently fell
+        # back to the interpreted per-pair Catalyst fold for cosine —
+        # measured 25+ min for a 200-probe x 500k-row exact ground
+        # truth the matmul form serves in seconds (the same gap the
+        # euclidean path closed in r7)
+        num = M @ p
+        nm = np.sqrt((M**2).sum(axis=1))
+        return 1.0 - num / (nm * np.sqrt((p**2).sum()))
     raise KeyError(metric)
 
 
 NP_METRICS = frozenset(
-    {"euclidean_sq", "manhattan", "chebyshev", "mahalanobis_diag"}
+    {"euclidean_sq", "manhattan", "chebyshev", "mahalanobis_diag", "cosine"}
 )
 
 

@@ -173,6 +173,13 @@ def main() -> None:
         if "--filter-mode" in sys.argv
         else "parity"
     )
+    # --cosine: the ann paths serve the COSINE contract (normalized
+    # model + codes, true-cosine re-rank; composes with --filtered —
+    # the ann_join_filtered_cosine shape at sweep scale, VERDICT r9
+    # item 8). The grid/bulk paths are euclidean-only: restrict
+    # --paths to ann*/blocks* under this flag.
+    cosine = "--cosine" in sys.argv
+    sweep_metric = "cosine" if cosine else "euclidean_sq"
     spark = get_spark("probe-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     FILT_PRED = (  # needs an active session
@@ -238,12 +245,23 @@ def main() -> None:
         if "--ann-refine" in sys.argv
         else 2
     )
+    if cosine:
+        # cosine contract: model + codes over the L2-NORMALIZED base
+        # (the exact left-fold-norm arithmetic the kernel normalizes
+        # probes with); the exact re-rank still reads the RAW base
+        from lightweight_vector_database_spark.suite.pipeline_suite12 import (
+            _norm_emb,
+        )
+
+        enc_base = _norm_emb(base)
+    else:
+        enc_base = base
     cents, books = train_ivfpq(
-        base, n_centroids=ann_cells, m=ann_m, ksub=256, iters=4,
+        enc_base, n_centroids=ann_cells, m=ann_m, ksub=256, iters=4,
         sample_rows=8192, sample_id_col="vec_id",
     )
     codes_path = os.path.join(tmp, "codes")
-    ivfpq_encode(base, cents, books).select(
+    ivfpq_encode(enc_base, cents, books).select(
         "vec_id", "cell", "pq_code"
     ).repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
@@ -267,12 +285,14 @@ def main() -> None:
         if n_probes <= MATMUL_MAX:
             paths["matmul"] = lambda p=probes: knn_join_matmul(p, base, K)
         if n_probes <= BLOCKS_MAX:
-            paths["blocks"] = lambda p=probes: knn_join_blocks(p, base, K)
+            paths["blocks"] = lambda p=probes: knn_join_blocks(
+                p, base, K, metric=sweep_metric
+            )
         paths["bulk"] = lambda p=probes: knn_join_bulk(
             assigned, idx, probes=p, k=K, stats=stats
         )
         paths["ann"] = lambda p=probes: ann_join_topk(
-            codes, cents, books, p, raw=base, k=K,
+            codes, cents, books, p, raw=base, k=K, metric=sweep_metric,
             nprobe=ann_nprobe, refine=ann_refine, code_stats=code_stats,
         )
         if filtered:
@@ -284,10 +304,10 @@ def main() -> None:
             # blocks — it is the same O(|base| x |probes|) tiling).
             if n_probes <= BLOCKS_MAX:
                 paths["blocks_filt"] = lambda p=probes: knn_join_blocks(
-                    p, base.filter(FILT_PRED), K
+                    p, base.filter(FILT_PRED), K, metric=sweep_metric
                 )
             paths["ann_filt"] = lambda p=probes: ann_join_topk(
-                codes, cents, books, p, raw=base, k=K,
+                codes, cents, books, p, raw=base, k=K, metric=sweep_metric,
                 nprobe=ann_nprobe, refine=ann_refine, pred=FILT_PRED,
             )
             # per-probe adaptive escalation at the SAME base knob
@@ -296,10 +316,16 @@ def main() -> None:
             # should recover recall at a fraction of the global
             # (8,16)-for-everyone cost
             paths["ann_adapt"] = lambda p=probes: ann_join_topk(
-                codes, cents, books, p, raw=base, k=K,
+                codes, cents, books, p, raw=base, k=K, metric=sweep_metric,
                 nprobe=ann_nprobe, refine=ann_refine, pred=FILT_PRED,
                 adaptive=True,
             )
+        if cosine:
+            # only the ann tier + the exact block join serve cosine
+            paths = {
+                n: f for n, f in paths.items()
+                if n.startswith("ann") or n.startswith("blocks")
+            }
         if only_paths is not None:
             paths = {n: f for n, f in paths.items() if n in only_paths}
         exact_samples: dict[str, dict] = {}
@@ -340,7 +366,9 @@ def main() -> None:
                         else base
                     )
                     exact_samples[name] = {}
-                    for r in knn_join_blocks(sp, gt_base, K).collect():
+                    for r in knn_join_blocks(
+                        sp, gt_base, K, metric=sweep_metric
+                    ).collect():
                         exact_samples[name].setdefault(
                             r["probe_id"], set()
                         ).add(r["vec_id"])
@@ -377,6 +405,7 @@ def main() -> None:
                     # this generator) or 'hash' (uniform across clusters,
                     # the common metadata-filter shape). None = unfiltered.
                     "filter_mode": filter_mode if filtered else None,
+                    "metric": sweep_metric,
                     "results": results,
                 },
                 f,
