@@ -248,6 +248,29 @@ def matmul_tie_thresholds(
     return kth + eps
 
 
+def cosine_tie_thresholds(D: np.ndarray, kk: int, dim: int) -> np.ndarray:
+    """Per-probe candidate-cut thresholds for the COSINE matmul
+    selection — the same no-dropped-tie contract as
+    ``matmul_tie_thresholds``, with the bound specialised to the
+    normalized form.
+
+    The selection computes ``D = 1 - (M @ P.T) / (|m| |p|)`` in one
+    gemm; the exact path (``np_dists('cosine', ...)``) evaluates the
+    identical formula per probe. Both are dot products of length
+    ``dim`` divided by the product of the two norms, so the
+    elementwise gap is bounded ABSOLUTELY: the dot rounding error
+    c*dim*u*|m||p| collapses to c*dim*u once divided by the |m||p|
+    normalizer, and the norm/sqrt/divide chain adds O(u) more
+    (cosine distances live in [0, 2], so no magnitude term appears —
+    unlike the squared-euclidean bound, which scales with the vector
+    norms). 32*(dim+4)*u covers the 2x two-sided comparison (the
+    exact kk-th can sit eps BELOW the matmul kk-th) with a >=4x
+    safety margin over the worst-case constant.
+    """
+    kth = np.partition(D, kk - 1, axis=0)[kk - 1]
+    return kth + 32.0 * (dim + 4.0) * 2.0**-53
+
+
 def adaptive_probe_chunk(
     n_rows: int, requested: int, target_bytes: int = 64 << 20
 ) -> int:
@@ -486,6 +509,13 @@ def knn_join_blocks(
         kk = min(k, n)
         pids = left[probe_id_col].to_numpy()
         P_all = np.stack(left[probe_vec_col].to_numpy()).astype(np.float64)
+        # base-row norms for the cosine gemm selection: computed once
+        # per (pblk, bblk) task, shared across every probe chunk
+        m_norm = (
+            np.sqrt((M**2).sum(axis=1))
+            if metric == "cosine" and n > keep_pad
+            else None
+        )
         o_pid, o_id, o_dist = [], [], []
         step = adaptive_probe_chunk(n, probe_chunk)
         for lo in range(0, len(pids), step):
@@ -499,6 +529,28 @@ def knn_join_blocks(
                 )
                 for bi in range(len(Pm)):
                     rows = np.nonzero(D[:, bi] <= thr[bi])[0]
+                    exact = np_dists(metric, M[rows], Pm[bi])
+                    order = np.lexsort((ids[rows], exact))[:kk]
+                    o_pid.extend([int(pids[lo + bi])] * len(order))
+                    o_id.extend(ids[rows[order]].tolist())
+                    o_dist.extend(exact[order].tolist())
+            elif metric == "cosine" and n > keep_pad:
+                # one gemm scores the whole chunk (the per-probe
+                # np_dists fallback below re-reads M once PER PROBE:
+                # measured 1600s for the 10^5-probe x 1M-row filtered
+                # comparator in PROBE_SWEEP_r10_fcos_base1M vs 313s
+                # for the euclidean gemm path on the identical tiling)
+                p_norm = np.sqrt((Pm**2).sum(axis=1))
+                D = 1.0 - (M @ Pm.T) / (m_norm[:, None] * p_norm[None, :])
+                thr = cosine_tie_thresholds(D, keep_pad, M.shape[1])
+                for bi in range(len(Pm)):
+                    rows = np.nonzero(D[:, bi] <= thr[bi])[0]
+                    if len(rows) < kk:
+                        # zero-norm rows score NaN in the gemm form and
+                        # fail the <= cut; the exact path would keep
+                        # them (NaN sorts last) — fall back to the full
+                        # scan for this probe so both paths agree
+                        rows = np.arange(n)
                     exact = np_dists(metric, M[rows], Pm[bi])
                     order = np.lexsort((ids[rows], exact))[:kk]
                     o_pid.extend([int(pids[lo + bi])] * len(order))
@@ -518,8 +570,13 @@ def knn_join_blocks(
         .cogroup(base_x.groupBy("__pblk", "__bblk"))
         .applyInPandas(score, out_schema)
     )
+    # asc_nulls_last, not asc: Arrow maps the kernel's NaN distances
+    # (cosine on zero-norm rows) to NULL, and Spark's default
+    # nulls-FIRST ascending would rank those rows ABOVE every real
+    # neighbor — the numpy lexsort inside the kernel already sorts
+    # NaN last, so the window must agree
     w = Window.partitionBy(probe_id_col).orderBy(
-        F.col("dist").asc(), F.col(id_col).asc()
+        F.col("dist").asc_nulls_last(), F.col(id_col).asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

@@ -243,3 +243,126 @@ def test_blocks_cosine_matches_partial(spark):
     for key in a:
         assert a[key][0] == b[key][0], key
         assert abs(a[key][1] - b[key][1]) < 1e-9, key
+
+
+def test_blocks_cosine_gemm_ties(spark):
+    """r10: the cosine blocks kernel selects candidates with one gemm
+    (cosine_tie_thresholds cut) instead of a full per-probe scan.
+    Adversarial corpus for the cut: many base rows are scalar
+    multiples of each other, so cosine distances collide EXACTLY at
+    the k-th boundary (ties 6 deep at every distance) and the
+    smallest-id tied rows must win — a hard argpartition cut would
+    pick an arbitrary tied subset."""
+    import pandas as pd
+
+    from lightweight_vector_database_spark.operators.knn import (
+        knn_join,
+        knn_join_blocks,
+    )
+
+    rows = []
+    # 40 direction classes x 6 scalar multiples
+    for vid in range(240):
+        d = vid % 40
+        scale = 1.0 + (vid // 40)
+        rows.append((vid, [scale * (1.0 + ((d * 7 + j * 3) % 11)) for j in range(8)]))
+    base = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    probes = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    a = {
+        (r.probe_id, r["rank"]): (r.vec_id, r.dist)
+        for r in knn_join_blocks(
+            probes, base, 8, metric="cosine", n_probe_blocks=1,
+            n_base_blocks=1,
+        ).collect()
+    }
+    b = {
+        (r.probe_id, r["rank"]): (r.vec_id, r.dist)
+        for r in knn_join(
+            probes, base, 8, metric="cosine", strategy="partial"
+        ).collect()
+    }
+    assert set(a) == set(b) and len(a) == 10 * 8
+    for key in a:
+        assert a[key][0] == b[key][0], (key, a[key], b[key])
+        assert abs(a[key][1] - b[key][1]) < 1e-9, key
+
+
+def test_blocks_cosine_zero_norm_rows_sort_last(spark):
+    """Zero-norm base rows score NaN in the gemm form and fail the
+    candidate cut; the kernel then falls back to the full exact scan
+    for the affected probe so NaN keeps its documented
+    sorts-last semantics (the Catalyst single-probe path raises
+    DIVIDE_BY_ZERO under ANSI instead — the batched paths serve the
+    numpy NaN contract, ADVICE r9). With >= k valid rows, zero-norm
+    rows must never crack the top-k; every probe still answers
+    exactly k rows."""
+    import pandas as pd
+
+    from lightweight_vector_database_spark.operators.knn import (
+        knn_join_blocks,
+    )
+
+    rows = [(vid, [float(1 + (vid * 3 + j) % 7) for j in range(6)])
+            for vid in range(60)]
+    rows += [(60, [0.0] * 6), (61, [0.0] * 6)]
+    base = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    probes = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    out = knn_join_blocks(
+        probes, base, 10, metric="cosine", n_probe_blocks=1,
+        n_base_blocks=1,
+    ).collect()
+    assert len(out) == 5 * 10
+    assert all(r.vec_id < 60 for r in out), "zero-norm row in top-k"
+    assert all(r.dist is not None and r.dist == r.dist for r in out)
+
+
+def test_blocks_cosine_gemm_fallback_when_valid_rows_short(spark):
+    """The gemm fallback branch proper: block is big enough for the
+    gemm cut (n > 2k) but zero-norm rows leave FEWER than k valid
+    candidates, so the kernel rescans the block exactly and emits the
+    NaN rows after every valid one (k rows out, valid-first)."""
+    import pandas as pd
+
+    from lightweight_vector_database_spark.operators.knn import (
+        knn_join_blocks,
+    )
+
+    rows = [(vid, [float(1 + (vid + j) % 5) for j in range(6)])
+            for vid in range(8)]
+    rows += [(vid, [0.0] * 6) for vid in range(8, 24)]
+    base = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    probes = base.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    out = knn_join_blocks(
+        probes, base, 10, metric="cosine", n_probe_blocks=1,
+        n_base_blocks=1,
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.probe_id, []).append(r)
+    assert set(per) == {0, 1}
+    for pid, rs in per.items():
+        assert len(rs) == 10
+        rs.sort(key=lambda r: r["rank"])
+        assert all(r.vec_id < 8 for r in rs[:8]), "valid rows must lead"
+        assert all(r.dist is not None for r in rs[:8])
+        # Arrow maps the kernel's NaN to NULL; asc_nulls_last ranks
+        # them after every real neighbor
+        assert all(r.dist is None for r in rs[8:]), "zero-norm rows trail"
