@@ -222,6 +222,62 @@ def test_filtered_operating_point_from_filtered_frontier():
         assert ann_operating_point(0.95, f_deep) == (8, 16)
 
 
+def test_filtered_cosine_operating_point_walk_1m():
+    """The composed filtered+COSINE shape recorded at the 1M sweep
+    scale (VERDICT r9 item 8), pinned like the other three shapes.
+    The parity predicate is adversarial here in a DIFFERENT way than
+    under euclidean: normalization re-projects the generator's
+    clusters onto the sphere, where the true filtered top-10 of a
+    displaced probe are separated only by noise-scale cosine gaps —
+    PQ quantization noise swamps that, so recall is REFINE-bound
+    (measured: (16,16) 0.72 vs (4,64) 0.86 at equal-or-less cost) and
+    saturates ~0.91 even at (8,128). The walk resolves each floor to
+    the cheapest recorded clearing point and REFUSES 0.95 — correctly,
+    because the recorded (4,64) throughput (294.5 p/s at 1e5) is
+    already BELOW the exact gemm comparator (~319 p/s): past the
+    recorded frontier the exact join dominates, which is precisely
+    what the refusal contract routes to."""
+    from pathlib import Path
+
+    from lightweight_vector_database_spark.operators.tiering import (
+        ann_operating_point,
+        frontier_from_sweeps,
+    )
+
+    root = Path(__file__).resolve().parent.parent
+    files = {
+        str(root / "PROBE_SWEEP_r10_fcos_base1M.json"): None,
+        str(root / "PROBE_SWEEP_r10_fcos_base1M_np8r8.json"): None,
+        str(root / "PROBE_SWEEP_r10_fcos_base1M_np16r16.json"): None,
+        str(root / "PROBE_SWEEP_r10_fcos_base1M_r64.json"): None,
+    }
+    if not all(Path(p).exists() for p in files):
+        pytest.skip("r10 filtered-cosine frontier recordings absent")
+    frontier = frontier_from_sweeps(files, n_probes=100_000, path="ann_filt")
+    assert len(frontier) == 4
+    assert all(f["n_probes"] == 100_000 for f in frontier)
+    assert ann_operating_point(0.45, frontier) == (4, 2)  # 1378.6 p/s
+    assert ann_operating_point(0.60, frontier) == (8, 8)  # 504.9 p/s
+    assert ann_operating_point(0.70, frontier) == (16, 16)  # 373.1 p/s
+    assert ann_operating_point(0.80, frontier) == (4, 64)  # 294.5 p/s
+    assert ann_operating_point(0.95, frontier) is None  # refusal -> exact
+    # the adaptive column lifts the same base knobs but also cannot
+    # clear 0.95 in this regime (mass-based escalation rarely fires:
+    # predicate-emptied neighbors are REPLACED by off-cluster mass on
+    # the sphere, so qualifying mass looks healthy)
+    adapt = frontier_from_sweeps(
+        {
+            str(root / "PROBE_SWEEP_r10_fcos_base1M.json"): None,
+            str(root / "PROBE_SWEEP_r10_fcos_base1M_np8r8.json"): None,
+        },
+        n_probes=100_000,
+        path="ann_adapt",
+    )
+    assert ann_operating_point(0.60, adapt) == (4, 2)  # 0.6773 @ 865 p/s
+    assert ann_operating_point(0.80, adapt) == (8, 8)  # 0.8642 @ 235 p/s
+    assert ann_operating_point(0.95, adapt) is None
+
+
 def test_serving_knobs_resolve_from_committed_fixture_frontiers():
     """No batched serving query hard-codes (nprobe, refine): the suite
     constants must equal fixture_operating_point over the COMMITTED
