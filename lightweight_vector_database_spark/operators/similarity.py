@@ -637,3 +637,153 @@ def ivfpq_search(
         "dist", metric_expr("euclidean_sq", vec_col, list(probe))
     )
     return exact.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+# --- IMI: two-level (product-decomposed) coarse quantizer --------------------
+# The 100 TB form of the coarse model (VERDICT r9 design note): an
+# IVF over C cells ships an O(C x dim) centroid matrix with every
+# serving job — at 10^6 cells x 64 dims that is half a gigabyte of
+# model state. The inverted multi-index (Babenko & Lempitsky, "The
+# Inverted Multi-Index", CVPR 2012) decomposes the coarse space into
+# the PRODUCT of two half-dimension codebooks: cell (c1, c2) has
+# center concat(C1[c1], C2[c2]), so K1*K2 cells ship as
+# O((K1 + K2) x dim/2) values — 65,536 cells from two 256-row
+# codebooks (~1000x less model state at 10^6 cells), and assignment
+# costs O(K1 + K2) half-folds per probe instead of O(C) full folds
+# because squared euclidean distance to a product center decomposes:
+# ||x - (u1 (+) u2)||^2 = ||x_lo - u1||^2 + ||x_hi - u2||^2.
+
+
+def train_imi_np(
+    sample: np.ndarray,
+    k1: int = 32,
+    k2: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Numpy core of ``train_imi`` (same sample -> same model, no
+    Spark — used by the exact SQL oracles). Returns (c1, c2, books):
+    two half-dimension coarse codebooks plus residual PQ codebooks
+    trained against the PRODUCT cell centers (the same residual
+    construction as train_ivfpq_np, with the cell center assembled
+    from the two halves)."""
+    dim = sample.shape[1]
+    dh = dim // 2
+    c1 = train_centroids_np(sample[:, :dh], k1, iters, seed)
+    c2 = train_centroids_np(sample[:, dh:], k2, iters, seed + 7)
+    # product-cell assignment decomposes into per-half argmins
+    a1 = ((sample[:, None, :dh] - c1[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    a2 = ((sample[:, None, dh:] - c2[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    residuals = sample - np.concatenate([c1[a1], c2[a2]], axis=1)
+    dsub = dim // m
+    rng = np.random.RandomState(seed + 1)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = residuals[:, j * dsub : (j + 1) * dsub]
+        idx = rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)
+        cb = sub[idx].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(len(cb)):
+                members = sub[a == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j, : len(cb)] = cb
+        if len(cb) < ksub:
+            books[j, len(cb) :] = cb[-1]
+    return c1, c2, books
+
+
+def train_imi(
+    df: DataFrame,
+    k1: int = 32,
+    k2: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample_rows: int = 8192,
+    seed: int = 42,
+    sample_id_col: str | None = None,
+):
+    """Train the two-level coarse quantizer + residual PQ codebooks.
+    Sampling contract as train_ivfpq (pass ``sample_id_col`` for the
+    seeded-uniform rule)."""
+    sample = _training_sample(df, vec_col, sample_rows, sample_id_col)
+    return train_imi_np(
+        sample, k1=k1, k2=k2, m=m, ksub=ksub, iters=iters, seed=seed
+    )
+
+
+def imi_product_centroids(c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    """Materialize the (K1*K2 x dim) product-centroid matrix — the
+    bridge to the single-level machinery (small-K parity tests, and
+    executor-side materialization where K1*K2 is modest). Cell ids
+    follow the canonical layout ``cell = c1 * K2 + c2``."""
+    K1, dh = c1.shape
+    K2 = len(c2)
+    out = np.empty((K1 * K2, dh + c2.shape[1]), dtype=np.float64)
+    out[:, :dh] = np.repeat(c1, K2, axis=0)
+    out[:, dh:] = np.tile(c2, (K1, 1))
+    return out
+
+
+def imi_encode(
+    df: DataFrame,
+    c1: np.ndarray,
+    c2: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``cell`` (product-cell assignment, ``cell = a1 * K2 + a2``)
+    and ``pq_code`` (residual codes) in one Arrow pass — the IMI index
+    build. The assignment never materializes the K1*K2 centroid
+    matrix: per-half matmul argmins compose into the exact product
+    argmin (the distance decomposes across the halves), so the build
+    cost per row is O((K1 + K2) * dim/2) instead of O(K1*K2 * dim).
+    Output schema matches ivfpq_encode, so the partitioned-write /
+    serving-scan contract is unchanged."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    c1m = np.asarray(c1, dtype=np.float64)
+    c2m = np.asarray(c2, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    K2 = len(c2m)
+    dh = c1m.shape[1]
+    c1_t = c1m.T.copy()
+    c2_t = c2m.T.copy()
+    c1_sq = (c1m**2).sum(axis=1)
+    c2_sq = (c2m**2).sum(axis=1)
+    flats = [books[j].T.copy() for j in range(m)]
+    sqs = [(books[j] ** 2).sum(axis=1) for j in range(m)]
+
+    @pandas_udf(
+        "struct<cell:int, pq_code:array<int>>", PandasUDFType.SCALAR
+    )
+    def enc(vecs):
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        lo, hi = mat[:, :dh], mat[:, dh:]
+        d1 = (lo**2).sum(axis=1)[:, None] - 2.0 * (lo @ c1_t) + c1_sq[None, :]
+        d2 = (hi**2).sum(axis=1)[:, None] - 2.0 * (hi @ c2_t) + c2_sq[None, :]
+        a1 = d1.argmin(axis=1)
+        a2 = d2.argmin(axis=1)
+        cell = a1 * K2 + a2
+        res = mat - np.concatenate([c1m[a1], c2m[a2]], axis=1)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = res[:, j * dsub : (j + 1) * dsub]
+            dj = -2.0 * (sub @ flats[j]) + sqs[j][None, :]
+            codes[:, j] = dj.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "pq_code": list(codes)}
+        )
+
+    out = df.withColumn("__enc", enc(F.col(vec_col)))
+    return out.withColumn("cell", F.col("__enc.cell")).withColumn(
+        "pq_code", F.col("__enc.pq_code")
+    ).drop("__enc")

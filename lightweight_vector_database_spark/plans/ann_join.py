@@ -158,6 +158,7 @@ def ann_join_topk(
     adaptive: bool = False,
     esc_nprobe: int | None = None,
     esc_refine: int | None = None,
+    imi: tuple[np.ndarray, np.ndarray] | None = None,
     model_dtype=np.float64,
 ) -> DataFrame:
     """Batched IVF-PQ top-k join (see module docstring).
@@ -228,22 +229,53 @@ def ann_join_topk(
             f"(supported: {ANN_JOIN_METRICS}); use the exact "
             "knn_join_bulk / knn_join_blocks paths for other metrics"
         )
-    if pred is not None:
-        codes = codes.filter(pred)
-    spark = codes.sparkSession
+    # model validation/prep before any DataFrame access, so shape
+    # errors surface even when callers probe the API with stubs.
     # model_dtype quantizes the STORED model (broadcast payload); the
     # folds always run in float64 on the (possibly quantized) values
-    cents = np.asarray(centroids, dtype=np.float64).astype(
-        model_dtype, copy=False
-    )
     books = np.asarray(codebooks, dtype=np.float64).astype(
         model_dtype, copy=False
     )
     m, ksub, dsub = books.shape
-    if cents.shape[1] != m * dsub:
-        raise ValueError(
-            f"codebooks cover dim {m * dsub}, centroids have {cents.shape[1]}"
+    if imi is not None:
+        # two-level (product) coarse quantizer — VERDICT r9 design
+        # note / Babenko & Lempitsky 2012: C = K1*K2 cells ship as two
+        # O(K x dim/2) half codebooks instead of one O(C x dim)
+        # matrix, and every per-probe cell-distance fold drops from
+        # O(C x dim) to O((K1 + K2) x dim/2) + an O(n_live) add,
+        # because the squared distance to a product center decomposes
+        # across the halves. Cell ids follow cell = c1 * K2 + c2
+        # (operators/similarity.imi_encode).
+        if centroids is not None:
+            raise ValueError("pass centroids=None with imi=(c1, c2)")
+        imi_c1 = np.asarray(imi[0], dtype=np.float64).astype(
+            model_dtype, copy=False
         )
+        imi_c2 = np.asarray(imi[1], dtype=np.float64).astype(
+            model_dtype, copy=False
+        )
+        cents = None
+        imi_k2 = len(imi_c2)
+        imi_dh = imi_c1.shape[1]
+        if imi_dh + imi_c2.shape[1] != m * dsub:
+            raise ValueError(
+                f"codebooks cover dim {m * dsub}, imi halves cover "
+                f"{imi_dh + imi_c2.shape[1]}"
+            )
+    else:
+        cents = np.asarray(centroids, dtype=np.float64).astype(
+            model_dtype, copy=False
+        )
+        imi_c1 = imi_c2 = None
+        imi_k2 = imi_dh = 0
+        if cents.shape[1] != m * dsub:
+            raise ValueError(
+                f"codebooks cover dim {m * dsub}, centroids have "
+                f"{cents.shape[1]}"
+            )
+    if pred is not None:
+        codes = codes.filter(pred)
+    spark = codes.sparkSession
     keep = k * refine
     if esc_nprobe is None:
         esc_nprobe = 2 * nprobe
@@ -301,7 +333,9 @@ def ann_join_topk(
     from ..caching import register_cache
 
     b_model = register_cache(
-        spark.sparkContext.broadcast((cents, books, live_cells, live_counts))
+        spark.sparkContext.broadcast(
+            (cents, books, live_cells, live_counts, imi_c1, imi_c2)
+        )
     )
 
     # ---- 1. distributed probe -> candidate-cell assignment -----------------
@@ -313,11 +347,20 @@ def ann_join_topk(
     def assign(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        bc_cents, _bc_books, bc_live, bc_counts = b_model.value
-        cents_f = bc_cents.astype(np.float64, copy=False)
-        live_cents = cents_f[bc_live]
-        all_ids = np.arange(len(cents_f), dtype=np.int64)
-        live_mask = np.zeros(len(cents_f), dtype=bool)
+        bc_cents, _bc_books, bc_live, bc_counts, bc_c1, bc_c2 = b_model.value
+        if bc_c1 is not None:
+            c1_f = bc_c1.astype(np.float64, copy=False)
+            c2_f = bc_c2.astype(np.float64, copy=False)
+            n_cells_total = len(c1_f) * len(c2_f)
+            live_c1 = bc_live // imi_k2
+            live_c2 = bc_live % imi_k2
+            cents_f = live_cents = all_ids = None
+        else:
+            cents_f = bc_cents.astype(np.float64, copy=False)
+            live_cents = cents_f[bc_live]
+            all_ids = np.arange(len(cents_f), dtype=np.int64)
+            n_cells_total = len(cents_f)
+        live_mask = np.zeros(n_cells_total, dtype=bool)
         live_mask[bc_live] = True
         for pdf in batches:
             if not len(pdf):
@@ -340,7 +383,29 @@ def ann_join_topk(
                         )
                     P = P / np.sqrt(nn)[:, None]
                 n = len(P)
-                if adaptive:
+                if bc_c1 is not None:
+                    # IMI: two half folds (O(K1+K2) each) replace the
+                    # O(C) full fold; the product-cell distance is the
+                    # SINGLE addition d1[c1] + d2[c2] — the exact
+                    # arithmetic the SQL oracle replays (each half an
+                    # inner list_sum fold, then one +)
+                    d1 = fold_sq_dists(P[:, :imi_dh], c1_f)
+                    d2 = fold_sq_dists(P[:, imi_dh:], c2_f)
+                    d = d1[:, live_c1] + d2[:, live_c2]
+                    if adaptive:
+                        # the OVERALL nearest product cell decomposes
+                        # into per-half first-index argmins: any
+                        # non-minimal half strictly increases the sum,
+                        # and among tied minima the smallest product
+                        # cell id is (first c1, first c2) — the same
+                        # (d, cell) lexsort tie-break as the flat path
+                        home = (
+                            d1.argmin(axis=1) * imi_k2 + d2.argmin(axis=1)
+                        )
+                        esc = ~live_mask[home]
+                    else:
+                        esc = np.zeros(n, dtype=bool)
+                elif adaptive:
                     # one fold over ALL centroids; the live columns are
                     # sliced out of it (each column's fold is
                     # independent, so the sliced values are bit-
@@ -477,10 +542,19 @@ def ann_join_topk(
             return pd.DataFrame(
                 {probe_id_col: [], id_col: [], "adc_dist": [], "__esc": []}
             )
-        bc_cents, bc_books, _bc_live, _bc_counts = b_model.value
-        cents_f = bc_cents.astype(np.float64, copy=False)
+        bc_cents, bc_books, _bc_live, _bc_counts, bc_c1, bc_c2 = b_model.value
         books_f = bc_books.astype(np.float64, copy=False)
         cell = int(left[cell_col].iloc[0])
+        if bc_c1 is not None:
+            # product-cell center assembled from the two half
+            # codebooks — the values ARE the model (no flat centroid
+            # matrix exists anywhere on the IMI path)
+            cell_center = np.concatenate(
+                [bc_c1[cell // imi_k2], bc_c2[cell % imi_k2]]
+            ).astype(np.float64, copy=False)
+        else:
+            cents_f = bc_cents.astype(np.float64, copy=False)
+            cell_center = cents_f[cell]
         ids = right[id_col].to_numpy().astype(np.int64)
         C = np.stack(right[code_col].to_numpy()).astype(np.int64)
         pids = left[probe_id_col].to_numpy()
@@ -489,7 +563,7 @@ def ann_join_topk(
         # per-probe candidate budget: escalated probes keep k*esc_refine
         keeps = np.where(escs == 1, keep_esc, keep)
         kk = min(int(keeps.max()), len(ids))
-        dim = cents_f.shape[1]
+        dim = len(cell_center)
         # ADC identity: sum_j ||r_j - b[j][code_j]||^2 is the squared
         # euclidean distance between the probe residual and the DECODED
         # vector concat_j b[j][code_j]. Decoding the group's codes ONCE
@@ -509,7 +583,7 @@ def ann_join_topk(
         step = adaptive_probe_chunk(len(ids), probe_chunk)
         for lo in range(0, len(pids), step):
             P = P_all[lo : lo + step]
-            R = P - cents_f[cell][None, :]
+            R = P - cell_center[None, :]
             lut = fold_residual_luts(R, books_f)
             r_sq = (R**2).sum(axis=1)
             D = r_sq[:, None] - 2.0 * (R @ V.T) + v_sq[None, :]

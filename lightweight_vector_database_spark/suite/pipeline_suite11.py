@@ -233,6 +233,7 @@ def _aj_replay_sql(
     cte_prefix: str = "",
     cell_where: str | None = None,
     adaptive_esc: tuple[int, int] | None = None,
+    imi: tuple | None = None,
 ) -> str:
     """The shared WITH-chain replaying ann_join_topk in DuckDB up to
     the per-probe top-k CTE ``topk(probe_id, vec_id, dist, rank)``.
@@ -266,9 +267,101 @@ def _aj_replay_sql(
     # lambdas makes DuckDB re-evaluate the list constructor per row —
     # the first cut of this oracle did that and ran >9 min; with the
     # CTE the whole replay is seconds
-    cents_sql = _dlst2(cents.tolist())
     books_all = "[" + ",".join(_dlst2(books[j].tolist()) for j in range(m)) + "]"
     rng_dim = f"range(1, {DIM + 1})"
+    if imi is not None:
+        # two-level (IMI) coarse model: the consts CTE carries the two
+        # HALF codebooks; every site that read cents[cell][i] reads the
+        # half value instead, and the cell-distance list is the product
+        # d1[(p-1)//K2 + 1] + d2[(p-1)%K2 + 1] -- the same two
+        # half-folds + single addition as the serving kernel
+        # (plans/ann_join.py imi branch), so assignment ties out.
+        import numpy as _np
+
+        c1m = _np.asarray(imi[0], dtype=_np.float64)
+        c2m = _np.asarray(imi[1], dtype=_np.float64)
+        imi_k1, imi_dh = c1m.shape
+        imi_k2, imi_dh2 = c2m.shape
+        n_cells = imi_k1 * imi_k2
+        consts_model = (
+            f"{_dlst2(c1m.tolist())} AS cents1, "
+            f"{_dlst2(c2m.tolist())} AS cents2"
+        )
+
+        def _cellcent(ce: str) -> str:
+            return (
+                f"(CASE WHEN i <= {imi_dh} "
+                f"THEN cents1[(({ce}) - 1) // {imi_k2} + 1][i] "
+                f"ELSE cents2[(({ce}) - 1) % {imi_k2} + 1][i - {imi_dh}] "
+                "END)"
+            )
+
+        def _imi_dist_cte(name: str, src: str, keys: str, v: str,
+                          out: str) -> str:
+            return (
+                f"{name} AS (\n"
+                f"  SELECT {keys},\n"
+                f"         list_transform(range(1, {n_cells + 1}),\n"
+                f"             p -> dd1[(p - 1) // {imi_k2} + 1] +\n"
+                f"                  dd2[(p - 1) % {imi_k2} + 1]) AS {out}\n"
+                "  FROM (\n"
+                f"    SELECT {keys},\n"
+                "           list_transform(cents1, c -> list_sum(list_transform(\n"
+                f"               range(1, {imi_dh + 1}),\n"
+                f"               i -> ({v}[i] - c[i]) * ({v}[i] - c[i])))) AS dd1,\n"
+                "           list_transform(cents2, c -> list_sum(list_transform(\n"
+                f"               range(1, {imi_dh2 + 1}),\n"
+                f"               i -> ({v}[{imi_dh} + i] - c[i]) *\n"
+                f"                    ({v}[{imi_dh} + i] - c[i])))) AS dd2\n"
+                f"    FROM {src}, consts\n"
+                "  )\n"
+                ")"
+            )
+
+        res_cell = _cellcent("cellp")
+        res_cell_r = _cellcent("r.cellp")
+        cdist_cte = _imi_dist_cte("cdist", "base", "vec_id, bv", "bv", "cd")
+        pdist_cte = _imi_dist_cte(
+            "pdist", "pwork", "probe_id, probe_vec, wv", "wv", "pd"
+        )
+        assigned_cte = (
+            "assigned AS (\n"
+            "  SELECT vec_id, cellp,\n"
+            f"         list_transform({rng_dim}, i -> bv[i] - {res_cell}) AS rv\n"
+            "  FROM (\n"
+            "    SELECT vec_id, bv, list_position(cd, list_min(cd)) AS cellp"
+            " FROM cdist\n"
+            "  ), consts\n"
+            ")"
+        )
+    else:
+        consts_model = f"{_dlst2(cents.tolist())} AS cents"
+        res_cell = "cents[cellp][i]"
+        res_cell_r = "cents[r.cellp][i]"
+        cdist_cte = (
+            "cdist AS (\n"
+            "  SELECT vec_id, bv,\n"
+            f"         list_transform(cents, c -> list_sum(list_transform({rng_dim},\n"
+            "             i -> (bv[i] - c[i]) * (bv[i] - c[i])))) AS cd\n"
+            "  FROM base, consts\n"
+            ")"
+        )
+        pdist_cte = (
+            "pdist AS (\n"
+            "  SELECT probe_id, probe_vec, wv,\n"
+            f"         list_transform(cents, c -> list_sum(list_transform({rng_dim},\n"
+            "             i -> (wv[i] - c[i]) * (wv[i] - c[i])))) AS pd\n"
+            "  FROM pwork, consts\n"
+            ")"
+        )
+        assigned_cte = (
+            "assigned AS (\n"
+            "  SELECT vec_id, list_position(cd, list_min(cd)) AS cellp,\n"
+            f"         list_transform({rng_dim},\n"
+            "             i -> bv[i] - cents[list_position(cd, list_min(cd))][i]) AS rv\n"
+            "  FROM cdist, consts\n"
+            ")"
+        )
     where = f" WHERE {base_where}" if base_where else ""
 
     # encoded-space vectors: raw doubles, or L2-normalized doubles
@@ -355,7 +448,7 @@ def _aj_replay_sql(
         mid = f"""pcells AS (
   SELECT probe_id, probe_vec, cellp,
          list_transform({rng_dim},
-             i -> wv[i] - cents[cellp][i]) AS prv
+             i -> wv[i] - {res_cell}) AS prv
   FROM (
     SELECT probe_id, probe_vec, wv, u.i AS cellp,
            row_number() OVER (
@@ -416,7 +509,7 @@ def _aj_replay_sql(
 ), pcells AS (
   SELECT r.probe_id, r.probe_vec, r.cellp,
          list_transform({rng_dim},
-             i -> r.wv[i] - cents[r.cellp][i]) AS prv
+             i -> r.wv[i] - {res_cell_r}) AS prv
   FROM pranked r JOIN ptake t USING (probe_id), consts
   WHERE r.rn <= t.ntake
 ), adc AS (
@@ -434,28 +527,13 @@ def _aj_replay_sql(
 )"""
     sql = f"""
 WITH consts AS (
-  SELECT {cents_sql} AS cents, {books_all} AS bks
+  SELECT {consts_model}, {books_all} AS bks
 ), probes AS ({probes_cte}
-), {base_cte}, {pwork_cte}, cdist AS (
-  SELECT vec_id, bv,
-         list_transform(cents, c -> list_sum(list_transform({rng_dim},
-             i -> (bv[i] - c[i]) * (bv[i] - c[i])))) AS cd
-  FROM base, consts
-), assigned AS (
-  SELECT vec_id, list_position(cd, list_min(cd)) AS cellp,
-         list_transform({rng_dim},
-             i -> bv[i] - cents[list_position(cd, list_min(cd))][i]) AS rv
-  FROM cdist, consts
-), coded AS (
+), {base_cte}, {pwork_cte}, {cdist_cte}, {assigned_cte}, coded AS (
   SELECT vec_id, cellp,
          {", ".join(f"{code(j)} AS c{j}" for j in range(m))}
   FROM assigned, consts
-){qual_cte}, pdist AS (
-  SELECT probe_id, probe_vec, wv,
-         list_transform(cents, c -> list_sum(list_transform({rng_dim},
-             i -> (wv[i] - c[i]) * (wv[i] - c[i])))) AS pd
-  FROM pwork, consts
-), {mid}, refined AS (
+){qual_cte}, {pdist_cte}, {mid}, refined AS (
   SELECT x.probe_id, x.vec_id, {exact} AS dist
   FROM cand x JOIN embeddings e ON e.vec_id = x.vec_id
 ), topk AS (

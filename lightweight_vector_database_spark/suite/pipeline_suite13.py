@@ -102,3 +102,130 @@ SELECT probe_id, vec_id, round(dist, 6) AS dist, rank FROM topk
 register(
     "ann_join_adaptive", _ann_join_adaptive_query, _ann_join_adaptive_oracle()
 )
+
+
+# --- IMI: two-level coarse quantizer through the batched join ----------------
+# VERDICT r9 design note ("a two-level coarse quantizer is the 100 TB
+# form"): the flat IVF ships an O(cells x dim) centroid matrix with
+# every serving job; the inverted multi-index (Babenko & Lempitsky,
+# CVPR 2012) decomposes the coarse space into the PRODUCT of two
+# half-dimension codebooks, so K1*K2 cells ship as O((K1+K2) x dim/2)
+# values and per-probe assignment drops from O(cells x dim) folds to
+# two O(K x dim/2) half folds + one addition per cell. The oracle
+# replays the decomposed arithmetic itself (_aj_replay_sql(imi=...):
+# half folds, product-cell distance list, CASE-assembled cell
+# centers), so the IMI path gets the same exact value-hash contract
+# as the flat-model queries. Parity with the flat path served from
+# the materialized product matrix is pinned in tests/test_imi.py.
+
+_IMI_K1 = 4
+_IMI_K2 = 4
+_IMI_M = 8
+_IMI_KSUB = 64
+_IMI_ITERS = 3
+_IMI_SAMPLE = 8192
+_IMI_NPROBE = 8
+_IMI_REFINE = 16
+_IMI_MEMO: dict = {}
+_IMI_SNAP: dict = {}
+
+
+def _imi_model(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import train_imi
+
+    if sf_dir not in _IMI_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _IMI_MEMO[sf_dir] = train_imi(
+            emb, k1=_IMI_K1, k2=_IMI_K2, m=_IMI_M, ksub=_IMI_KSUB,
+            iters=_IMI_ITERS, sample_rows=_IMI_SAMPLE,
+            sample_id_col="vec_id",
+        )
+    return _IMI_MEMO[sf_dir]
+
+
+def _imi_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.similarity import imi_encode
+    from .pipeline_suite11 import _write_cell_snapshot
+
+    c1, c2, books = _imi_model(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IMI_SNAP:
+        name = (
+            f"annimi_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_p{_IMI_K1}x{_IMI_K2}m{_IMI_M}k{_IMI_KSUB}_v1"
+        )
+        _IMI_SNAP[key] = _write_cell_snapshot(
+            spark, name,
+            lambda: imi_encode(
+                load_table(spark, sf_dir, "embeddings"), c1, c2, books
+            ).select("vec_id", "cell", "pq_code"),
+        )
+    return _IMI_SNAP[key]
+
+
+def _ann_join_imi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ann_join import ann_join_topk
+
+    c1, c2, books = _imi_model(spark, sf_dir)
+    codes = _imi_codes(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_join_topk(
+        codes, None, books, _aj_probes(spark, sf_dir), raw=emb,
+        k=_ADAPT_K, nprobe=_IMI_NPROBE, refine=_IMI_REFINE,
+        imi=(c1, c2),
+    )
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round(F.col("dist"), 6).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _imi_trained_np():
+    """(c1, c2, books) retrained in numpy from the sf0.01 fixture via
+    the identical md5-ordered sample rule (the _aj_trained_np
+    pattern) — None when the fixture is absent."""
+    import numpy as np
+
+    from .pipeline_suite11 import _ORACLE_SF_DIR
+
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM '{_ORACLE_SF_DIR}/embeddings.parquet' "
+            f"ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_IMI_SAMPLE}"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    from ..operators.similarity import train_imi_np
+
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    return train_imi_np(
+        sample, k1=_IMI_K1, k2=_IMI_K2, m=_IMI_M, ksub=_IMI_KSUB,
+        iters=_IMI_ITERS,
+    )
+
+
+def _ann_join_imi_oracle() -> str | None:
+    trained = _imi_trained_np()
+    if trained is None:
+        return None
+    c1, c2, books = trained
+    body = _aj_replay_sql(
+        None, books, _AJ_PROBES_CTE, k=_ADAPT_K, nprobe=_IMI_NPROBE,
+        refine=_IMI_REFINE, imi=(c1, c2),
+    )
+    return body + """
+SELECT probe_id, vec_id, round(dist, 6) AS dist, rank FROM topk
+"""
+
+
+register("ann_join_imi", _ann_join_imi_query, _ann_join_imi_oracle())
