@@ -274,6 +274,54 @@ def main() -> None:
         for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
 
+    # --imi K : build a SECOND serving snapshot under a two-level
+    # (K x K product-cell) coarse model and serve it two ways over the
+    # SAME codes — ann_imi ships only the two half codebooks
+    # (plans/ann_join imi=), ann_imiflat materializes the product
+    # matrix and serves the flat kernel. Identical cells, codes and
+    # knobs: the measured delta is purely model shipping + the
+    # assignment arithmetic (two O(K x dim/2) half folds + adds vs one
+    # O(K^2 x dim) fold) — the 100 TB coarse-model question isolated.
+    imi_k = (
+        int(sys.argv[sys.argv.index("--imi") + 1])
+        if "--imi" in sys.argv
+        else 0
+    )
+    if imi_k:
+        from lightweight_vector_database_spark.operators.similarity import (
+            imi_encode,
+            imi_product_centroids,
+            train_imi,
+        )
+
+        imi_c1, imi_c2, imi_books = train_imi(
+            enc_base, k1=imi_k, k2=imi_k, m=ann_m, ksub=256, iters=4,
+            sample_rows=8192, sample_id_col="vec_id",
+        )
+        imi_codes_path = os.path.join(tmp, "imi_codes")
+        imi_encode(enc_base, imi_c1, imi_c2, imi_books).select(
+            "vec_id", "cell", "pq_code"
+        ).repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(imi_codes_path)
+        imi_codes = spark.read.parquet(imi_codes_path).withColumn(
+            "cell", F.col("cell").cast("int")
+        )
+        imi_stats = {
+            int(r["cell"]): int(r["cnt"])
+            for r in imi_codes.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        imi_flat_cents = imi_product_centroids(imi_c1, imi_c2)
+        print(
+            f"imi model: {imi_k}x{imi_k}={imi_k * imi_k} cells, "
+            f"{len(imi_stats)} live; halves "
+            f"{(imi_c1.nbytes + imi_c2.nbytes) // 1024} KB vs flat "
+            f"{imi_flat_cents.nbytes // 1024} KB",
+            flush=True,
+        )
+
     results = []
     for n_probes in [p for p in PROBE_COUNTS if p <= max_probes]:
         probes = make_probes(base, n_probes, n_rows)
@@ -295,6 +343,18 @@ def main() -> None:
             codes, cents, books, p, raw=base, k=K, metric=sweep_metric,
             nprobe=ann_nprobe, refine=ann_refine, code_stats=code_stats,
         )
+        if imi_k:
+            paths["ann_imi"] = lambda p=probes: ann_join_topk(
+                imi_codes, None, imi_books, p, raw=base,
+                k=K, metric=sweep_metric, nprobe=ann_nprobe,
+                refine=ann_refine, code_stats=imi_stats,
+                imi=(imi_c1, imi_c2),
+            )
+            paths["ann_imiflat"] = lambda p=probes: ann_join_topk(
+                imi_codes, imi_flat_cents, imi_books, p, raw=base,
+                k=K, metric=sweep_metric, nprobe=ann_nprobe,
+                refine=ann_refine, code_stats=imi_stats,
+            )
         if filtered:
             # the 0.5-selectivity predicate column (vec_id parity —
             # needs no extra fixture column; the codes snapshot carries
