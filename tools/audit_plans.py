@@ -37,6 +37,8 @@ EXPECTED_PYTHON = {
     "ann_join_filtered",  # same boundaries with the predicate pushed to the code tier
     "ann_join_cosine",  # same boundaries over the normalized model (kernel-side probe normalization)
     "ann_join_filtered_cosine",  # both axes composed: same boundaries, predicate on the normalized code tier
+    "ann_join_adaptive",  # per-probe escalation: same boundaries, esc signals inside the assign kernel
+    "ann_join_imi",  # two-level coarse model: same boundaries, cell centers assembled from the halves
     "dedup_semantic_ann",  # corpus-as-probes ann_join_topk (same boundaries)
     "knn_join_bulk",  # distributed probe path: mapInPandas candidate derivation + cogrouped matmul scoring (plans/bulk_knn)
     "knn_join_bulk_cosine",  # same machinery over the normalized snapshot + exact-cosine re-rank
