@@ -513,7 +513,18 @@ def train_ivfpq_np(
     cents = train_centroids_np(sample, n_centroids, iters, seed)
     assign = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     residuals = sample - cents[assign]
-    dim = sample.shape[1]
+    books = _residual_pq_books_np(residuals, m=m, ksub=ksub, iters=iters, seed=seed)
+    return cents, books
+
+
+def _residual_pq_books_np(
+    residuals: np.ndarray, m: int, ksub: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace Lloyd on a residual matrix — the codebook stage of
+    ``train_ivfpq_np``, factored out so OPQ can retrain books on
+    rotated residuals with the IDENTICAL rng sequence (same seed ->
+    byte-identical books for the unrotated input)."""
+    dim = residuals.shape[1]
     dsub = dim // m
     rng = np.random.RandomState(seed + 1)
     books = np.empty((m, ksub, dsub), dtype=np.float64)
@@ -531,7 +542,118 @@ def train_ivfpq_np(
         books[j, : len(cb)] = cb
         if len(cb) < ksub:
             books[j, len(cb) :] = cb[-1]
-    return cents, books
+    return books
+
+
+def fold_matvec(X: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """Rows of ``X`` rotated by ``R`` (out[:, i] = sum_t R[i, t] *
+    X[:, t]) with the sum accumulated as a LEFT FOLD over ``t`` in
+    ascending order — the same IEEE order as the oracle's
+    ``list_sum(list_transform(range(1, dim+1), t -> rot[i][t] *
+    rv0[t]))``, so rotated residual coordinates are bit-identical on
+    both engines (a BLAS ``X @ R.T`` pairs/permutes the additions and
+    drifts in the last ulp, which can flip downstream argmin
+    tie-breaks)."""
+    acc = np.zeros((len(X), R.shape[0]))
+    RT = np.ascontiguousarray(R.T)
+    for t in range(X.shape[1]):
+        acc = acc + X[:, t, None] * RT[t, None, :]
+    return acc
+
+
+def _pq_encode_np(Y: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Vectorized PQ code assignment (training-loop internal — the
+    bulk Spark encode lives in ``ivfpq_encode``)."""
+    m, _ksub, dsub = books.shape
+    codes = np.empty((len(Y), m), dtype=np.int64)
+    for j in range(m):
+        sub = Y[:, j * dsub : (j + 1) * dsub]
+        d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)
+    return codes
+
+
+def _pq_decode_np(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    m = books.shape[0]
+    return np.concatenate([books[j][codes[:, j]] for j in range(m)], axis=1)
+
+
+def train_opq(
+    df: DataFrame,
+    n_centroids: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    opq_iters: int = 6,
+    sample_rows: int = 8192,
+    seed: int = 42,
+    sample_id_col: str | None = None,
+):
+    """OPQ: coarse quantizer + orthonormal rotation + rotated-residual
+    codebooks — ``(cents, R, books)``.
+
+    Plain residual PQ quantizes each dim/m subspace independently, so
+    its error is bound by how the data's variance happens to fall
+    across the FIXED subspace split. OPQ (Ge et al., "Optimized
+    Product Quantization", CVPR 2013 — non-parametric variant) learns
+    an orthonormal rotation R jointly with the codebooks, minimizing
+    ||R r - decode(encode(R r))||^2: the rotation balances variance
+    across subspaces and decorrelates them, which is exactly what the
+    refine-bound serving regimes need (BASELINE.md r10: PQ noise at
+    m=8 swamps noise-scale cosine gaps; a lower-noise code ranks
+    candidates usefully at the same byte budget). Rotation preserves
+    euclidean distance, so the ADC identity and every serving contract
+    (tie-safe cuts, exact re-rank) hold unchanged in the rotated
+    space.
+
+    Same sampling/determinism contract as ``train_ivfpq``."""
+    sample = _training_sample(df, vec_col, sample_rows, sample_id_col)
+    return train_opq_np(
+        sample, n_centroids=n_centroids, m=m, ksub=ksub, iters=iters,
+        opq_iters=opq_iters, seed=seed,
+    )
+
+
+def train_opq_np(
+    sample: np.ndarray,
+    n_centroids: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    iters: int = 5,
+    opq_iters: int = 6,
+    seed: int = 42,
+):
+    """Numpy core of ``train_opq`` (same sample -> same model, no
+    Spark needed — the OPQ oracles retrain from the identical
+    md5-ordered sample).
+
+    Alternating minimization: (1) fix R, Lloyd the codebooks on the
+    rotated residuals; (2) fix the codes' reconstructions Yhat, solve
+    the orthogonal Procrustes problem min_R ||residuals @ R.T - Yhat||
+    via SVD of residuals.T @ Yhat (R = (U V^T)^T). R is applied at
+    encode/serve time with the left-fold matvec (``fold_matvec``), but
+    TRAINING may use BLAS freely — only encode/serve arithmetic must
+    tie out against the SQL replay, the trained model is plain
+    constants shared by both sides."""
+    cents = train_centroids_np(sample, n_centroids, iters, seed)
+    assign = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    residuals = sample - cents[assign]
+    dim = sample.shape[1]
+    R = np.eye(dim)
+    for _ in range(opq_iters):
+        Y = residuals @ R.T
+        books = _residual_pq_books_np(Y, m=m, ksub=ksub, iters=iters, seed=seed)
+        Yhat = _pq_decode_np(_pq_encode_np(Y, books), books)
+        # orthogonal Procrustes: min_Q ||A Q - B||_F with Q = R.T,
+        # A = residuals, B = Yhat -> Q = U V^T of A^T B. R = Q.T is
+        # invariant to the SVD's per-pair sign ambiguity (U D)(D V^T)
+        U, _s, Vt = np.linalg.svd(residuals.T @ Yhat)
+        R = (U @ Vt).T
+    books = _residual_pq_books_np(
+        fold_matvec(residuals, R), m=m, ksub=ksub, iters=iters, seed=seed
+    )
+    return cents, R, books
 
 
 def ivfpq_encode(
@@ -539,16 +661,27 @@ def ivfpq_encode(
     centroids: np.ndarray,
     codebooks: np.ndarray,
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Add ``cell`` (coarse assignment) and ``pq_code`` (residual
     codes) in ONE Arrow pass — the bulk index build. Write the result
     partitioned by ``cell`` with only (id, cell, pq_code) and the
-    serving scan reads a few small code files per probe."""
+    serving scan reads a few small code files per probe.
+
+    ``rotation``: OPQ rotation from ``train_opq`` — residuals are
+    rotated (left-fold matvec, the oracle's exact arithmetic) before
+    code assignment; the codebooks must be the rotated-residual books
+    trained alongside it."""
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     cents = np.asarray(centroids, dtype=np.float64)
     books = np.asarray(codebooks, dtype=np.float64)
+    rot = (
+        np.asarray(rotation, dtype=np.float64)
+        if rotation is not None
+        else None
+    )
     m, ksub, dsub = books.shape
     c_t = cents.T.copy()
     c_sq = (cents**2).sum(axis=1)
@@ -563,6 +696,8 @@ def ivfpq_encode(
         d = (mat**2).sum(axis=1)[:, None] - 2.0 * (mat @ c_t) + c_sq[None, :]
         cell = d.argmin(axis=1)
         res = mat - cents[cell]
+        if rot is not None:
+            res = fold_matvec(res, rot)
         codes = np.empty((len(mat), m), dtype=np.int32)
         for j in range(m):
             sub = res[:, j * dsub : (j + 1) * dsub]

@@ -78,6 +78,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.distance import cosine_distance, metric_expr
+from ..operators.similarity import fold_matvec
 
 DEFAULT_SALT_CODES = 262_144
 DEFAULT_PROBE_GROUP_ROWS = 16_384
@@ -159,6 +160,7 @@ def ann_join_topk(
     esc_nprobe: int | None = None,
     esc_refine: int | None = None,
     imi: tuple[np.ndarray, np.ndarray] | None = None,
+    rotation: np.ndarray | None = None,
     model_dtype=np.float64,
 ) -> DataFrame:
     """Batched IVF-PQ top-k join (see module docstring).
@@ -215,6 +217,17 @@ def ann_join_topk(
     vector to be non-zero (the kernel raises on a zero-norm probe —
     ADVICE r9 — rather than emitting NaN coordinates).
 
+    ``rotation``: OPQ rotation matrix from ``train_opq`` — the codes
+    snapshot must be built by ``ivfpq_encode(..., rotation=R)`` with
+    the matching rotated-residual codebooks. Probe residuals are
+    rotated with the same left-fold matvec before the ADC (cell
+    ASSIGNMENT is unrotated — the coarse quantizer lives in the
+    original space), so the whole serving contract (tie-safe cuts,
+    candidate budget, exact re-rank) is unchanged; only the code
+    resolution improves. Composes with ``pred``/``adaptive``/
+    ``metric='cosine'``; not yet with ``imi`` (imi_encode has no
+    rotation support).
+
     ``model_dtype``: storage dtype for the broadcast centroids +
     codebooks. float64 (default) is required for the bit-exact oracle
     contract; float32 halves the broadcast at 100 TB model sizes
@@ -223,6 +236,12 @@ def ann_join_topk(
     """
     if k < 1 or nprobe < 1 or refine < 1:
         raise ValueError("k, nprobe and refine must be >= 1")
+    if rotation is not None and imi is not None:
+        raise ValueError(
+            "rotation is not supported with imi: imi_encode has no "
+            "rotation path, so an imi codes snapshot cannot carry "
+            "rotated-residual codes"
+        )
     if metric not in ANN_JOIN_METRICS:
         raise KeyError(
             f"metric {metric!r} not served by the batched ANN tier "
@@ -237,6 +256,15 @@ def ann_join_topk(
         model_dtype, copy=False
     )
     m, ksub, dsub = books.shape
+    rot = None
+    if rotation is not None:
+        rot = np.asarray(rotation, dtype=np.float64).astype(
+            model_dtype, copy=False
+        )
+        if rot.shape != (m * dsub, m * dsub):
+            raise ValueError(
+                f"rotation is {rot.shape}, codebooks cover dim {m * dsub}"
+            )
     if imi is not None:
         # two-level (product) coarse quantizer — VERDICT r9 design
         # note / Babenko & Lempitsky 2012: C = K1*K2 cells ship as two
@@ -334,7 +362,7 @@ def ann_join_topk(
 
     b_model = register_cache(
         spark.sparkContext.broadcast(
-            (cents, books, live_cells, live_counts, imi_c1, imi_c2)
+            (cents, books, live_cells, live_counts, imi_c1, imi_c2, rot)
         )
     )
 
@@ -347,7 +375,9 @@ def ann_join_topk(
     def assign(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        bc_cents, _bc_books, bc_live, bc_counts, bc_c1, bc_c2 = b_model.value
+        bc_cents, _bc_books, bc_live, bc_counts, bc_c1, bc_c2, _bc_rot = (
+            b_model.value
+        )
         if bc_c1 is not None:
             c1_f = bc_c1.astype(np.float64, copy=False)
             c2_f = bc_c2.astype(np.float64, copy=False)
@@ -542,8 +572,14 @@ def ann_join_topk(
             return pd.DataFrame(
                 {probe_id_col: [], id_col: [], "adc_dist": [], "__esc": []}
             )
-        bc_cents, bc_books, _bc_live, _bc_counts, bc_c1, bc_c2 = b_model.value
+        bc_cents, bc_books, _bc_live, _bc_counts, bc_c1, bc_c2, bc_rot = (
+            b_model.value
+        )
         books_f = bc_books.astype(np.float64, copy=False)
+        rot_f = (
+            bc_rot.astype(np.float64, copy=False) if bc_rot is not None
+            else None
+        )
         cell = int(left[cell_col].iloc[0])
         if bc_c1 is not None:
             # product-cell center assembled from the two half
@@ -584,6 +620,12 @@ def ann_join_topk(
         for lo in range(0, len(pids), step):
             P = P_all[lo : lo + step]
             R = P - cell_center[None, :]
+            if rot_f is not None:
+                # OPQ: probe residuals enter the rotated code space via
+                # the same left-fold matvec the encoder used, so LUTs,
+                # decoded vectors and the ADC all live in one space and
+                # every value ties out against the SQL replay
+                R = fold_matvec(R, rot_f)
             lut = fold_residual_luts(R, books_f)
             r_sq = (R**2).sum(axis=1)
             D = r_sq[:, None] - 2.0 * (R @ V.T) + v_sq[None, :]

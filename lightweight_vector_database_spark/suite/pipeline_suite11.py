@@ -234,6 +234,7 @@ def _aj_replay_sql(
     cell_where: str | None = None,
     adaptive_esc: tuple[int, int] | None = None,
     imi: tuple | None = None,
+    rotation=None,
 ) -> str:
     """The shared WITH-chain replaying ann_join_topk in DuckDB up to
     the per-probe top-k CTE ``topk(probe_id, vec_id, dist, rank)``.
@@ -260,8 +261,16 @@ def _aj_replay_sql(
     ``ann_join_topk(adaptive=True)`` — per-probe displaced-home
     escalation + qualifying-mass widening, the same two signals as the
     kernel (see plans/ann_join.py), each expressed as window/aggregate
-    SQL over the same bit-deterministic fold distances."""
+    SQL over the same bit-deterministic fold distances.
+
+    ``rotation``: OPQ rotation matrix replaying
+    ``ivfpq_encode(rotation=)`` + ``ann_join_topk(rotation=)`` — base
+    and probe residuals are rotated before code assignment / ADC with
+    a per-output-coordinate ``list_sum`` fold over input coordinates,
+    the exact IEEE order of the kernel's ``fold_matvec``."""
     m, ksub, dsub = books.shape
+    if rotation is not None and imi is not None:
+        raise ValueError("rotation replay is flat-path only (as the kernel)")
     # literals hoisted into a ONE-ROW consts CTE (cross-joined where
     # needed): inlining the ~80 KB codebook array inside per-row
     # lambdas makes DuckDB re-evaluate the list constructor per row —
@@ -269,6 +278,14 @@ def _aj_replay_sql(
     # CTE the whole replay is seconds
     books_all = "[" + ",".join(_dlst2(books[j].tolist()) for j in range(m)) + "]"
     rng_dim = f"range(1, {DIM + 1})"
+
+    def _rot_fold(src: str) -> str:
+        """Rotated-list expression: out[i] = left fold over t of
+        rot[i][t] * src[t] — fold_matvec's exact IEEE order."""
+        return (
+            f"list_transform({rng_dim}, i -> list_sum(list_transform("
+            f"{rng_dim}, t -> rot[i][t] * {src}[t])))"
+        )
     if imi is not None:
         # two-level (IMI) coarse model: the consts CTE carries the two
         # HALF codebooks; every site that read cents[cell][i] reads the
@@ -336,6 +353,11 @@ def _aj_replay_sql(
         )
     else:
         consts_model = f"{_dlst2(cents.tolist())} AS cents"
+        if rotation is not None:
+            import numpy as _np
+
+            rotm = _np.asarray(rotation, dtype=_np.float64)
+            consts_model += f", {_dlst2(rotm.tolist())} AS rot"
         res_cell = "cents[cellp][i]"
         res_cell_r = "cents[r.cellp][i]"
         cdist_cte = (
@@ -354,14 +376,29 @@ def _aj_replay_sql(
             "  FROM pwork, consts\n"
             ")"
         )
-        assigned_cte = (
-            "assigned AS (\n"
-            "  SELECT vec_id, list_position(cd, list_min(cd)) AS cellp,\n"
-            f"         list_transform({rng_dim},\n"
-            "             i -> bv[i] - cents[list_position(cd, list_min(cd))][i]) AS rv\n"
-            "  FROM cdist, consts\n"
-            ")"
-        )
+        if rotation is None:
+            assigned_cte = (
+                "assigned AS (\n"
+                "  SELECT vec_id, list_position(cd, list_min(cd)) AS cellp,\n"
+                f"         list_transform({rng_dim},\n"
+                "             i -> bv[i] - cents[list_position(cd, list_min(cd))][i]) AS rv\n"
+                "  FROM cdist, consts\n"
+                ")"
+            )
+        else:
+            # OPQ: raw residual rv0 materialized once per row in the
+            # inner select, then rotated with the per-coordinate fold
+            assigned_cte = (
+                "assigned AS (\n"
+                f"  SELECT vec_id, cellp, {_rot_fold('rv0')} AS rv\n"
+                "  FROM (\n"
+                "    SELECT vec_id, list_position(cd, list_min(cd)) AS cellp,\n"
+                f"           list_transform({rng_dim},\n"
+                "               i -> bv[i] - cents[list_position(cd, list_min(cd))][i]) AS rv0\n"
+                "    FROM cdist, consts\n"
+                "  ), consts\n"
+                ")"
+            )
     where = f" WHERE {base_where}" if base_where else ""
 
     # encoded-space vectors: raw doubles, or L2-normalized doubles
@@ -444,11 +481,22 @@ def _aj_replay_sql(
         if cell_where
         else ""
     )
-    if adaptive_esc is None:
-        mid = f"""pcells AS (
+    if rotation is None:
+        pcells_head = f"""pcells AS (
   SELECT probe_id, probe_vec, cellp,
          list_transform({rng_dim},
-             i -> wv[i] - {res_cell}) AS prv
+             i -> wv[i] - {res_cell}) AS prv"""
+        pcells_tail = ")"
+    else:
+        pcells_head = f"""pcells AS (
+  SELECT probe_id, probe_vec, cellp, {_rot_fold('prv0')} AS prv
+  FROM (
+  SELECT probe_id, probe_vec, cellp,
+         list_transform({rng_dim},
+             i -> wv[i] - {res_cell}) AS prv0"""
+        pcells_tail = "), consts )"
+    if adaptive_esc is None:
+        mid = f"""{pcells_head}
   FROM (
     SELECT probe_id, probe_vec, wv, u.i AS cellp,
            row_number() OVER (
@@ -459,7 +507,7 @@ def _aj_replay_sql(
     -- predicate must not leave probes pointing at emptied cells
     FROM pdist, (SELECT DISTINCT cellp AS i FROM {qual}) u
   ), consts WHERE rn <= {nprobe}
-), adc AS (
+{pcells_tail}, adc AS (
   SELECT p.probe_id, p.probe_vec, c.vec_id, ({adc}) AS adc_dist
   FROM pcells p JOIN {qual} c ON p.cellp = c.cellp, consts
 ), cand AS (
@@ -473,6 +521,25 @@ def _aj_replay_sql(
 )"""
     else:
         esc_np, esc_rf = adaptive_esc
+        if rotation is None:
+            adaptive_pcells = f"""pcells AS (
+  SELECT r.probe_id, r.probe_vec, r.cellp,
+         list_transform({rng_dim},
+             i -> r.wv[i] - {res_cell_r}) AS prv
+  FROM pranked r JOIN ptake t USING (probe_id), consts
+  WHERE r.rn <= t.ntake
+)"""
+        else:
+            adaptive_pcells = f"""pcells AS (
+  SELECT probe_id, probe_vec, cellp, {_rot_fold('prv0')} AS prv
+  FROM (
+    SELECT r.probe_id, r.probe_vec, r.cellp,
+           list_transform({rng_dim},
+               i -> r.wv[i] - {res_cell_r}) AS prv0
+    FROM pranked r JOIN ptake t USING (probe_id), consts
+    WHERE r.rn <= t.ntake
+  ), consts
+)"""
         # per-probe escalation (plans/ann_join.py adaptive=True):
         # pesc  — displaced-home signal: the probe's FIRST-min cell over
         #         ALL centroids (list_position = smallest index on ties,
@@ -506,13 +573,7 @@ def _aj_replay_sql(
                         THEN rn END), max(rn))
          ) AS ntake
   FROM pranked GROUP BY probe_id
-), pcells AS (
-  SELECT r.probe_id, r.probe_vec, r.cellp,
-         list_transform({rng_dim},
-             i -> r.wv[i] - {res_cell_r}) AS prv
-  FROM pranked r JOIN ptake t USING (probe_id), consts
-  WHERE r.rn <= t.ntake
-), adc AS (
+), {adaptive_pcells}, adc AS (
   SELECT p.probe_id, p.probe_vec, c.vec_id, ({adc}) AS adc_dist
   FROM pcells p JOIN {qual} c ON p.cellp = c.cellp, consts
 ), cand AS (

@@ -1,0 +1,201 @@
+"""OPQ — optimized product quantization (Ge et al., CVPR 2013) for
+the batched ANN tier (round 10).
+
+Contract: ``train_opq`` learns an orthonormal rotation + rotated-
+residual codebooks with strictly lower quantization error than plain
+residual PQ at the same byte budget; ``ivfpq_encode(rotation=)`` /
+``ann_join_topk(rotation=)`` serve the rotated code space with every
+existing guarantee intact — identity rotation is BIT-IDENTICAL to the
+unrotated path (fold_matvec with I adds exact zeros), and the
+registered ``ann_join_opq`` query carries a full-pipeline exact SQL
+replay (pipeline_suite14, checked by the driver differential).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lightweight_vector_database_spark.operators.similarity import (
+    _pq_decode_np,
+    _pq_encode_np,
+    fold_matvec,
+    ivfpq_encode,
+    train_ivfpq,
+    train_ivfpq_np,
+    train_opq,
+    train_opq_np,
+)
+from lightweight_vector_database_spark.plans.ann_join import ann_join_topk
+from lightweight_vector_database_spark.sources import load_table
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _canon(df):
+    return sorted(
+        (r.probe_id, r.vec_id, round(r.dist, 9), r["rank"]) for r in df.collect()
+    )
+
+
+def _sample_np(spark):
+    emb = load_table(spark, SF001, "embeddings")
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(2048)
+        .collect()
+    )
+    return np.array([r.embedding for r in rows], dtype=np.float64)
+
+
+def _mse(residuals, books, rot=None):
+    Y = fold_matvec(residuals, rot) if rot is not None else residuals
+    return (
+        ((Y - _pq_decode_np(_pq_encode_np(Y, books), books)) ** 2)
+        .sum(axis=1)
+        .mean()
+    )
+
+
+def test_rotation_orthonormal_and_deterministic(spark):
+    S = _sample_np(spark)
+    c1, R1, b1 = train_opq_np(S, n_centroids=8, m=8, ksub=64, iters=3)
+    c2, R2, b2 = train_opq_np(S, n_centroids=8, m=8, ksub=64, iters=3)
+    assert np.array_equal(R1, R2) and np.array_equal(b1, b2)
+    assert np.allclose(R1 @ R1.T, np.eye(S.shape[1]), atol=1e-10)
+    # same coarse stage as plain IVF-PQ (identical sample + seed)
+    cents, _ = train_ivfpq_np(S, n_centroids=8, m=8, ksub=64, iters=3)
+    assert np.array_equal(c1, cents)
+
+
+def test_opq_lowers_quantization_error_fixture(spark):
+    """On the real fixture corpus the learned rotation must beat the
+    identity split at the identical (m, ksub) byte budget."""
+    S = _sample_np(spark)
+    cents, books = train_ivfpq_np(S, n_centroids=8, m=8, ksub=64, iters=3)
+    _, R, books_r = train_opq_np(S, n_centroids=8, m=8, ksub=64, iters=3)
+    a = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    res = S - cents[a]
+    assert _mse(res, books_r, R) < 0.95 * _mse(res, books)
+
+
+def test_opq_wins_big_on_anisotropic_data():
+    """The regime OPQ exists for: variance concentrated in directions
+    that straddle the fixed subspace split. Plain PQ pays the full
+    correlation cost; the learned rotation re-aligns the split and
+    must cut MSE by a wide margin (>=2x here)."""
+    rng = np.random.RandomState(11)
+    dim, n = 32, 4096
+    # low-rank covariance mixed across all coordinates by a random
+    # orthonormal basis: every 4-dim subspace sees correlated mass
+    basis, _ = np.linalg.qr(rng.randn(dim, dim))
+    scales = np.concatenate([np.full(4, 3.0), np.full(dim - 4, 0.1)])
+    S = (rng.randn(n, dim) * scales[None, :]) @ basis.T
+    cents, books = train_ivfpq_np(S, n_centroids=4, m=8, ksub=32, iters=3)
+    _, R, books_r = train_opq_np(
+        S, n_centroids=4, m=8, ksub=32, iters=3, opq_iters=8
+    )
+    a = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    res = S - cents[a]
+    assert _mse(res, books_r, R) < 0.5 * _mse(res, books)
+
+
+def test_identity_rotation_bit_identical(spark):
+    """rotation=I must reproduce the unrotated serving path EXACTLY:
+    fold_matvec with the identity adds exact zeros, so codes, ADC
+    values, candidate cuts and final rows are all bit-identical."""
+    emb = load_table(spark, SF001, "embeddings")
+    cents, books = train_ivfpq(
+        emb, n_centroids=8, m=8, ksub=64, iters=3, sample_id_col="vec_id"
+    )
+    eye = np.eye(64)
+    codes_plain = ivfpq_encode(emb, cents, books).select(
+        "vec_id", "cell", "pq_code"
+    )
+    codes_eye = ivfpq_encode(emb, cents, books, rotation=eye).select(
+        "vec_id", "cell", "pq_code"
+    )
+    a = {(r.vec_id, r.cell, tuple(r.pq_code)) for r in codes_plain.collect()}
+    b = {(r.vec_id, r.cell, tuple(r.pq_code)) for r in codes_eye.collect()}
+    assert a == b
+    probes = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("probe_vec"),
+    )
+    out_plain = ann_join_topk(
+        codes_plain, cents, books, probes, raw=emb, k=5, nprobe=4, refine=4
+    )
+    out_eye = ann_join_topk(
+        codes_eye, cents, books, probes, raw=emb, k=5, nprobe=4, refine=4,
+        rotation=eye,
+    )
+    assert _canon(out_plain) == _canon(out_eye)
+
+
+def test_opq_serving_recall_and_validation(spark):
+    """The OPQ-served join answers every probe with k rows and >= the
+    plain-PQ recall at the same (nprobe, refine) point; bad shapes and
+    the unsupported imi composition raise."""
+    from lightweight_vector_database_spark.plans.bulk_knn import (  # noqa: F401
+        knn_join_bulk,
+    )
+
+    emb = load_table(spark, SF001, "embeddings")
+    cents, books = train_ivfpq(
+        emb, n_centroids=8, m=8, ksub=64, iters=3, sample_id_col="vec_id"
+    )
+    _, R, books_r = train_opq(
+        emb, n_centroids=8, m=8, ksub=64, iters=3, sample_id_col="vec_id"
+    )
+    codes_pq = ivfpq_encode(emb, cents, books).select(
+        "vec_id", "cell", "pq_code"
+    )
+    codes_opq = ivfpq_encode(emb, cents, books_r, rotation=R).select(
+        "vec_id", "cell", "pq_code"
+    )
+    probes = emb.filter(F.col("vec_id") < 60).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("probe_vec"),
+    )
+    k = 10
+    exact = {}
+    from lightweight_vector_database_spark.operators.knn import knn_join_blocks
+
+    for r in knn_join_blocks(probes, emb, k).collect():
+        exact.setdefault(r.probe_id, set()).add(r.vec_id)
+
+    def recall(codes, rot):
+        got = {}
+        out = ann_join_topk(
+            codes, cents, books_r if rot is not None else books, probes,
+            raw=emb, k=k, nprobe=4, refine=4, rotation=rot,
+        )
+        rows = out.collect()
+        for r in rows:
+            got.setdefault(r.probe_id, set()).add(r.vec_id)
+        assert len(got) == 60 and all(len(v) == k for v in got.values())
+        return sum(
+            len(got[p] & want) / len(want) for p, want in exact.items()
+        ) / len(exact)
+
+    # measured at this point: pq 0.7067 / opq 0.7133 — the fixture
+    # residuals are near-isotropic so the margin is thin (the WIDE
+    # margin lives in test_opq_wins_big_on_anisotropic_data); what
+    # this pins is "rotation never costs recall on real-ish data"
+    rec_pq = recall(codes_pq, None)
+    rec_opq = recall(codes_opq, R)
+    assert rec_opq >= rec_pq - 0.02  # never materially worse...
+    assert rec_opq >= 0.65  # ...and sane in absolute terms
+
+    with pytest.raises(ValueError, match="rotation is"):
+        ann_join_topk(
+            codes_opq, cents, books_r, probes, raw=emb, k=5,
+            rotation=np.eye(32),
+        )
+    with pytest.raises(ValueError, match="imi"):
+        ann_join_topk(
+            codes_opq, None, books_r, probes, raw=emb, k=5,
+            imi=(np.zeros((4, 32)), np.zeros((4, 32))), rotation=np.eye(64),
+        )

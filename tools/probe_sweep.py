@@ -228,7 +228,18 @@ def main() -> None:
     )
     from lightweight_vector_database_spark.plans.ann_join import ann_join_topk
 
-    ann_m = min(8, dim)
+    # --ann-m : PQ subquantizer count (code bytes per vector; dsub =
+    # dim/m). The r10 filtered-cosine frontier saturated at 0.86 recall
+    # even at refine=64 — a REFINE-bound regime where residual PQ noise
+    # at m=8 (8-dim subspaces) swamps the noise-scale cosine gaps among
+    # the true top-10; doubling m halves each subspace and shrinks the
+    # quantization cells, trading 2x code bytes + ADC adds for ADC
+    # resolution. This knob measures that trade directly.
+    ann_m = (
+        int(sys.argv[sys.argv.index("--ann-m") + 1])
+        if "--ann-m" in sys.argv
+        else min(8, dim)
+    )
     ann_cells = 64
     # recall knobs, overridable per run: bigger bases pack more true
     # neighbors per Voronoi boundary, so a fixed nprobe loses recall as
@@ -460,6 +471,7 @@ def main() -> None:
                     # operators/tiering.frontier_from_sweeps
                     "ann_nprobe": ann_nprobe,
                     "ann_refine": ann_refine,
+                    "ann_m": ann_m,
                     # which 0.5-selectivity predicate the *_filt columns
                     # used: 'parity' (cluster-correlated, adversarial on
                     # this generator) or 'hash' (uniform across clusters,
