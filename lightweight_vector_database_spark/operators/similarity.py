@@ -872,6 +872,7 @@ def imi_encode(
     c2: np.ndarray,
     codebooks: np.ndarray,
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Add ``cell`` (product-cell assignment, ``cell = a1 * K2 + a2``)
     and ``pq_code`` (residual codes) in one Arrow pass — the IMI index
@@ -880,13 +881,24 @@ def imi_encode(
     argmin (the distance decomposes across the halves), so the build
     cost per row is O((K1 + K2) * dim/2) instead of O(K1*K2 * dim).
     Output schema matches ivfpq_encode, so the partitioned-write /
-    serving-scan contract is unchanged."""
+    serving-scan contract is unchanged.
+
+    ``rotation``: OPQ rotation applied to the PRODUCT-CELL residual
+    before code assignment (same contract as ``ivfpq_encode`` — the
+    rotation lives in the residual space, so it composes with the
+    product-decomposed coarse stage unchanged; only the residual
+    codes move)."""
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     c1m = np.asarray(c1, dtype=np.float64)
     c2m = np.asarray(c2, dtype=np.float64)
     books = np.asarray(codebooks, dtype=np.float64)
+    rot = (
+        np.asarray(rotation, dtype=np.float64)
+        if rotation is not None
+        else None
+    )
     m, ksub, dsub = books.shape
     K2 = len(c2m)
     dh = c1m.shape[1]
@@ -909,6 +921,8 @@ def imi_encode(
         a2 = d2.argmin(axis=1)
         cell = a1 * K2 + a2
         res = mat - np.concatenate([c1m[a1], c2m[a2]], axis=1)
+        if rot is not None:
+            res = fold_matvec(res, rot)
         codes = np.empty((len(mat), m), dtype=np.int32)
         for j in range(m):
             sub = res[:, j * dsub : (j + 1) * dsub]

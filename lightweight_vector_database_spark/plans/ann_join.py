@@ -225,8 +225,9 @@ def ann_join_topk(
     original space), so the whole serving contract (tie-safe cuts,
     candidate budget, exact re-rank) is unchanged; only the code
     resolution improves. Composes with ``pred``/``adaptive``/
-    ``metric='cosine'``; not yet with ``imi`` (imi_encode has no
-    rotation support).
+    ``metric='cosine'`` and with ``imi`` (the rotation lives in the
+    residual space, after the product-cell center is assembled; build
+    the snapshot with ``imi_encode(..., rotation=R)``).
 
     ``model_dtype``: storage dtype for the broadcast centroids +
     codebooks. float64 (default) is required for the bit-exact oracle
@@ -236,12 +237,6 @@ def ann_join_topk(
     """
     if k < 1 or nprobe < 1 or refine < 1:
         raise ValueError("k, nprobe and refine must be >= 1")
-    if rotation is not None and imi is not None:
-        raise ValueError(
-            "rotation is not supported with imi: imi_encode has no "
-            "rotation path, so an imi codes snapshot cannot carry "
-            "rotated-residual codes"
-        )
     if metric not in ANN_JOIN_METRICS:
         raise KeyError(
             f"metric {metric!r} not served by the batched ANN tier "

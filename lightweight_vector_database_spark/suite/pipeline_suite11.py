@@ -269,8 +269,6 @@ def _aj_replay_sql(
     a per-output-coordinate ``list_sum`` fold over input coordinates,
     the exact IEEE order of the kernel's ``fold_matvec``."""
     m, ksub, dsub = books.shape
-    if rotation is not None and imi is not None:
-        raise ValueError("rotation replay is flat-path only (as the kernel)")
     # literals hoisted into a ONE-ROW consts CTE (cross-joined where
     # needed): inlining the ~80 KB codebook array inside per-row
     # lambdas makes DuckDB re-evaluate the list constructor per row —
@@ -304,6 +302,9 @@ def _aj_replay_sql(
             f"{_dlst2(c1m.tolist())} AS cents1, "
             f"{_dlst2(c2m.tolist())} AS cents2"
         )
+        if rotation is not None:
+            rotm = _np.asarray(rotation, dtype=_np.float64)
+            consts_model += f", {_dlst2(rotm.tolist())} AS rot"
 
         def _cellcent(ce: str) -> str:
             return (
@@ -341,16 +342,34 @@ def _aj_replay_sql(
         pdist_cte = _imi_dist_cte(
             "pdist", "pwork", "probe_id, probe_vec, wv", "wv", "pd"
         )
-        assigned_cte = (
-            "assigned AS (\n"
-            "  SELECT vec_id, cellp,\n"
-            f"         list_transform({rng_dim}, i -> bv[i] - {res_cell}) AS rv\n"
-            "  FROM (\n"
-            "    SELECT vec_id, bv, list_position(cd, list_min(cd)) AS cellp"
-            " FROM cdist\n"
-            "  ), consts\n"
-            ")"
-        )
+        if rotation is None:
+            assigned_cte = (
+                "assigned AS (\n"
+                "  SELECT vec_id, cellp,\n"
+                f"         list_transform({rng_dim}, i -> bv[i] - {res_cell}) AS rv\n"
+                "  FROM (\n"
+                "    SELECT vec_id, bv, list_position(cd, list_min(cd)) AS cellp"
+                " FROM cdist\n"
+                "  ), consts\n"
+                ")"
+            )
+        else:
+            # OPQ x IMI: the raw product-cell residual rv0, then the
+            # rotation fold (same composition as the serving kernel —
+            # rotation lives in the residual space)
+            assigned_cte = (
+                "assigned AS (\n"
+                f"  SELECT vec_id, cellp, {_rot_fold('rv0')} AS rv\n"
+                "  FROM (\n"
+                "    SELECT vec_id, cellp,\n"
+                f"           list_transform({rng_dim}, i -> bv[i] - {res_cell}) AS rv0\n"
+                "    FROM (\n"
+                "      SELECT vec_id, bv, list_position(cd, list_min(cd)) AS cellp"
+                " FROM cdist\n"
+                "    ), consts\n"
+                "  ), consts\n"
+                ")"
+            )
     else:
         consts_model = f"{_dlst2(cents.tolist())} AS cents"
         if rotation is not None:

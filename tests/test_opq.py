@@ -194,8 +194,92 @@ def test_opq_serving_recall_and_validation(spark):
             codes_opq, cents, books_r, probes, raw=emb, k=5,
             rotation=np.eye(32),
         )
-    with pytest.raises(ValueError, match="imi"):
-        ann_join_topk(
-            codes_opq, None, books_r, probes, raw=emb, k=5,
-            imi=(np.zeros((4, 32)), np.zeros((4, 32))), rotation=np.eye(64),
+
+
+def test_opq_composes_with_imi(spark):
+    """OPQ x IMI: the rotation lives in the residual space, AFTER the
+    product-cell center is assembled, so the two-level coarse model
+    and the rotated codes compose — the imi-served join must return
+    rows IDENTICAL to the flat path served from the materialized
+    product matrix over the same rotated snapshot."""
+    from lightweight_vector_database_spark.operators.similarity import (
+        imi_encode,
+        imi_product_centroids,
+        train_imi,
+        train_opq_np,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, k, n_clusters = 16, 5, 16
+    centers = rng.uniform(-0.4, 0.4, (n_clusters, dim))
+    centers_df = spark.createDataFrame(
+        [(int(c), centers[c].tolist()) for c in range(n_clusters)],
+        "cluster int, center array<double>",
+    )
+    base = (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % n_clusters).cast("int").alias("cluster"),
         )
+        .join(F.broadcast(centers_df), "cluster")
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("center"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(dim)),
+                    lambda i: 0.03
+                    * F.sin((F.col("vec_id") + 1) * i.cast("double") * 0.9),
+                ),
+                lambda c, nz: c + nz,
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    c1, c2, books = train_imi(
+        base, k1=8, k2=8, m=4, ksub=32, iters=4,
+        sample_rows=2048, sample_id_col="vec_id",
+    )
+    # rotation trained on the same sample geometry (any valid
+    # orthonormal R composes; reuse the OPQ trainer's R at these dims)
+    sample = np.array(
+        [
+            r.embedding
+            for r in base.orderBy(F.md5(F.col("vec_id").cast("string")))
+            .limit(2048)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    _, R, _ = train_opq_np(sample, n_centroids=4, m=4, ksub=32, iters=3)
+    # NOTE: the books here were trained on UNROTATED imi residuals —
+    # deliberately: this test pins PATH EQUIVALENCE (imi == flat over
+    # identical codes/books/R), which must hold for any orthonormal R
+    # regardless of code quality; recall quality under a matched
+    # rotation is test_opq_serving_recall_and_validation's job
+    codes = imi_encode(base, c1, c2, books, rotation=R).select(
+        "vec_id", "cell", "pq_code"
+    ).cache()
+    probes = base.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("probe_vec"),
+    )
+    imi_out = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.dist, 9))
+        for r in ann_join_topk(
+            codes, None, books, probes, raw=base, k=k, nprobe=8,
+            refine=50, imi=(c1, c2), rotation=R,
+        ).collect()
+    }
+    flat_out = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.dist, 9))
+        for r in ann_join_topk(
+            codes, imi_product_centroids(c1, c2), books, probes,
+            raw=base, k=k, nprobe=8, refine=50, rotation=R,
+        ).collect()
+    }
+    assert len(imi_out) == 30 * k
+    assert imi_out == flat_out
+    base.unpersist()
+    codes.unpersist()
