@@ -227,12 +227,45 @@ def frontier_from_sweeps(
                 {
                     "nprobe": int(nprobe),
                     "refine": int(refine),
+                    # PQ resolution axis (code bytes per vector): sweeps
+                    # predating the --ann-m knob all ran m=8 (r10). A
+                    # frontier mixing m values spans DIFFERENT index
+                    # builds — resolve those with ann_serving_point,
+                    # which returns m alongside the knobs.
+                    "m": int(doc.get("ann_m", 8)),
                     "recall": float(r["recall_at_k"]),
                     "probes_per_sec": float(r["probes_per_sec"]),
                     "n_probes": int(r["n_probes"]),
                 }
             )
     return out
+
+
+def ann_serving_point(recall_floor: float, frontier: list[dict]) -> dict | None:
+    """The cheapest recorded serving point clearing ``recall_floor``
+    across ALL recorded axes — (nprobe, refine) knobs AND the PQ
+    resolution m (which selects a codes SNAPSHOT, not just a query
+    knob: serving an m=16 point requires the m=16 index build).
+    Returns the full frontier record (highest measured probes/sec
+    wins; ties break to less work), or None when nothing recorded
+    clears the floor — the standard refusal contract, serve exact.
+
+    This is the m-aware generalization of ``ann_operating_point``,
+    motivated by the r10 finding that the filtered-cosine regime is
+    PQ-RESOLUTION-bound: no (nprobe, refine) at m=8 clears 0.95, while
+    m=16 does — a fact only visible when the frontier spans builds."""
+    ok = [r for r in frontier if r["recall"] >= recall_floor]
+    if not ok:
+        return None
+    return max(
+        ok,
+        key=lambda r: (
+            r["probes_per_sec"],
+            -r["nprobe"],
+            -r["refine"],
+            -r.get("m", 8),
+        ),
+    )
 
 
 def ann_operating_point(
@@ -245,14 +278,23 @@ def ann_operating_point(
     exact — the same refusal contract as choose_ann_tier). A
     driver-side table lookup over PROBE_SWEEP recordings (VERDICT r8
     item 7): serving queries read their operating point from the
-    measured frontier instead of hard-coding nprobe/refine."""
-    ok = [r for r in frontier if r["recall"] >= recall_floor]
-    if not ok:
+    measured frontier instead of hard-coding nprobe/refine.
+
+    FIXED-BUILD projection of ``ann_serving_point``: callers hold ONE
+    codes snapshot, so a frontier mixing PQ resolutions (m) is an
+    error here — a cross-build knob would silently serve the wrong
+    index. Pass a single-m frontier, or use ann_serving_point and
+    build/select the snapshot its m names."""
+    ms = {r.get("m", 8) for r in frontier}
+    if len(ms) > 1:
+        raise ValueError(
+            f"frontier spans PQ resolutions m={sorted(ms)}; "
+            "ann_operating_point resolves knobs for ONE build — use "
+            "ann_serving_point for cross-build resolution"
+        )
+    best = ann_serving_point(recall_floor, frontier)
+    if best is None:
         return None
-    best = max(
-        ok,
-        key=lambda r: (r["probes_per_sec"], -r["nprobe"], -r["refine"]),
-    )
     return int(best["nprobe"]), int(best["refine"])
 
 

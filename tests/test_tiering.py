@@ -355,3 +355,54 @@ def test_seeded_probes_deterministic_and_validation(spark, sf_dir):
     assert [p for p, _ in a] == [p for p, _ in b] and len(a) == 5
     with pytest.raises(ValueError, match="candidates >= k"):
         tier_report(emb, k=10, candidates=5)
+
+
+def test_m_axis_serving_point_cross_build():
+    """The r10 PQ-RESOLUTION finding, pinned from the committed
+    recordings: the filtered-cosine regime refuses 0.95 at every m=8
+    knob (refine-bound — see the walk test above), but the SAME floor
+    resolves once the frontier spans BUILDS: the m=16 snapshot clears
+    it. ann_serving_point returns the winning record including m
+    (choosing a build, not just a knob); ann_operating_point REFUSES
+    a mixed-m frontier loudly, because its (nprobe, refine) answer
+    would silently drive the wrong index."""
+    from pathlib import Path
+
+    from lightweight_vector_database_spark.operators.tiering import (
+        ann_operating_point,
+        ann_serving_point,
+        frontier_from_sweeps,
+    )
+
+    root = Path(__file__).resolve().parent.parent
+    m8 = str(root / "PROBE_SWEEP_r10_fcos_base1M.json")
+    m16 = str(root / "PROBE_SWEEP_r10_fcos_base1M_m16.json")
+    if not (Path(m8).exists() and Path(m16).exists()):
+        pytest.skip("r10 fcos m-axis recordings absent")
+
+    # unfiltered cosine: m=8 (4,2) is 0.9073 @ 2084.2 p/s; m=16 (4,8)
+    # is 1.0 @ 422.5 — a 0.90 floor keeps the cheap m=8 build, a 0.95
+    # floor is only reachable by CHANGING the build
+    f = frontier_from_sweeps({m8: None, m16: None}, n_probes=100_000)
+    assert {r["m"] for r in f} == {8, 16}
+    p90 = ann_serving_point(0.90, f)
+    assert (p90["m"], p90["nprobe"], p90["refine"]) == (8, 4, 2)
+    p95 = ann_serving_point(0.95, f)
+    assert p95["m"] == 16 and p95["recall"] == 1.0
+    assert ann_serving_point(1.01, f) is None  # refusal survives
+
+    # the adversarial filtered+adaptive column: every m=8 point is
+    # <= 0.87; m=16 (4,8) adaptive records 0.9616 — the 0.95 floor
+    # resolves cross-build or not at all
+    fa = frontier_from_sweeps(
+        {m8: None, m16: None}, n_probes=100_000, path="ann_adapt"
+    )
+    pa = ann_serving_point(0.95, fa)
+    assert pa is not None and pa["m"] == 16
+
+    # fixed-build resolution must not swallow a cross-build frontier
+    with pytest.raises(ValueError, match="spans PQ resolutions"):
+        ann_operating_point(0.90, f)
+    # ... but stays the same projection on a single-build slice
+    f8 = [r for r in f if r["m"] == 8]
+    assert ann_operating_point(0.90, f8) == (4, 2)
