@@ -39,6 +39,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..probes import DIM
 from ..sources import load_table
 from . import register
 from .index_suite import _ORACLE_SF_DIR
@@ -167,3 +168,132 @@ SELECT probe_id, vec_id, round(dist, 6) AS dist, rank FROM topk
 
 
 register("ann_join_opq", _ann_join_opq_query, _ann_join_opq_oracle())
+
+
+# --- incrementally maintained codes snapshot (plans/ann_maintenance) ---------
+#
+# ``ann_codes_upsert`` — the OPQ codes table maintained from a CDC
+# history instead of re-encoded from scratch: commit_full 80% of the
+# embeddings corpus, encode it (full refresh), then ONE mutation
+# commit (delete vec_id%7==0, REPLACE vec_id%11==3 with a 1.01-scaled
+# vector, insert the held-out 20%) followed by an INCREMENTAL refresh
+# that encodes only the changed rows. Because per-row encoding
+# commutes with mutation, the maintained table must equal a
+# from-scratch encode of the final corpus — which is exactly what the
+# oracle computes: the final corpus as SQL set algebra, then the same
+# coarse-assign / rotate / code-argmin folds as the ann_join replays.
+
+_ACU_MEMO: dict[str, object] = {}
+
+
+def _ann_codes_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ann_maintenance import CodesSnapshot
+    from ..sources.delta_snapshots import DeltaSnapshotStore
+    from .streaming_suite import _session_store_dir
+
+    cents, rot, books = _ajo_model(spark, sf_dir)
+    d, fresh = _session_store_dir("anncodes", sf_dir)
+    if fresh:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        v = F.col("vec_id")
+        base = DeltaSnapshotStore(spark, f"{d}/base")
+        view = DeltaSnapshotStore(spark, f"{d}/codes")
+        cs = CodesSnapshot(
+            base, view, cents, books, rotation=rot, keep_cols=("label",)
+        )
+        base.commit_full(emb.filter(v % 5 != 4))
+        cs.refresh()
+        assert cs.last_refresh_mode == "full"
+        repl = emb.filter(
+            (v % 5 != 4) & (v % 7 != 0) & (v % 11 == 3)
+        ).select(
+            "vec_id", "label",
+            F.transform("embedding", lambda x: x * F.lit(1.01)).alias(
+                "embedding"
+            ),
+        )
+        news = emb.filter((v % 5 == 4) & (v % 7 != 0))
+        dels = (
+            emb.filter((v % 7 == 0) & (v % 5 != 4))
+            .select("vec_id")
+            .unionByName(repl.select("vec_id"))
+        )
+        base.commit_mutation(
+            append_df=repl.unionByName(news), delete_ids=dels
+        )
+        cs.refresh()
+        assert cs.last_refresh_mode == "incremental"
+        _ACU_MEMO[sf_dir] = cs
+    cs = _ACU_MEMO[sf_dir]
+    return cs.codes().select(
+        "vec_id", "label",
+        F.col("cell").cast("long").alias("cell"), "pq_code",
+    )
+
+
+def _ann_codes_upsert_oracle() -> str | None:
+    trained = _ajo_trained_np()
+    if trained is None:
+        return None
+    from .index_suite import _dlst2
+
+    cents, rot, books = trained
+    m, ksub, dsub = books.shape
+    books_all = "[" + ",".join(
+        _dlst2(books[j].tolist()) for j in range(m)
+    ) + "]"
+    rng = f"range(1, {DIM + 1})"
+
+    def code(j: int) -> str:
+        dj = (
+            f"list_transform(bks[{j + 1}], b -> "
+            f"list_sum(list_transform(range(1, {dsub + 1}), i -> "
+            f"(rv[{j * dsub} + i] - b[i]) * (rv[{j * dsub} + i] - b[i]))))"
+        )
+        return f"list_position({dj}, list_min({dj})) AS c{j}"
+
+    return f"""
+WITH consts AS (
+  SELECT {_dlst2(cents.tolist())} AS cents,
+         {_dlst2(rot.tolist())} AS rot,
+         {books_all} AS bks
+), final AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % 11 = 3 AND vec_id % 5 <> 4
+              THEN list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(1.01 AS DOUBLE))
+              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE))
+         END AS bv
+  FROM embeddings WHERE vec_id % 7 <> 0
+), cdist AS (
+  SELECT vec_id, label, bv,
+         list_transform(cents, c -> list_sum(list_transform({rng},
+             i -> (bv[i] - c[i]) * (bv[i] - c[i])))) AS cd
+  FROM final, consts
+), assigned AS (
+  SELECT vec_id, label, cellp,
+         list_transform({rng}, i -> list_sum(list_transform({rng},
+             t -> rot[i][t] * rv0[t]))) AS rv
+  FROM (
+    SELECT vec_id, label, list_position(cd, list_min(cd)) AS cellp,
+           list_transform({rng},
+               i -> bv[i] - cents[list_position(cd, list_min(cd))][i]) AS rv0
+    FROM cdist, consts
+  ), consts
+), coded AS (
+  SELECT vec_id, label, cellp,
+         {", ".join(code(j) for j in range(m))}
+  FROM assigned, consts
+)
+SELECT vec_id, label, CAST(cellp - 1 AS BIGINT) AS cell,
+       [{", ".join(f"c{j} - 1" for j in range(m))}] AS pq_code
+FROM coded
+"""
+
+
+register(
+    "ann_codes_upsert", _ann_codes_upsert_query, _ann_codes_upsert_oracle()
+)

@@ -256,6 +256,30 @@ def main() -> None:
         if "--ann-refine" in sys.argv
         else 2
     )
+    # --esc-nprobe / --esc-refine : the ADAPTIVE path's escalation
+    # point (defaults 2*nprobe / 8*refine, plans/ann_join.py). Exposed
+    # because the base and escalated budgets trade independently: only
+    # predicate-DISPLACED probes pay the escalated point, so a cheap
+    # base knob + a deep escalation can beat a uniformly deeper knob
+    # on both axes at once.
+    esc_nprobe = (
+        int(sys.argv[sys.argv.index("--esc-nprobe") + 1])
+        if "--esc-nprobe" in sys.argv
+        else None
+    )
+    esc_refine = (
+        int(sys.argv[sys.argv.index("--esc-refine") + 1])
+        if "--esc-refine" in sys.argv
+        else None
+    )
+    # --opq : build + serve the ann snapshot under an OPQ rotation
+    # (train_opq / ivfpq_encode(rotation=) / ann_join_topk(rotation=))
+    # at the same (cells, m, ksub) budget — the code-QUALITY axis,
+    # complementary to --ann-m's code-SIZE axis. Gains scale with the
+    # residual anisotropy of the corpus (see tests/test_opq.py): this
+    # generator's residuals are near-isotropic, so a recording here is
+    # the honest lower bound of the knob.
+    use_opq = "--opq" in sys.argv
     if cosine:
         # cosine contract: model + codes over the L2-NORMALIZED base
         # (the exact left-fold-norm arithmetic the kernel normalizes
@@ -267,12 +291,23 @@ def main() -> None:
         enc_base = _norm_emb(base)
     else:
         enc_base = base
-    cents, books = train_ivfpq(
-        enc_base, n_centroids=ann_cells, m=ann_m, ksub=256, iters=4,
-        sample_rows=8192, sample_id_col="vec_id",
-    )
+    if use_opq:
+        from lightweight_vector_database_spark.operators.similarity import (
+            train_opq,
+        )
+
+        cents, ann_rot, books = train_opq(
+            enc_base, n_centroids=ann_cells, m=ann_m, ksub=256, iters=4,
+            sample_rows=8192, sample_id_col="vec_id",
+        )
+    else:
+        ann_rot = None
+        cents, books = train_ivfpq(
+            enc_base, n_centroids=ann_cells, m=ann_m, ksub=256, iters=4,
+            sample_rows=8192, sample_id_col="vec_id",
+        )
     codes_path = os.path.join(tmp, "codes")
-    ivfpq_encode(enc_base, cents, books).select(
+    ivfpq_encode(enc_base, cents, books, rotation=ann_rot).select(
         "vec_id", "cell", "pq_code"
     ).repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
@@ -353,6 +388,7 @@ def main() -> None:
         paths["ann"] = lambda p=probes: ann_join_topk(
             codes, cents, books, p, raw=base, k=K, metric=sweep_metric,
             nprobe=ann_nprobe, refine=ann_refine, code_stats=code_stats,
+            rotation=ann_rot,
         )
         if imi_k:
             paths["ann_imi"] = lambda p=probes: ann_join_topk(
@@ -380,6 +416,7 @@ def main() -> None:
             paths["ann_filt"] = lambda p=probes: ann_join_topk(
                 codes, cents, books, p, raw=base, k=K, metric=sweep_metric,
                 nprobe=ann_nprobe, refine=ann_refine, pred=FILT_PRED,
+                rotation=ann_rot,
             )
             # per-probe adaptive escalation at the SAME base knob
             # (VERDICT r9 item 1): only predicate-displaced probes pay
@@ -389,7 +426,8 @@ def main() -> None:
             paths["ann_adapt"] = lambda p=probes: ann_join_topk(
                 codes, cents, books, p, raw=base, k=K, metric=sweep_metric,
                 nprobe=ann_nprobe, refine=ann_refine, pred=FILT_PRED,
-                adaptive=True,
+                adaptive=True, rotation=ann_rot,
+                esc_nprobe=esc_nprobe, esc_refine=esc_refine,
             )
         if cosine:
             # only the ann tier + the exact block join serve cosine
@@ -472,6 +510,9 @@ def main() -> None:
                     "ann_nprobe": ann_nprobe,
                     "ann_refine": ann_refine,
                     "ann_m": ann_m,
+                    "ann_opq": use_opq,
+                    "esc_nprobe": esc_nprobe,
+                    "esc_refine": esc_refine,
                     # which 0.5-selectivity predicate the *_filt columns
                     # used: 'parity' (cluster-correlated, adversarial on
                     # this generator) or 'hash' (uniform across clusters,
