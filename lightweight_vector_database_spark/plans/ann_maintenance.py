@@ -216,6 +216,20 @@ class CodesSnapshot:
         self.last_refresh_mode = "incremental"
         return int(v)
 
+    def note_content_preserving_rewrite(self, version: int) -> None:
+        """Advance past a rewrite the CALLER guarantees restated the
+        same visible rows (compaction / z-order clustering): the codes
+        already reflect that content, so only the version pointer
+        moves — no encode, no commit. Without this, every maintenance
+        compaction of the base would force a full re-encode (the
+        change feed correctly refuses rewrite-crossing ranges).
+
+        In-memory only: a NEW process resuming from the view's last
+        commit metadata will still see the pre-rewrite base_version
+        and pay one full re-encode on its first refresh — the safe
+        direction (never wrong, occasionally slower)."""
+        self.base_version = int(version)
+
     # -- reads -------------------------------------------------------------
 
     def codes(self, version: int | None = None) -> DataFrame:

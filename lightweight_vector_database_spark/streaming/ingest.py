@@ -60,6 +60,7 @@ class VectorIngest:
         compact_every: int | None = 64,
         drift_monitor=None,
         retrain_fn=None,
+        codes_view=None,
     ):
         self.store = store
         self.index = index
@@ -86,6 +87,24 @@ class VectorIngest:
         self.drift_monitor = drift_monitor
         self.retrain_fn = retrain_fn
         self.retrain_epochs: list[int] = []
+        # DERIVED codes-table maintenance wired into the loop (the
+        # serving tier's plans/ann_maintenance.CodesSnapshot over THIS
+        # store): after every committed batch the view refreshes
+        # incrementally — encode O(batch), one tombstone+append commit
+        # — so the ANN join always serves codes matching the latest
+        # snapshot. Requires the CodesSnapshot's ``base`` to be this
+        # sink's ``store`` (asserted). A drift retrain changes the
+        # MODEL: the view refuses mixed-model codes by fingerprint, so
+        # the retrain_fn deploy step must swap in a freshly
+        # bootstrapped CodesSnapshot (assign ``codes_view`` inside
+        # retrain_fn, or stop/replace the sink).
+        if codes_view is not None and codes_view.base is not store:
+            raise ValueError(
+                "codes_view.base must be this sink's store — a view "
+                "maintained from a different store would drift from "
+                "the committed snapshot"
+            )
+        self.codes_view = codes_view
         try:
             snap = store.read()
             self.stats = index_stats(snap)
@@ -131,12 +150,23 @@ class VectorIngest:
         apply version retention (order matters — compaction creates
         the version whose files supersede the shared old dirs, letting
         vacuum actually reclaim them)."""
+        if self.codes_view is not None:
+            # refresh BEFORE any fold: the change feed covers the
+            # committed batch incrementally; after a compaction it
+            # would refuse the range and pay a full re-encode
+            self.codes_view.refresh()
         if (
             self.compact_every is not None
             and hasattr(self.store, "log_depth")
             and sum(self.store.log_depth()) >= self.compact_every
         ):
             self.store.compact(partition_by=["cell_id"])
+            if self.codes_view is not None:
+                # compaction restates the same visible rows — advance
+                # the view pointer instead of re-encoding the table
+                self.codes_view.note_content_preserving_rewrite(
+                    self.store.latest_version()
+                )
         if self.retain_versions is not None:
             self.store.vacuum(keep_last=self.retain_versions)
 

@@ -216,3 +216,74 @@ def test_validation(spark, tmp_path, model):
         )
     with pytest.raises(ValueError, match="empty"):
         CodesSnapshot(base, view, cents, books).refresh()
+
+
+def test_ingest_loop_maintains_codes_view(spark, tmp_path, model):
+    """End-to-end: VectorIngest(codes_view=) refreshes the codes table
+    after every committed batch — through insert epochs, a CDC epoch,
+    and a maintenance COMPACTION (which restates the same rows: the
+    sink advances the view pointer instead of re-encoding, so every
+    refresh after the bootstrap stays incremental) — and the final
+    codes equal a from-scratch encode of the final snapshot."""
+    from lightweight_vector_database_spark.plans.grid_index import GridIndex
+    from lightweight_vector_database_spark.streaming.ingest import (
+        VectorIngest,
+    )
+
+    cents, books = model
+    store = DeltaSnapshotStore(spark, str(tmp_path / "snap"))
+    view = DeltaSnapshotStore(spark, str(tmp_path / "codes"))
+    cs = CodesSnapshot(store, view, cents, books, keep_cols=("label",))
+    index = GridIndex([-0.4] * DIM, [0.4] * DIM, num_splits=2, depth=3)
+
+    with pytest.raises(ValueError, match="codes_view.base"):
+        VectorIngest(
+            DeltaSnapshotStore(spark, str(tmp_path / "other")),
+            index, codes_view=cs,
+        )
+
+    ingest = VectorIngest(store, index, compact_every=3, codes_view=cs)
+
+    def batch(ids):
+        return _rows(spark, ids).drop("vec_id")
+
+    ingest.apply_batch(batch(range(40)), 0)
+    assert cs.last_refresh_mode == "full"  # bootstrap
+    ingest.apply_batch(batch(range(40, 70)), 1)
+    assert cs.last_refresh_mode == "incremental"
+    # this epoch trips compact_every: refresh runs BEFORE the fold,
+    # the fold is noted as content-preserving — still incremental
+    ingest.apply_batch(batch(range(70, 90)), 2)
+    assert cs.last_refresh_mode == "incremental"
+    # CDC epoch on the compacted store: delete + update + insert
+    cdc = (
+        _rows(spark, range(5)).withColumn("op", F.lit("D"))
+        .unionByName(
+            _rows(spark, range(10, 14), label_of=lambda i: 3).withColumn(
+                "op", F.lit("U")
+            )
+        )
+        .unionByName(
+            _rows(spark, range(900, 905)).drop("vec_id")
+            .withColumn("vec_id", F.lit(None).cast("long"))
+            .withColumn("op", F.lit("I"))
+            .select("vec_id", "label", "embedding", "op")
+        )
+    )
+    ingest.apply_cdc_batch(cdc, 3)
+    assert cs.last_refresh_mode == "incremental"
+
+    fresh = CodesSnapshot(
+        store, DeltaSnapshotStore(spark, str(tmp_path / "codes_f")),
+        cents, books, keep_cols=("label",),
+    )
+    fresh.refresh()
+    got = sorted(
+        (r.vec_id, r.label, r.cell, tuple(r.pq_code))
+        for r in cs.codes().collect()
+    )
+    want = sorted(
+        (r.vec_id, r.label, r.cell, tuple(r.pq_code))
+        for r in fresh.codes().collect()
+    )
+    assert got == want and len(got) == 40 + 30 + 20 - 5 + 5
