@@ -233,6 +233,15 @@ def frontier_from_sweeps(
                     # builds — resolve those with ann_serving_point,
                     # which returns m alongside the knobs.
                     "m": int(doc.get("ann_m", 8)),
+                    # the adaptive path's ESCALATION point is part of
+                    # the operating point: (4,4) with esc (8,64)
+                    # records 0.96 where (4,4) with the default esc
+                    # records 0.90 — serving a resolved point without
+                    # its esc knobs would silently miss the floor it
+                    # was recorded to clear. None = the recorded run
+                    # used the kernel defaults (2*nprobe, 8*refine).
+                    "esc_nprobe": doc.get("esc_nprobe"),
+                    "esc_refine": doc.get("esc_refine"),
                     "recall": float(r["recall_at_k"]),
                     "probes_per_sec": float(r["probes_per_sec"]),
                     "n_probes": int(r["n_probes"]),

@@ -400,6 +400,23 @@ def test_m_axis_serving_point_cross_build():
     pa = ann_serving_point(0.95, fa)
     assert pa is not None and pa["m"] == 16
 
+    # the ESCALATION knobs are part of the record: the m16 base-(4,4)
+    # run with esc (8,64) clears 0.95 at 334 p/s (above the exact gemm
+    # comparator's ~319) where the same base with default esc records
+    # 0.898 — adding that recording moves the resolved point, and the
+    # resolved record carries the esc knobs the serving call needs
+    e64 = str(root / "PROBE_SWEEP_r10_fcos_base1M_m16r4e64.json")
+    if Path(e64).exists():
+        fa2 = frontier_from_sweeps(
+            {m8: None, m16: None, e64: None},
+            n_probes=100_000, path="ann_adapt",
+        )
+        pb = ann_serving_point(0.95, fa2)
+        assert pb is not None and pb["m"] == 16
+        assert (pb["nprobe"], pb["refine"]) == (4, 4)
+        assert (pb["esc_nprobe"], pb["esc_refine"]) == (8, 64)
+        assert pb["probes_per_sec"] > 319  # beats the exact comparator
+
     # fixed-build resolution must not swallow a cross-build frontier
     with pytest.raises(ValueError, match="spans PQ resolutions"):
         ann_operating_point(0.90, f)
