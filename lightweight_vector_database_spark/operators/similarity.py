@@ -724,6 +724,7 @@ def ivfpq_search(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     raw: DataFrame | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC search over the ``nprobe`` nearest cells with PER-CELL
     lookup tables (each cell's LUT is built from the probe's residual
@@ -732,9 +733,20 @@ def ivfpq_search(
     doubles baked into the plan, zero Python at serving time. The cell
     IN-list prunes partitions/files when the codes table is written
     partitioned by cell. Optional exact re-rank via ``raw`` join-back.
+
+    ``rotation``: OPQ rotation matching the snapshot's
+    ``ivfpq_encode(rotation=)`` — the probe residual enters the
+    rotated code space before the LUT build (driver-side, so a plain
+    matvec would do numerically, but the left-fold form keeps the
+    values identical to the batched kernel's).
     """
     cents = np.asarray(centroids, dtype=np.float64)
     books = np.asarray(codebooks, dtype=np.float64)
+    rot = (
+        np.asarray(rotation, dtype=np.float64)
+        if rotation is not None
+        else None
+    )
     m, ksub, dsub = books.shape
     p = np.asarray(list(probe), dtype=np.float64)
     order = np.argsort(((cents - p) ** 2).sum(axis=1))
@@ -742,6 +754,8 @@ def ivfpq_search(
 
     def adc_for_cell(cell: int):
         r = p - cents[cell]
+        if rot is not None:
+            r = fold_matvec(r[None, :], rot)[0]
         expr = F.lit(0.0)
         for j in range(m):
             lut_np = ((books[j] - r[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1)

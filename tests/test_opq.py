@@ -283,3 +283,44 @@ def test_opq_composes_with_imi(spark):
     assert imi_out == flat_out
     base.unpersist()
     codes.unpersist()
+
+
+def test_single_probe_ivfpq_search_with_rotation(spark):
+    """The driver-side single-probe path serves OPQ snapshots too:
+    with rotation it must return the same top-k as the batched join
+    for that probe (same model, same codes, same knobs)."""
+    from lightweight_vector_database_spark.operators.similarity import (
+        ivfpq_search,
+        train_opq,
+    )
+    from lightweight_vector_database_spark.sources import load_table
+
+    emb = load_table(spark, SF001, "embeddings")
+    cents, R, books = train_opq(
+        emb, n_centroids=8, m=8, ksub=64, iters=3, sample_id_col="vec_id"
+    )
+    codes = ivfpq_encode(emb, cents, books, rotation=R).select(
+        "vec_id", "cell", "pq_code"
+    ).cache()
+    probe = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").cast("array<double>")
+    ).first()[0]
+    single = [
+        (r.vec_id, round(r.dist, 9))
+        for r in ivfpq_search(
+            codes, cents, books, probe, k=5, nprobe=4, refine=4,
+            vec_col="embedding", raw=emb, rotation=R,
+        ).collect()
+    ]
+    probes = spark.createDataFrame(
+        [(0, list(probe))], "probe_id long, probe_vec array<double>"
+    )
+    batched = [
+        (r.vec_id, round(r.dist, 9))
+        for r in ann_join_topk(
+            codes, cents, books, probes, raw=emb, k=5, nprobe=4, refine=4,
+            rotation=R,
+        ).orderBy("rank").collect()
+    ]
+    assert single == batched
+    codes.unpersist()
