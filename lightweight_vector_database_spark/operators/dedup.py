@@ -152,11 +152,17 @@ def containment_candidates_short(
     the gram stream on the posting side, both linear in the corpus.
 
     ``max_df`` drops grams appearing in more than that many docs from
-    the POSTING side (boilerplate n-grams are the classic mega-posting
-    blowup); the probe side keeps them, so a short doc made entirely of
-    boilerplate still probes — it just only finds docs sharing its
-    rarer grams. Deterministic (a df-cap, not a per-bucket sample), so
-    the whole candidate set replays exactly in SQL.
+    BOTH sides (boilerplate n-grams are the classic mega-posting
+    blowup). The bottom-h sketch is drawn over the KEPT grams — if the
+    sketch were drawn over ALL grams, a short doc whose h smallest
+    hashes all land on boilerplate would probe only grams the index
+    dropped and find NOTHING even at containment 1.0; over the kept
+    vocabulary the hit guarantee holds (S ⊆ B implies S's kept grams ⊆
+    B's kept grams — df is a global property). A doc consisting
+    ENTIRELY of over-df grams emits no probes and no postings: that is
+    the df-cap's documented drop mass, now symmetric. Deterministic (a
+    df-cap, not a per-bucket sample), so the whole candidate set
+    replays exactly in SQL.
 
     Returns (id1, id2) distinct; compose with the exact containment
     scorer exactly like the jaccard-keyed twin (see
@@ -167,21 +173,22 @@ def containment_candidates_short(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_ngrams(text_col, ngram))).alias("ng"),
     )
-    hashed = grams.withColumn("gh", portable_token_hash(F.col("ng")))
+    kept = grams
+    if max_df is not None:
+        df_counts = grams.groupBy("ng").agg(F.count(F.lit(1)).alias("__df"))
+        kept = (
+            grams.join(df_counts, "ng")
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    hashed = kept.withColumn("gh", portable_token_hash(F.col("ng")))
     w = Window.partitionBy("id").orderBy(F.col("gh").asc(), F.col("ng").asc())
     probes = (
         hashed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= h)
         .select(F.col("id").alias("pid"), "ng")
     )
-    postings = grams
-    if max_df is not None:
-        df_counts = grams.groupBy("ng").agg(F.count(F.lit(1)).alias("__df"))
-        postings = (
-            grams.join(df_counts, "ng")
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
-        )
+    postings = kept
     return (
         probes.join(postings.withColumnRenamed("id", "oid"), "ng")
         .filter(F.col("pid") != F.col("oid"))

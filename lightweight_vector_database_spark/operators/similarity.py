@@ -557,7 +557,10 @@ def fold_matvec(X: np.ndarray, R: np.ndarray) -> np.ndarray:
     acc = np.zeros((len(X), R.shape[0]))
     RT = np.ascontiguousarray(R.T)
     for t in range(X.shape[1]):
-        acc = acc + X[:, t, None] * RT[t, None, :]
+        # in-place: same per-element left-fold IEEE order, without
+        # allocating a fresh accumulator per input coordinate (this
+        # runs inside the hottest encode/serve kernels)
+        acc += X[:, t, None] * RT[t, None, :]
     return acc
 
 

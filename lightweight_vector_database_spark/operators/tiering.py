@@ -304,6 +304,18 @@ def ann_operating_point(
     best = ann_serving_point(recall_floor, frontier)
     if best is None:
         return None
+    if best.get("esc_nprobe") is not None or best.get("esc_refine") is not None:
+        # the winning record's recall was measured UNDER explicit
+        # escalation knobs; projecting it to (nprobe, refine) would
+        # serve the default escalation — a configuration this frontier
+        # never measured to clear the floor. Same refusal rule as the
+        # mixed-m guard: hand the full record back instead.
+        raise ValueError(
+            "the resolved point was recorded with explicit escalation "
+            f"knobs (esc_nprobe={best.get('esc_nprobe')}, "
+            f"esc_refine={best.get('esc_refine')}); use "
+            "ann_serving_point and pass them to ann_join_topk"
+        )
     return int(best["nprobe"]), int(best["refine"])
 
 

@@ -304,6 +304,15 @@ def ann_join_topk(
         esc_nprobe = 2 * nprobe
     if esc_refine is None:
         esc_refine = 8 * refine
+    if adaptive and (esc_nprobe < nprobe or esc_refine < refine):
+        # escalation below the base point silently gives the
+        # predicate-DISPLACED probes — the ones the mechanism exists
+        # to rescue — a SMALLER budget than everyone else (esc_refine=0
+        # would emit zero candidates for exactly those probes)
+        raise ValueError(
+            f"escalation ({esc_nprobe}, {esc_refine}) must be >= the "
+            f"base point ({nprobe}, {refine})"
+        )
     keep_esc = k * esc_refine if adaptive else keep
 
     # ---- 0. qualifying-cell mask (O(cells) metadata) -------------------------
@@ -418,14 +427,20 @@ def ann_join_topk(
                     d2 = fold_sq_dists(P[:, imi_dh:], c2_f)
                     d = d1[:, live_c1] + d2[:, live_c2]
                     if adaptive:
-                        # the OVERALL nearest product cell decomposes
-                        # into per-half first-index argmins: any
-                        # non-minimal half strictly increases the sum,
-                        # and among tied minima the smallest product
-                        # cell id is (first c1, first c2) — the same
-                        # (d, cell) lexsort tie-break as the flat path
+                        # home = first-min over the materialized
+                        # product SUMS in product-cell order — the
+                        # oracle's list_position(pd, list_min(pd)).
+                        # Per-half argmins agree in EXACT arithmetic
+                        # but can flip when two product sums ROUND
+                        # equal while the halves differ (absorption:
+                        # fl(a+c) == fl(b+c) with a < b), and the
+                        # escalation signal must match the replay
+                        # bit-for-bit. O(K1*K2) adds per probe — no
+                        # dim factor, cheap next to the half folds.
                         home = (
-                            d1.argmin(axis=1) * imi_k2 + d2.argmin(axis=1)
+                            (d1[:, :, None] + d2[:, None, :])
+                            .reshape(n, -1)
+                            .argmin(axis=1)
                         )
                         esc = ~live_mask[home]
                     else:

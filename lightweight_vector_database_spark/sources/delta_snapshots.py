@@ -264,6 +264,13 @@ class DeltaSnapshotStore:
                 "rewrite": bool(_rewrite),
             }
             m["latest"] = version
+            if partition_by:
+                # the table's established layout, remembered so a
+                # maintenance fold triggered by a partition-LESS commit
+                # (e.g. a tombstone-only commit_delete) preserves it —
+                # an unpartitioned auto-compaction would silently strip
+                # the cell layout every serving scan prunes on
+                m["partition_by"] = list(partition_by)
             # last-moment ownership re-check: if a peer broke our claim
             # as "stale" (we stalled past STALE_CLAIM_SECONDS mid-merge)
             # another writer may own this version now — swapping our
@@ -286,7 +293,14 @@ class DeltaSnapshotStore:
             ):
                 self._compacting = True
                 try:
-                    self.compact(partition_by=partition_by)
+                    # fall back to the table's remembered layout: the
+                    # TRIGGERING commit may be partition-less (a pure
+                    # delete), and folding unpartitioned would destroy
+                    # the pruning layout earlier commits established
+                    self.compact(
+                        partition_by=partition_by
+                        or m.get("partition_by")
+                    )
                 finally:
                     self._compacting = False
             return version

@@ -476,21 +476,27 @@ WITH g AS (
          unnest([array_to_string(w[i:i + 2], ' ')
                  FOR i IN range(1, greatest(len(w) - 2, 0) + 1)]) AS ng
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), dfc AS (
+  SELECT ng, count(*) AS df FROM g GROUP BY ng
+), gkept AS (
+  -- df-cap applied BEFORE the sketch: the bottom-h probes are drawn
+  -- over the kept vocabulary (operators/dedup.py — a sketch over ALL
+  -- grams could consist entirely of dropped boilerplate and miss a
+  -- containment-1.0 pair outright)
+  SELECT doc_id, g.ng FROM g JOIN dfc USING (ng)
+  WHERE dfc.df <= {_CB_MAX_DF}
 ), hashed AS (
   SELECT doc_id, ng,
          ('0x' || substr(md5(ng), 1, 15))::BIGINT % 2147483647 AS gh
-  FROM g
+  FROM gkept
 ), probes AS (
   SELECT doc_id AS pid, ng FROM (
     SELECT doc_id, ng,
            row_number() OVER (PARTITION BY doc_id ORDER BY gh, ng) AS rn
     FROM hashed
   ) WHERE rn <= {_CB_H}
-), dfc AS (
-  SELECT ng, count(*) AS df FROM g GROUP BY ng
 ), postings AS (
-  SELECT doc_id AS oid, g.ng FROM g JOIN dfc USING (ng)
-  WHERE dfc.df <= {_CB_MAX_DF}
+  SELECT doc_id AS oid, ng FROM gkept
 ), cand AS (
   SELECT DISTINCT least(pid, oid) AS id1, greatest(pid, oid) AS id2
   FROM probes JOIN postings USING (ng) WHERE pid != oid

@@ -107,11 +107,32 @@ def _write_cell_snapshot(spark: SparkSession, name: str, build) -> DataFrame:
         try:
             os.rename(tmp, path)
         except OSError:
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                # the target exists but is PARTIAL (a crashed builder's
-                # leftover, not a concurrent winner — a winner's rename
-                # is atomic and its tree carries _SUCCESS): recover
-                # automatically instead of demanding manual deletion
+            # re-check AFTER the failed rename with an age gate: a
+            # concurrent winner may land its atomic rename between our
+            # existence check and a recovery delete, and rmtree'ing a
+            # COMPLETE fresh snapshot would yank it from under readers.
+            # A crashed builder's partial target stops changing, so
+            # only a target that is both _SUCCESS-less AND quiescent
+            # for >10 min is treated as recoverable wreckage.
+            import time as _time
+
+            def _stale_partial() -> bool:
+                if os.path.exists(os.path.join(path, "_SUCCESS")):
+                    return False
+                try:
+                    mt = max(
+                        os.path.getmtime(os.path.join(path, e))
+                        for e in [""] + os.listdir(path)
+                    )
+                except OSError:
+                    return False
+                return _time.time() - mt > 600
+
+            if _stale_partial():
+                # the target is PARTIAL (a crashed builder's leftover,
+                # not a concurrent winner — a winner's rename is atomic
+                # and its tree carries _SUCCESS): recover automatically
+                # instead of demanding manual deletion
                 shutil.rmtree(path, ignore_errors=True)
                 try:
                     os.rename(tmp, path)
@@ -125,6 +146,15 @@ def _write_cell_snapshot(spark: SparkSession, name: str, build) -> DataFrame:
                         )
             else:
                 shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                    # _SUCCESS-less but RECENTLY modified: another
+                    # process's recovery may be mid-flight — never
+                    # serve (or delete) an ambiguous tree
+                    raise RuntimeError(
+                        f"snapshot at {path} is incomplete but recently "
+                        "modified (possible concurrent recovery); retry, "
+                        "or remove the directory if no builder is alive"
+                    )
     return spark.read.parquet(path).withColumn(
         "cell", F.col("cell").cast("int")
     )

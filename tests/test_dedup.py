@@ -529,3 +529,56 @@ def test_containment_banded_catches_quote_inside_template(spark):
     ).collect()
     by_id = {r.doc_id: set(r.g) for r in sets}
     assert by_id[1] <= by_id[0]  # the quote's grams are all in the template
+
+
+def test_containment_sketch_drawn_over_df_kept_grams(spark):
+    """The bottom-h probe sketch must be drawn AFTER the max_df cap:
+    a short doc whose h smallest-hash grams are all boilerplate would
+    otherwise probe only grams the inverted index dropped and miss a
+    containment-1.0 pair outright. Fixture constructed so the short
+    doc's 8 smallest gram hashes are ALL boilerplate (verified in-test
+    against the same md5 arithmetic as portable_token_hash), the
+    boilerplate grams exceed max_df, and the rare tail is shared only
+    with the containing doc."""
+    import hashlib
+
+    from lightweight_vector_database_spark.operators.dedup import (
+        containment_candidates_short,
+    )
+
+    boiler = ['b286221', 'b382362', 'b624168', 'b980830', 'b945315',
+              'b894594', 'b934857', 'b934518', 'b903649', 'b453713',
+              'b924102', 'b103534']
+    quote = ['q761829', 'q098657', 'q979030', 'q167347', 'q967319',
+             'q364504', 'q902911', 'q637877']
+    short_doc = " ".join(boiler + quote)
+
+    def _h(ng):
+        return int(hashlib.md5(ng.encode()).hexdigest()[:15], 16) % 2147483647
+
+    words = short_doc.split()
+    gset = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+    bottom8 = {g for g in sorted(gset, key=lambda g: (_h(g), g))[:8]}
+    assert not any("q" in g for g in bottom8), "fixture broken: re-search"
+
+    # 60 docs carry the boilerplate run (df=60 > max_df=50); doc 0 is
+    # a big doc containing the short doc verbatim; doc 1 is the short
+    filler = [
+        (int(i), " ".join(boiler) + f" z{i:03d}a z{i:03d}b z{i:03d}c")
+        for i in range(2, 62)
+    ]
+    big = (
+        " ".join(f"t{j:03d}" for j in range(40))
+        + " " + short_doc + " "
+        + " ".join(f"u{j:03d}" for j in range(40))
+    )
+    docs = spark.createDataFrame(
+        [(0, big), (1, short_doc)] + filler, "doc_id long, text string"
+    )
+    pairs = {
+        (r.id1, r.id2)
+        for r in containment_candidates_short(
+            docs, ngram=3, h=8, max_df=50
+        ).collect()
+    }
+    assert (0, 1) in pairs

@@ -712,3 +712,35 @@ def test_auto_compact_bounds_read_amplification(spark, tmp_path):
 def test_auto_compact_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="auto_compact_depth"):
         DeltaSnapshotStore(spark, str(tmp_path / "d"), auto_compact_depth=0)
+
+
+def test_auto_compact_preserves_partition_layout(spark, tmp_path):
+    """An auto-compaction triggered by a partition-LESS commit (a pure
+    tombstone from commit_delete) must fold with the table's
+    REMEMBERED layout, not unpartitioned — stripping the cell
+    partitioning would silently cost every serving scan its partition
+    pruning."""
+    import os
+
+    store = DeltaSnapshotStore(
+        spark, str(tmp_path / "d"), auto_compact_depth=3
+    )
+    rows = spark.createDataFrame(
+        [(int(i), int(i % 4), float(i)) for i in range(40)],
+        "vec_id long, cell int, v double",
+    )
+    store.commit_full(rows, partition_by=["cell"])
+    # pure deletes until the ceiling trips the fold
+    for i in range(5):
+        store.commit_delete(
+            spark.createDataFrame([(int(i),)], "vec_id long")
+        )
+    n_adds, n_tombs = store.log_depth()
+    assert n_adds + n_tombs <= 3  # the fold engaged
+    # the latest add dir is still hive-partitioned by cell
+    m = store._load_manifest()
+    assert m.get("partition_by") == ["cell"]
+    add_dir = m["versions"][str(m["latest"])]["adds"][-1][0]
+    entries = [e for e in os.listdir(add_dir) if e.startswith("cell=")]
+    assert entries, f"compacted dir lost the cell layout: {os.listdir(add_dir)}"
+    assert {r.vec_id for r in store.read().collect()} == set(range(5, 40))
