@@ -141,6 +141,32 @@ def main() -> None:
             b = rebuild.codes().groupBy("cell").count().collect()
             assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
+    # insert-only epoch: read_changes derives delete preimages only
+    # for epochs that wrote tombstones, so a pure-append feed skips
+    # the prior-version scan entirely — the refresh should be O(delta)
+    # outright, not O(table-scan) + O(delta)
+    n_ins = n_rows // 100
+    ins_only = (
+        base.read()
+        .filter(F.pmod(F.hash(F.col("vec_id")), F.lit(97)) == 3)
+        .limit(n_ins)
+        .select(
+            (F.col("vec_id") + F.lit(next_id)).alias("vec_id"),
+            "label", "embedding",
+        )
+    )
+    base.commit_append(ins_only)
+    t0 = time.time()
+    cs.refresh()
+    ins_s = time.time() - t0
+    assert cs.last_refresh_mode == "incremental"
+    results["insert_only_refresh_sec"] = round(ins_s, 2)
+    results["insert_only_rows"] = n_ins
+    print(
+        f"insert-only ({n_ins:,} rows, no preimage scan): {ins_s:.1f}s",
+        flush=True,
+    )
+
     if out_json:
         with open(out_json, "w") as f:
             json.dump(results, f, indent=1)
