@@ -14,6 +14,69 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line.
+
+    Steal measures hypervisor time stolen by co-tenants on the shared
+    host — the contention that in-VM load average cannot see (the r10
+    bench elevation showed >1M steal jiffies at zero local load).
+    Returns (0, 0) on platforms without /proc.
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
+def _loadavg() -> float:
+    try:
+        return os.getloadavg()[0]
+    except Exception:
+        return -1.0
+
+
+class _Contention:
+    """Frames a timed region with steal/total jiffy deltas.
+
+    steal_pct is steal time as a share of total cpu time over the
+    region: ~0 on a quiet host; the r10 contaminated runs would have
+    shown double digits. Recorded per query AND per suite so a single
+    contaminated row is detectable without re-running anything.
+    """
+
+    def __init__(self) -> None:
+        self.s0, self.t0 = _cpu_jiffies()
+
+    def delta(self) -> tuple[int, int, float]:
+        s1, t1 = _cpu_jiffies()
+        ds, dt = s1 - self.s0, t1 - self.t0
+        return ds, dt, round(100.0 * ds / dt, 2) if dt > 0 else 0.0
+
+
+def _calibration_probe(spark) -> float:
+    """Fixed synthetic work item (BASELINE.md round-5 methodology):
+    range(1M) groupBy(id % 101) count through the noop sink. Pure-JVM
+    codegen with one tiny shuffle — its runtime moves only with host
+    state, so comparing start/end values against the quiet band
+    (~0.10-0.25s warm) dates any contamination within the run."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(1_000_000)
+        .groupBy((F.col("id") % F.lit(101)).alias("g"))
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
+
 HEADLINE = [
     "knn_euclidean_sq",
     "knn_filtered",
@@ -74,9 +137,20 @@ def main() -> None:
     from lightweight_vector_database_spark.suite.index_suite import warm_index
     warm_index(spark, sf_dir)
 
+    # contention self-evidence (VERDICT r10 item 1): frame the suite
+    # and every query with /proc/stat steal deltas + a calibration
+    # probe at both ends, so a contaminated run is detectable from the
+    # artifact alone instead of via post-hoc A/B forensics.
+    _calibration_probe(spark)  # warm the calibration shape itself
+    suite_ctn = _Contention()
+    load_start = _loadavg()
+    calib_start = _calibration_probe(spark)
+
     times: dict[str, float] = {}
+    steal_pct: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        qctn = _Contention()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         # noop sink, not count(): count() lets Catalyst prune every
@@ -85,8 +159,13 @@ def main() -> None:
         # at full width — the honest cost of producing the result.
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        steal_pct[name] = qctn.delta()[2]
         n = df.count()  # diagnostics only — outside the timed window
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {times[name]:.3f}s ({n} rows,"
+            f" steal {steal_pct[name]:.1f}%)",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
 
@@ -199,6 +278,19 @@ def main() -> None:
     except Exception as e:
         print(f"# ann ladder failed: {e}", file=sys.stderr)
 
+    calib_end = _calibration_probe(spark)
+    ds, dt, suite_steal = suite_ctn.delta()
+    contention = {
+        "steal_jiffies_delta": ds,
+        "total_jiffies_delta": dt,
+        "steal_pct": suite_steal,
+        "load_start": load_start,
+        "load_end": _loadavg(),
+        "calib_start_sec": calib_start,
+        "calib_end_sec": calib_end,
+    }
+    print(f"# contention: {json.dumps(contention)}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -206,7 +298,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "query_steal_pct": steal_pct,
                 "probe_ladder": ladder,
+                "contention": contention,
                 "sf": sf_val,
             }
         )

@@ -525,6 +525,13 @@ def _residual_pq_books_np(
     rotated residuals with the IDENTICAL rng sequence (same seed ->
     byte-identical books for the unrotated input)."""
     dim = residuals.shape[1]
+    if dim % m:
+        # enforced ONCE at train time so every serve path agrees: a
+        # truncating dsub would silently drop the trailing dims from
+        # the codes, and ann_join_topk's rotation shape check
+        # (rot.shape == (m*dsub, m*dsub)) would reject the dim x dim
+        # rotation train_opq returns (ADVICE r10)
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     rng = np.random.RandomState(seed + 1)
     books = np.empty((m, ksub, dsub), dtype=np.float64)

@@ -222,6 +222,13 @@ def frontier_from_sweeps(
         elif rows:
             biggest = max(r["n_probes"] for r in rows)
             rows = [r for r in rows if r["n_probes"] == biggest]
+        # the escalation knobs only influence the ADAPTIVE path's
+        # measurements ('ann_adapt'); stamping them onto 'ann' /
+        # 'ann_filt' rows from a sweep that happened to run with
+        # --esc-nprobe would make ann_operating_point spuriously
+        # refuse a plain-path frontier (ADVICE r10)
+        esc_np = doc.get("esc_nprobe") if path == "ann_adapt" else None
+        esc_rf = doc.get("esc_refine") if path == "ann_adapt" else None
         for r in rows:
             out.append(
                 {
@@ -233,6 +240,12 @@ def frontier_from_sweeps(
                     # builds — resolve those with ann_serving_point,
                     # which returns m alongside the knobs.
                     "m": int(doc.get("ann_m", 8)),
+                    # OPQ axis: a rotation is part of the BUILD the
+                    # recall was measured under — a rotation-measured
+                    # record served onto a rotation-less snapshot (or
+                    # vice versa) is the same cross-build mismatch the
+                    # m field guards (ADVICE r10).
+                    "opq": bool(doc.get("ann_opq", False)),
                     # the adaptive path's ESCALATION point is part of
                     # the operating point: (4,4) with esc (8,64)
                     # records 0.96 where (4,4) with the default esc
@@ -240,8 +253,8 @@ def frontier_from_sweeps(
                     # its esc knobs would silently miss the floor it
                     # was recorded to clear. None = the recorded run
                     # used the kernel defaults (2*nprobe, 8*refine).
-                    "esc_nprobe": doc.get("esc_nprobe"),
-                    "esc_refine": doc.get("esc_refine"),
+                    "esc_nprobe": esc_np,
+                    "esc_refine": esc_rf,
                     "recall": float(r["recall_at_k"]),
                     "probes_per_sec": float(r["probes_per_sec"]),
                     "n_probes": int(r["n_probes"]),
@@ -301,6 +314,18 @@ def ann_operating_point(
             "ann_operating_point resolves knobs for ONE build — use "
             "ann_serving_point for cross-build resolution"
         )
+    opqs = {bool(r.get("opq", False)) for r in frontier}
+    if len(opqs) > 1:
+        # same single-build rule on the rotation axis: a record whose
+        # recall was measured under an OPQ rotation names a DIFFERENT
+        # codes snapshot than a plain-PQ record at the same m, and
+        # projecting across them would serve knobs the caller's build
+        # never measured (ADVICE r10)
+        raise ValueError(
+            "frontier mixes OPQ-rotated and plain-PQ records; "
+            "ann_operating_point resolves knobs for ONE build — use "
+            "ann_serving_point for cross-build resolution"
+        )
     best = ann_serving_point(recall_floor, frontier)
     if best is None:
         return None
@@ -353,6 +378,67 @@ def fixture_operating_point(
             f"({e}); re-record it with tools/fixture_frontier.py"
         ) from e
     return pt if pt is not None else fallback
+
+
+def fixture_serving_point(
+    path: str,
+    floor: float,
+    fallback: dict,
+) -> dict:
+    """Esc-aware fixture resolution (VERDICT r10 item 3): resolve a
+    serving query's FULL operating point — (nprobe, refine) AND the
+    per-probe escalation point (esc_nprobe, esc_refine) — from a
+    recorded fixture-frontier JSON whose records carry the escalation
+    axis (tools/fixture_frontier.py --shape adaptive).
+
+    ``fixture_operating_point`` cannot serve these recordings: its
+    (nprobe, refine) projection refuses esc-bearing records because
+    the recall they recorded was measured UNDER those escalation
+    knobs. This resolver hands the whole record back instead, so
+    registered adaptive queries serve exactly the configuration the
+    frontier measured to clear the floor.
+
+    Returns a dict with keys nprobe / refine / esc_nprobe /
+    esc_refine (esc_* None when the record used the kernel defaults).
+    Same contracts as fixture_operating_point: absent file or no
+    record clearing the floor -> the documented ``fallback`` dict;
+    unreadable or mis-shaped recording RAISES."""
+    import json
+
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        return dict(fallback)
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        raise ValueError(
+            f"frontier recording {path} exists but is unreadable "
+            f"({e}); re-record it with tools/fixture_frontier.py or "
+            "delete it to serve the documented fallback"
+        ) from e
+    try:
+        best = ann_serving_point(floor, doc["results"])
+    except (KeyError, TypeError) as e:
+        raise ValueError(
+            f"frontier recording {path} has an unexpected schema "
+            f"({e}); re-record it with tools/fixture_frontier.py"
+        ) from e
+    if best is None:
+        return dict(fallback)
+    return {
+        "nprobe": int(best["nprobe"]),
+        "refine": int(best["refine"]),
+        "esc_nprobe": (
+            int(best["esc_nprobe"])
+            if best.get("esc_nprobe") is not None
+            else None
+        ),
+        "esc_refine": (
+            int(best["esc_refine"])
+            if best.get("esc_refine") is not None
+            else None
+        ),
+    }
 
 
 def choose_ann_tier(

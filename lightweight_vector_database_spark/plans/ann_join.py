@@ -256,6 +256,10 @@ def ann_join_topk(
         rot = np.asarray(rotation, dtype=np.float64).astype(
             model_dtype, copy=False
         )
+        # m*dsub == the full vector dim for every trainable model:
+        # _residual_pq_books_np raises at train time when dim % m != 0,
+        # so this check agrees with ivfpq_encode/ivfpq_search on all
+        # models that can exist (ADVICE r10)
         if rot.shape != (m * dsub, m * dsub):
             raise ValueError(
                 f"rotation is {rot.shape}, codebooks cover dim {m * dsub}"
@@ -436,12 +440,25 @@ def ann_join_topk(
                         # fl(a+c) == fl(b+c) with a < b), and the
                         # escalation signal must match the replay
                         # bit-for-bit. O(K1*K2) adds per probe — no
-                        # dim factor, cheap next to the half folds.
-                        home = (
-                            (d1[:, :, None] + d2[:, None, :])
-                            .reshape(n, -1)
-                            .argmin(axis=1)
-                        )
+                        # dim factor, cheap next to the half folds —
+                        # but the SUMS block must not materialize for
+                        # the whole chunk: at K1=K2=1024 (the module's
+                        # K1*K2-cells target regime) a 4096-probe
+                        # (n, K1, K2) float64 block is ~32 GB. Compute
+                        # it in probe sub-blocks bounded to ~64 MB;
+                        # each row's argmin is independent, so the
+                        # blocked result is bit-identical (ADVICE r10).
+                        k1k2 = d1.shape[1] * d2.shape[1]
+                        sub = max(1, (8 << 20) // k1k2)
+                        home = np.empty(n, dtype=np.int64)
+                        for b0 in range(0, n, sub):
+                            blk = (
+                                d1[b0 : b0 + sub, :, None]
+                                + d2[b0 : b0 + sub, None, :]
+                            )
+                            home[b0 : b0 + sub] = blk.reshape(
+                                len(blk), -1
+                            ).argmin(axis=1)
                         esc = ~live_mask[home]
                     else:
                         esc = np.zeros(n, dtype=bool)

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.tiering import fixture_operating_point
+from ..operators.tiering import fixture_serving_point
 from ..sources import load_table
 from . import register
 from .pipeline_suite11 import (
@@ -50,15 +50,24 @@ _ADAPT_K = 10
 # 0-based Spark cell id; the oracle's 1-based cellp adds one)
 _ADAPT_MIN_CELL = 2
 _ADAPT_FLOOR = 0.95
-# The BASE point resolves from the recorded adaptive-shape frontier
-# (tools/fixture_frontier.py --shape adaptive); escalated probes pay
-# the 2x/8x escalation of plans/ann_join's defaults, pinned explicitly
-# here because the oracle replay needs the concrete values.
-_ADAPT_NPROBE, _ADAPT_REFINE = fixture_operating_point(
-    _repo_file("FRONTIER_sf001_adapt.json"), _ADAPT_FLOOR, (2, 2)
+# The FULL operating point — base (nprobe, refine) AND the per-probe
+# escalation point — resolves from the recorded adaptive-shape
+# frontier (tools/fixture_frontier.py --shape adaptive), whose records
+# carry explicit esc knobs since r11: the recall each record measured
+# was measured UNDER its escalation point, so base and esc must be
+# served together (VERDICT r10 item 3). The fallback pins the
+# kernel-default 2x/8x escalation of the documented (2, 2) base.
+_ADAPT_PT = fixture_serving_point(
+    _repo_file("FRONTIER_sf001_adapt.json"),
+    _ADAPT_FLOOR,
+    {"nprobe": 2, "refine": 2, "esc_nprobe": 4, "esc_refine": 16},
 )
-_ADAPT_ESC_NPROBE = 2 * _ADAPT_NPROBE
-_ADAPT_ESC_REFINE = 8 * _ADAPT_REFINE
+_ADAPT_NPROBE = _ADAPT_PT["nprobe"]
+_ADAPT_REFINE = _ADAPT_PT["refine"]
+# esc None = the recording ran the kernel defaults (2x/8x): pin the
+# concrete values because the oracle replay needs them
+_ADAPT_ESC_NPROBE = _ADAPT_PT["esc_nprobe"] or 2 * _ADAPT_NPROBE
+_ADAPT_ESC_REFINE = _ADAPT_PT["esc_refine"] or 8 * _ADAPT_REFINE
 
 
 def _ann_join_adaptive_query(spark: SparkSession, sf_dir: str) -> DataFrame:

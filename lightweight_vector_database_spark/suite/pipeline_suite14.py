@@ -183,7 +183,13 @@ register("ann_join_opq", _ann_join_opq_query, _ann_join_opq_oracle())
 # oracle computes: the final corpus as SQL set algebra, then the same
 # coarse-assign / rotate / code-argmin folds as the ann_join replays.
 
-_ACU_MEMO: dict[str, object] = {}
+# keyed by (applicationId, sf_dir) like _AJO_SNAP: the store DIR
+# outlives a SparkSession restart (_session_store_dir persists
+# per-process), but a memoized CodesSnapshot holds DataFrames/store
+# handles bound to the session that built it — after a restart the
+# snapshot is REBUILT from the surviving dirs under the new session
+# (ADVICE r10)
+_ACU_MEMO: dict[tuple, object] = {}
 
 
 def _ann_codes_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,6 +198,7 @@ def _ann_codes_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming_suite import _session_store_dir
 
     cents, rot, books = _ajo_model(spark, sf_dir)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
     d, fresh = _session_store_dir("anncodes", sf_dir)
     if fresh:
         emb = load_table(spark, sf_dir, "embeddings").select(
@@ -226,8 +233,17 @@ def _ann_codes_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cs.refresh()
         assert cs.last_refresh_mode == "incremental"
-        _ACU_MEMO[sf_dir] = cs
-    cs = _ACU_MEMO[sf_dir]
+        _ACU_MEMO[memo_key] = cs
+    elif memo_key not in _ACU_MEMO:
+        # dir survived a SparkSession restart: rebind fresh store
+        # handles under the current session; the maintained codes view
+        # is already materialized on disk, so no refresh is needed
+        base = DeltaSnapshotStore(spark, f"{d}/base")
+        view = DeltaSnapshotStore(spark, f"{d}/codes")
+        _ACU_MEMO[memo_key] = CodesSnapshot(
+            base, view, cents, books, rotation=rot, keep_cols=("label",)
+        )
+    cs = _ACU_MEMO[memo_key]
     return cs.codes().select(
         "vec_id", "label",
         F.col("cell").cast("long").alias("cell"), "pq_code",

@@ -423,3 +423,78 @@ def test_m_axis_serving_point_cross_build():
     # ... but stays the same projection on a single-build slice
     f8 = [r for r in f if r["m"] == 8]
     assert ann_operating_point(0.90, f8) == (4, 2)
+
+
+def test_esc_aware_fixture_serving_point():
+    """The adaptive fixture frontier carries explicit escalation knobs
+    per record (r11): fixture_serving_point resolves the FULL operating
+    point — base AND escalation — because each record's recall was
+    measured UNDER its esc point; the (nprobe, refine)-only projection
+    (fixture_operating_point) must keep REFUSING esc-bearing records
+    rather than silently serving the default escalation."""
+    from pathlib import Path
+
+    from lightweight_vector_database_spark.operators.tiering import (
+        fixture_operating_point,
+        fixture_serving_point,
+    )
+
+    path = str(
+        Path(__file__).resolve().parent.parent / "FRONTIER_sf001_adapt.json"
+    )
+    if not Path(path).exists():
+        pytest.skip("adaptive fixture frontier recording absent")
+
+    fb = {"nprobe": 2, "refine": 2, "esc_nprobe": 4, "esc_refine": 16}
+    # the committed walk: only (8,8) esc (16,64) clears 0.95
+    pt = fixture_serving_point(path, 0.95, fb)
+    assert (pt["nprobe"], pt["refine"]) == (8, 8)
+    assert (pt["esc_nprobe"], pt["esc_refine"]) == (16, 64)
+    # an unreachable floor serves the documented fallback (refusal)
+    assert fixture_serving_point(path, 1.01, fb) == fb
+    # an absent recording serves the fallback too
+    assert fixture_serving_point(path + ".missing", 0.5, fb) == fb
+    # the fixed-knob projection refuses the esc-bearing record: its
+    # recall was not measured under the kernel-default escalation
+    with pytest.raises(ValueError, match="escalation"):
+        fixture_operating_point(path, 0.95, (2, 2))
+
+    # the registered adaptive query resolved its knobs from this file
+    from lightweight_vector_database_spark.suite.pipeline_suite13 import (
+        _ADAPT_ESC_NPROBE,
+        _ADAPT_ESC_REFINE,
+        _ADAPT_NPROBE,
+        _ADAPT_REFINE,
+    )
+
+    assert (_ADAPT_NPROBE, _ADAPT_REFINE) == (pt["nprobe"], pt["refine"])
+    assert (_ADAPT_ESC_NPROBE, _ADAPT_ESC_REFINE) == (
+        pt["esc_nprobe"],
+        pt["esc_refine"],
+    )
+
+
+def test_opq_axis_is_a_build_axis():
+    """A frontier record measured under an OPQ rotation names a
+    DIFFERENT codes snapshot than a plain-PQ record at the same m:
+    ann_operating_point refuses the mix (ADVICE r10), ann_serving_point
+    resolves across it and returns the opq bit the caller needs to
+    pick the build."""
+    from lightweight_vector_database_spark.operators.tiering import (
+        ann_operating_point,
+        ann_serving_point,
+    )
+
+    plain = {
+        "nprobe": 4, "refine": 2, "m": 8, "opq": False,
+        "esc_nprobe": None, "esc_refine": None,
+        "recall": 0.90, "probes_per_sec": 2000.0, "n_probes": 1000,
+    }
+    rotated = dict(plain, opq=True, recall=0.97, probes_per_sec=1500.0)
+    with pytest.raises(ValueError, match="OPQ"):
+        ann_operating_point(0.5, [plain, rotated])
+    best = ann_serving_point(0.95, [plain, rotated])
+    assert best is not None and best["opq"] is True
+    # single-build slices still project cleanly
+    assert ann_operating_point(0.5, [plain]) == (4, 2)
+    assert ann_operating_point(0.95, [rotated]) == (4, 2)

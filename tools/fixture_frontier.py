@@ -51,9 +51,21 @@ POINTS = [(1, 2), (2, 2), (2, 4), (4, 4), (8, 4), (8, 8)]
 # geometry ADC ties / cell miss dominate at different ends, so the
 # floor must see both knobs
 POINTS_KNN = [(2, 8), (4, 8), (4, 16), (8, 8), (8, 16)]
-# adaptive walks BASE points (escalation pays the deep knob per probe,
-# so the base ladder starts cheap — that is the mechanism's point)
-POINTS_ADAPTIVE = [(1, 2), (2, 2), (2, 4), (4, 4), (8, 8)]
+# adaptive walks (BASE, ESCALATION) points — escalation pays the deep
+# knob only for displaced probes, so the base ladder starts cheap; the
+# esc point is PART of the operating point (VERDICT r10 item 3: the
+# r10 sweeps proved (4,4)+esc(8,64) clears floors (4,4)+default
+# misses, so frontier records must carry the axis they measured).
+# The first entries pin the kernel-default 2x/8x escalation
+# explicitly; the deeper-esc rows walk the axis at a fixed base.
+POINTS_ADAPTIVE = [
+    ((1, 2), (2, 16)),
+    ((2, 2), (4, 16)),
+    ((2, 4), (4, 32)),
+    ((4, 4), (8, 32)),
+    ((4, 4), (8, 64)),
+    ((8, 8), (16, 64)),
+]
 
 
 def run_knn_shape(shape: str, out_json: str) -> None:
@@ -130,9 +142,14 @@ def run_knn_shape(shape: str, out_json: str) -> None:
         want.setdefault(r["probe_id"], set()).add(r["vec_id"])
 
     results = []
-    for nprobe, refine in (
-        POINTS_ADAPTIVE if shape == "adaptive" else POINTS_KNN
-    ):
+    walk = (
+        POINTS_ADAPTIVE
+        if shape == "adaptive"
+        else [(pt, None) for pt in POINTS_KNN]
+    )
+    for (nprobe, refine), esc in walk:
+        if esc is not None:
+            kwargs["esc_nprobe"], kwargs["esc_refine"] = esc
         t0 = time.time()
         nn = ann_join_topk(
             codes, cents, books, probes, raw=emb, k=k,
@@ -154,6 +171,11 @@ def run_knn_shape(shape: str, out_json: str) -> None:
             "n_probes": n,
             "sec": round(dt, 2),
         }
+        if esc is not None:
+            # per-record escalation point: the recall above was
+            # measured UNDER these knobs, so a resolver must serve
+            # them together (operators/tiering.fixture_serving_point)
+            rec["esc_nprobe"], rec["esc_refine"] = esc
         results.append(rec)
         print(rec, flush=True)
 
@@ -173,10 +195,10 @@ def run_knn_shape(shape: str, out_json: str) -> None:
                 }[shape]
                 + " join",
                 **(
-                    {"esc_note": "per-point escalation at "
-                     "esc_nprobe=2*nprobe, esc_refine=8*refine "
-                     "(plans/ann_join defaults, pinned by "
-                     "pipeline_suite13)"}
+                    {"esc_note": "per-record explicit escalation "
+                     "knobs (esc_nprobe, esc_refine) — resolved "
+                     "together with the base point by "
+                     "operators/tiering.fixture_serving_point"}
                     if shape == "adaptive"
                     else {}
                 ),
