@@ -240,6 +240,11 @@ def frontier_from_sweeps(
                     # builds — resolve those with ann_serving_point,
                     # which returns m alongside the knobs.
                     "m": int(doc.get("ann_m", 8)),
+                    # code-width axis (bits per code = log2(ksub)):
+                    # ksub=16 is the nibble-packed fast-scan build
+                    # (r11); sweeps predating --ann-ksub ran 256. Like
+                    # m, ksub names a BUILD, not a query knob.
+                    "ksub": int(doc.get("ann_ksub", 256)),
                     # OPQ axis: a rotation is part of the BUILD the
                     # recall was measured under — a rotation-measured
                     # record served onto a rotation-less snapshot (or
@@ -311,6 +316,13 @@ def ann_operating_point(
     if len(ms) > 1:
         raise ValueError(
             f"frontier spans PQ resolutions m={sorted(ms)}; "
+            "ann_operating_point resolves knobs for ONE build — use "
+            "ann_serving_point for cross-build resolution"
+        )
+    ksubs = {r.get("ksub", 256) for r in frontier}
+    if len(ksubs) > 1:
+        raise ValueError(
+            f"frontier spans code widths ksub={sorted(ksubs)}; "
             "ann_operating_point resolves knobs for ONE build — use "
             "ann_serving_point for cross-build resolution"
         )

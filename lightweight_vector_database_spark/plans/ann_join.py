@@ -619,7 +619,18 @@ def ann_join_topk(
             cents_f = bc_cents.astype(np.float64, copy=False)
             cell_center = cents_f[cell]
         ids = right[id_col].to_numpy().astype(np.int64)
-        C = np.stack(right[code_col].to_numpy()).astype(np.int64)
+        first_code = right[code_col].iloc[0]
+        if isinstance(first_code, (bytes, bytearray)):
+            # 4-bit fast-scan snapshot (ivfpq_encode(pack4=True)):
+            # nibble-packed codes, m recovered from the books — the
+            # unpack is lossless, so everything downstream (decoded-
+            # vector matmul, LUT folds, oracle equality) is identical
+            # to the unpacked layout
+            from ..operators.similarity import unpack_codes4
+
+            C = unpack_codes4(right[code_col].to_list(), m)
+        else:
+            C = np.stack(right[code_col].to_numpy()).astype(np.int64)
         pids = left[probe_id_col].to_numpy()
         escs = left["__esc"].to_numpy().astype(np.int64)
         P_all = np.stack(left[probe_vec_col].to_numpy()).astype(np.float64)

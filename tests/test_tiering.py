@@ -493,6 +493,12 @@ def test_opq_axis_is_a_build_axis():
     rotated = dict(plain, opq=True, recall=0.97, probes_per_sec=1500.0)
     with pytest.raises(ValueError, match="OPQ"):
         ann_operating_point(0.5, [plain, rotated])
+    # the code-width axis (ksub) is a build axis too: a 4-bit fast-scan
+    # record cannot be projected onto a byte-code snapshot (r11)
+    pq4 = dict(plain, ksub=16)
+    with pytest.raises(ValueError, match="ksub"):
+        ann_operating_point(0.5, [plain, pq4])
+    assert ann_operating_point(0.5, [pq4]) == (4, 2)
     best = ann_serving_point(0.95, [plain, rotated])
     assert best is not None and best["opq"] is True
     # single-build slices still project cleanly

@@ -240,6 +240,18 @@ def main() -> None:
         if "--ann-m" in sys.argv
         else min(8, dim)
     )
+    # --ann-ksub : per-subspace codebook size (bits per code =
+    # log2(ksub)). 256 is the classic byte-per-code PQ; 16 is the
+    # 4-bit fast-scan geometry — codes pack two per byte
+    # (ivfpq_encode(pack4=True) engages automatically at ksub <= 16),
+    # so m=16/ksub=16 stores the same 8 B/vector as m=8/ksub=256 while
+    # splitting the space twice as finely with 16x coarser codebooks.
+    # This knob measures that bytes-vs-recall trade directly.
+    ann_ksub = (
+        int(sys.argv[sys.argv.index("--ann-ksub") + 1])
+        if "--ann-ksub" in sys.argv
+        else 256
+    )
     ann_cells = 64
     # recall knobs, overridable per run: bigger bases pack more true
     # neighbors per Voronoi boundary, so a fixed nprobe loses recall as
@@ -297,17 +309,19 @@ def main() -> None:
         )
 
         cents, ann_rot, books = train_opq(
-            enc_base, n_centroids=ann_cells, m=ann_m, ksub=256, iters=4,
-            sample_rows=8192, sample_id_col="vec_id",
+            enc_base, n_centroids=ann_cells, m=ann_m, ksub=ann_ksub,
+            iters=4, sample_rows=8192, sample_id_col="vec_id",
         )
     else:
         ann_rot = None
         cents, books = train_ivfpq(
-            enc_base, n_centroids=ann_cells, m=ann_m, ksub=256, iters=4,
-            sample_rows=8192, sample_id_col="vec_id",
+            enc_base, n_centroids=ann_cells, m=ann_m, ksub=ann_ksub,
+            iters=4, sample_rows=8192, sample_id_col="vec_id",
         )
     codes_path = os.path.join(tmp, "codes")
-    ivfpq_encode(enc_base, cents, books, rotation=ann_rot).select(
+    ivfpq_encode(
+        enc_base, cents, books, rotation=ann_rot, pack4=ann_ksub <= 16
+    ).select(
         "vec_id", "cell", "pq_code"
     ).repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
@@ -510,6 +524,7 @@ def main() -> None:
                     "ann_nprobe": ann_nprobe,
                     "ann_refine": ann_refine,
                     "ann_m": ann_m,
+                    "ann_ksub": ann_ksub,
                     "ann_opq": use_opq,
                     "esc_nprobe": esc_nprobe,
                     "esc_refine": esc_refine,
