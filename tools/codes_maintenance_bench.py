@@ -17,7 +17,13 @@ Equality of the two tables is asserted at the smallest churn point
 (the pytest suite pins it exhaustively at small scale; here it guards
 the bench itself).
 
-Usage: python tools/codes_maintenance_bench.py [n_rows] [--json out]
+``--imi K``: maintain the view under a KxK two-level coarse model
+(CodesSnapshot(imi=(c1, c2))) instead of the flat 64-cell IVF — the
+composition VERDICT r10 item 5 asks to pin at sweep scale: the
+100 TB coarse-model form (cells shipped as two half codebooks) under
+the O(delta) maintenance loop.
+
+Usage: python tools/codes_maintenance_bench.py [n_rows] [--imi K] [--json out]
 """
 
 from __future__ import annotations
@@ -62,18 +68,39 @@ def main() -> None:
     base_df = base_df.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    cents, books = train_ivfpq(
-        base_df, n_centroids=64, m=8, ksub=256, iters=4,
-        sample_rows=8192, sample_id_col="vec_id",
+    imi_k = (
+        int(sys.argv[sys.argv.index("--imi") + 1])
+        if "--imi" in sys.argv
+        else 0
     )
+    if imi_k:
+        from lightweight_vector_database_spark.operators.similarity import (
+            train_imi,
+        )
+
+        c1, c2, books = train_imi(
+            base_df, k1=imi_k, k2=imi_k, m=8, ksub=256, iters=4,
+            sample_rows=8192, sample_id_col="vec_id",
+        )
+        model_kw = {"imi": (c1, c2)}
+        cents = None
+    else:
+        cents, books = train_ivfpq(
+            base_df, n_centroids=64, m=8, ksub=256, iters=4,
+            sample_rows=8192, sample_id_col="vec_id",
+        )
+        model_kw = {}
     base = DeltaSnapshotStore(spark, f"{tmp}/base")
     base.commit_full(base_df, partition_by=None)
     view = DeltaSnapshotStore(spark, f"{tmp}/codes")
-    cs = CodesSnapshot(base, view, cents, books, keep_cols=("label",))
+    cs = CodesSnapshot(
+        base, view, cents, books, keep_cols=("label",), **model_kw
+    )
     t0 = time.time()
     cs.refresh()
     bootstrap_s = time.time() - t0
     results = {"n_rows": n_rows, "bootstrap_full_encode_sec": round(bootstrap_s, 2),
+               "imi_k": imi_k or None,
                "points": []}
     print(f"bootstrap (full encode, {n_rows:,} rows): {bootstrap_s:.1f}s",
           flush=True)
@@ -117,7 +144,7 @@ def main() -> None:
         rebuild = CodesSnapshot(
             base,
             DeltaSnapshotStore(spark, f"{tmp}/codes_rebuild_{int(frac*1000)}"),
-            cents, books, keep_cols=("label",),
+            cents, books, keep_cols=("label",), **model_kw,
         )
         rebuild.refresh()
         full_s = time.time() - t0

@@ -180,6 +180,15 @@ def main() -> None:
     # --paths to ann*/blocks* under this flag.
     cosine = "--cosine" in sys.argv
     sweep_metric = "cosine" if cosine else "euclidean_sq"
+    # --aniso : mix an anisotropic per-dim scale ladder through a fixed
+    # orthogonal matrix into the generator's noise term. The default
+    # generator's residuals are near-ISOTROPIC, which is the one regime
+    # where OPQ's learned rotation cannot help (BASELINE.md r10: +0.001
+    # recall) — real embedding corpora have correlated, variance-
+    # skewed residuals (the spectrum OPQ was built for, Ge et al. CVPR
+    # 2013 §1). The mix is seeded and row-deterministic like the rest
+    # of the generator.
+    aniso = "--aniso" in sys.argv
     spark = get_spark("probe-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     FILT_PRED = (  # needs an active session
@@ -192,6 +201,29 @@ def main() -> None:
         base, _centers = generate(spark, n_rows)
     else:
         base = generate_dim(spark, n_rows, dim)
+    bound = 0.5
+    if aniso:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        rng = np.random.RandomState(11)
+        # x -> Q @ diag(s) @ x: the geometric scale ladder makes the
+        # variance per ORIGINAL dim span 16x, the orthogonal mix
+        # spreads that skew across every coordinate — so no FIXED
+        # dim/m subspace split sees balanced variance, which is the
+        # condition OPQ's learned rotation repairs
+        s_scale = rng.permutation(np.geomspace(0.25, 4.0, dim))
+        q_mix, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+        qs_t = (q_mix * s_scale[None, :]).T.copy()
+
+        @pandas_udf("array<float>")
+        def _aniso_mix(col: pd.Series) -> pd.Series:
+            mat = np.stack(col.to_numpy()).astype(np.float64)
+            return pd.Series(list((mat @ qs_t).astype(np.float32)))
+
+        base = base.withColumn("embedding", _aniso_mix("embedding"))
+        bound = 2.5  # scaled coords reach ~±1.7; keep the grid sane
     import os
     import tempfile
 
@@ -203,7 +235,7 @@ def main() -> None:
     # dim8/depth7 on this generator — the kd-grid is the reference's
     # low-dim spatial structure; high-dim serving belongs to IVF-PQ)
     idx = GridIndex.for_table(
-        [-0.5] * dim, [0.5] * dim, n_rows=n_rows,
+        [-bound] * dim, [bound] * dim, n_rows=n_rows,
         target_cell_rows=32 if dim <= 8 else 256,
     )
     assigned_src = base.withColumn("cell_id", idx.cell_expr("embedding"))
@@ -526,6 +558,7 @@ def main() -> None:
                     "ann_m": ann_m,
                     "ann_ksub": ann_ksub,
                     "ann_opq": use_opq,
+                    "aniso": aniso,
                     "esc_nprobe": esc_nprobe,
                     "esc_refine": esc_refine,
                     # which 0.5-selectivity predicate the *_filt columns
