@@ -30,6 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from bench import _Contention, _loadavg
+from lightweight_vector_database_spark.caching import unpersist_caches
 from lightweight_vector_database_spark.operators.similarity import train_ivfpq
 from lightweight_vector_database_spark.plans.ann_join import ann_join_topk
 from lightweight_vector_database_spark.plans.ann_maintenance import (
@@ -63,6 +64,7 @@ def main() -> None:
     n_batches = opt("--batches", 12, int)
     batch_rows = opt("--batch-rows", 5_000, int)
     interval = opt("--interval", 2.5, float)
+    depth = opt("--depth", 8, int)
     out_json = opt("--json", None, str)
 
     spark = get_spark("stream-serve-bench")
@@ -98,10 +100,20 @@ def main() -> None:
     )
 
     store = DeltaSnapshotStore(spark, f"{tmp}/snap")
-    view = DeltaSnapshotStore(spark, f"{tmp}/codes")
+    # the VIEW carries its own read-amplification ceiling: every serve
+    # scans the codes table, so unbounded delta fan-in would make this
+    # bench measure log growth instead of write contention (first
+    # recording without it: serve latency GREW from 7.9s to 12.4s over
+    # 13 commits — CDC_READAMP_sf1.json at serving scale). The BASE
+    # store's compaction stays on the ingest cadence (compact_every)
+    # because the sink must advance the view pointer past each fold —
+    # a store-level auto-fold there would force full re-encodes.
+    view = DeltaSnapshotStore(
+        spark, f"{tmp}/codes", auto_compact_depth=depth
+    )
     cs = CodesSnapshot(store, view, cents, books, keep_cols=("label",))
     index = GridIndex([-0.5] * DIM, [0.5] * DIM, num_splits=2, depth=3)
-    ingest = VectorIngest(store, index, compact_every=32, codes_view=cs)
+    ingest = VectorIngest(store, index, compact_every=8, codes_view=cs)
 
     # fixed probe table (1000 seeds of the initial corpus, re-used
     # every serve; EAGER so probe construction is outside every timing)
@@ -147,13 +159,18 @@ def main() -> None:
         )
         out.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
+        # free the per-serve model broadcast + spilled candidate table
+        # (the same between-query hook every sweep tool runs) — without
+        # it 13+ serves accumulate broadcasts/disk spill and the loop
+        # measures memory pressure, not serving
+        unpersist_caches()
         return {
             "latency_sec": round(dt, 3),
             "version_lag_at_start": lag_before,
         }
 
     live_serves = []
-    while store.latest_version() < n_batches and q.isActive():
+    while store.latest_version() < n_batches and q.isActive:
         live_serves.append(one_serve())
         print(f"live  {live_serves[-1]}", flush=True)
     q.stop()
@@ -163,6 +180,24 @@ def main() -> None:
     for s in quiet_serves:
         print(f"quiet {s}", flush=True)
 
+    # fresh-rebuild baseline: one full encode of the FINAL corpus into
+    # a virgin store, served quiet — separates residual view fan-in
+    # (quiet vs fresh) from write contention (live vs quiet)
+    fresh = CodesSnapshot(
+        store, DeltaSnapshotStore(spark, f"{tmp}/codes_fresh"),
+        cents, books, keep_cols=("label",),
+    )
+    fresh.refresh()
+    fresh_serves = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ann_join_topk(
+            fresh.codes(), cents, books, probes, raw=store.read(),
+            k=K, nprobe=NPROBE, refine=REFINE,
+        ).write.format("noop").mode("overwrite").save()
+        fresh_serves.append(round(time.perf_counter() - t0, 3))
+    print(f"fresh {fresh_serves}", flush=True)
+
     ds, dt_j, steal_pct = ctn.delta()
     med = lambda xs: sorted(xs)[len(xs) // 2] if xs else None
     doc = {
@@ -170,12 +205,15 @@ def main() -> None:
         "n_batches": n_batches,
         "batch_rows": batch_rows,
         "interval_sec": interval,
+        "view_compact_depth": depth,
         "n_probes": n_probe_rows,
         "k": K,
         "nprobe": NPROBE,
         "refine": REFINE,
         "live_serves": live_serves,
         "quiet_serves": quiet_serves,
+        "fresh_rebuild_serves_sec": fresh_serves,
+        "median_fresh_latency_sec": med(fresh_serves),
         "median_live_latency_sec": med(
             [s["latency_sec"] for s in live_serves]
         ),
