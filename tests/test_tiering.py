@@ -504,3 +504,49 @@ def test_opq_axis_is_a_build_axis():
     # single-build slices still project cleanly
     assert ann_operating_point(0.5, [plain]) == (4, 2)
     assert ann_operating_point(0.95, [rotated]) == (4, 2)
+
+
+def test_m16_crossover_confirmed_on_quiet_rerecord():
+    """VERDICT r10 item 2: the r10 m16+esc(8,64) crossover point (ANN
+    above the exact comparator at the 0.95 adversarial filtered-cosine
+    floor) was recorded under measured host steal. The r11 re-record
+    (PROBE_SWEEP_r11_fcos_base1M_m16r4e64.json) measures BOTH columns
+    in one run — the adaptive path AND the exact blocks_filt gemm
+    comparator on the identical base/probes — so the arbitration
+    direction is host-independent: the ratio, not the absolutes, is
+    the record. Confirmed: 0.9616 recall @ 205.2 p/s vs exact 144.7
+    p/s at 1e5 probes (1.42x), same direction at 1e4 (287.0 vs 196.9).
+    """
+    import json
+    from pathlib import Path
+
+    from lightweight_vector_database_spark.operators.tiering import (
+        ann_serving_point,
+        frontier_from_sweeps,
+    )
+
+    root = Path(__file__).resolve().parent.parent
+    path = root / "PROBE_SWEEP_r11_fcos_base1M_m16r4e64.json"
+    if not path.exists():
+        pytest.skip("r11 crossover re-record absent")
+    doc = json.loads(path.read_text())
+    exact = {
+        r["n_probes"]: r["probes_per_sec"]
+        for r in doc["results"]
+        if r["path"] == "blocks_filt"
+    }
+    adapt = frontier_from_sweeps(
+        {str(path): None}, n_probes=100_000, path="ann_adapt"
+    )
+    pt = ann_serving_point(0.95, adapt)
+    assert pt is not None and pt["recall"] == 0.9616
+    assert (pt["m"], pt["nprobe"], pt["refine"]) == (16, 4, 4)
+    assert (pt["esc_nprobe"], pt["esc_refine"]) == (8, 64)
+    # the crossover: ANN at >=0.95 recall beats the same-run exact
+    # comparator's throughput at BOTH large ladder points
+    assert pt["probes_per_sec"] > exact[100_000]
+    a1e4 = frontier_from_sweeps(
+        {str(path): None}, n_probes=10_000, path="ann_adapt"
+    )
+    pt4 = ann_serving_point(0.95, a1e4)
+    assert pt4 is not None and pt4["probes_per_sec"] > exact[10_000]

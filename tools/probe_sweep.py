@@ -52,6 +52,7 @@ from lightweight_vector_database_spark.plans.grid_index import (
     GridIndex,
     index_stats,
 )
+from bench import _Contention, _loadavg
 from lightweight_vector_database_spark.session import get_spark
 from scale_test import N_CLUSTERS, generate
 
@@ -191,6 +192,10 @@ def main() -> None:
     aniso = "--aniso" in sys.argv
     spark = get_spark("probe-sweep")
     spark.sparkContext.setLogLevel("ERROR")
+    # contention self-evidence (VERDICT r10 item 1 applied to sweeps:
+    # two rounds of crossover claims carried host-steal asterisks)
+    sweep_ctn = _Contention()
+    sweep_load0 = _loadavg()
     FILT_PRED = (  # needs an active session
         F.col("vec_id") % 2 == 0
         if filter_mode == "parity"
@@ -567,6 +572,18 @@ def main() -> None:
                     # the common metadata-filter shape). None = unfiltered.
                     "filter_mode": filter_mode if filtered else None,
                     "metric": sweep_metric,
+                    "contention": dict(
+                        zip(
+                            (
+                                "steal_jiffies_delta",
+                                "total_jiffies_delta",
+                                "steal_pct",
+                            ),
+                            sweep_ctn.delta(),
+                        ),
+                        load_start=sweep_load0,
+                        load_end=_loadavg(),
+                    ),
                     "results": results,
                 },
                 f,
