@@ -210,7 +210,7 @@ def main() -> None:
     if aniso:
         import numpy as np
         import pandas as pd
-        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
 
         rng = np.random.RandomState(11)
         # x -> Q @ diag(s) @ x: the geometric scale ladder makes the
@@ -222,8 +222,8 @@ def main() -> None:
         q_mix, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
         qs_t = (q_mix * s_scale[None, :]).T.copy()
 
-        @pandas_udf("array<float>")
-        def _aniso_mix(col: pd.Series) -> pd.Series:
+        @pandas_udf("array<float>", PandasUDFType.SCALAR)
+        def _aniso_mix(col):
             mat = np.stack(col.to_numpy()).astype(np.float64)
             return pd.Series(list((mat @ qs_t).astype(np.float32)))
 
