@@ -80,6 +80,14 @@ class CodesSnapshot:
         metadata columns copied from the base rows into the codes
         table (filter-then-retrieve predicates push into the pruned
         scan only if their columns live IN the codes table).
+    pack4:
+        maintain the NIBBLE-PACKED (4-bit fast-scan) layout — ksub
+        must be <= 16 (``ivfpq_encode(pack4=True)``); the maintained
+        table stores binary codes at half the bytes and serves through
+        ``ann_join_topk`` unchanged. The layout is part of the view's
+        identity (fingerprinted): a packed view must never mix with
+        byte-code rows. Flat/OPQ coarse models only (the IMI encoder
+        has no packed layout).
     """
 
     def __init__(
@@ -92,6 +100,7 @@ class CodesSnapshot:
         imi=None,
         vec_col: str = "embedding",
         keep_cols: tuple[str, ...] = (),
+        pack4: bool = False,
     ):
         if view_store.id_col != base.id_col:
             raise ValueError(
@@ -100,6 +109,18 @@ class CodesSnapshot:
             )
         if imi is not None and centroids is not None:
             raise ValueError("pass centroids=None with imi=(c1, c2)")
+        if pack4 and imi is not None:
+            raise ValueError(
+                "pack4 maintains the flat/OPQ nibble layout; the IMI "
+                "encoder has no packed form — store byte codes or use "
+                "a flat coarse model"
+            )
+        if pack4 and np.asarray(codebooks).shape[1] > 16:
+            raise ValueError(
+                "pack4 stores one code per nibble; ksub "
+                f"{np.asarray(codebooks).shape[1]} > 16 cannot round-trip"
+            )
+        self.pack4 = bool(pack4)
         self.base = base
         self.view = view_store
         self.id_col = base.id_col
@@ -123,7 +144,11 @@ class CodesSnapshot:
         )
         self.fingerprint = _model_fingerprint(
             self.cents, self.books, self.rot, self.imi
-        )
+        ) + ("-p4" if self.pack4 else "")
+        # the code LAYOUT is part of the view's identity: resuming a
+        # byte-code store with pack4=True (or vice versa) must refuse
+        # exactly like a retrained model — mixed layouts cannot be
+        # read back as one column
         # resume: the view's latest commit records which base version
         # it reflects and under which model. A model mismatch REFUSES
         # (mixed-model codes would serve silently wrong ADC values).
@@ -152,6 +177,7 @@ class CodesSnapshot:
             enc = ivfpq_encode(
                 rows, self.cents, self.books,
                 vec_col=self.vec_col, rotation=self.rot,
+                pack4=self.pack4,
             )
         return enc.select(self.id_col, *self.keep_cols, "cell", "pq_code")
 

@@ -114,3 +114,104 @@ def test_packed_serving_composes_with_pred_and_adaptive(
     a = ann_join_topk(unpacked, cents, books, pq4_probes, raw=emb, **kw)
     b = ann_join_topk(packed, cents, books, pq4_probes, raw=emb, **kw)
     assert _canon(a) == _canon(b)
+
+
+def test_maintained_packed_view_matches_reencode_and_serving(
+    spark, tmp_path, pq4_model, pq4_probes
+):
+    """CodesSnapshot(pack4=True): the nibble-packed codes table stays
+    maintainable — after a full bootstrap + an incremental CDC refresh
+    the maintained packed table equals a from-scratch packed encode,
+    and the batched join served from it is bit-identical to one served
+    from a byte-code view of the same history."""
+    from lightweight_vector_database_spark.plans.ann_maintenance import (
+        CodesSnapshot,
+    )
+    from lightweight_vector_database_spark.sources.delta_snapshots import (
+        DeltaSnapshotStore,
+    )
+
+    emb, cents, books, _unpacked, _packed = pq4_model
+    v = F.col("vec_id")
+    base = DeltaSnapshotStore(spark, str(tmp_path / "base"))
+    packed_cs = CodesSnapshot(
+        base, DeltaSnapshotStore(spark, str(tmp_path / "p4")),
+        cents, books, keep_cols=("label",), pack4=True,
+    )
+    byte_cs = CodesSnapshot(
+        base, DeltaSnapshotStore(spark, str(tmp_path / "b8")),
+        cents, books, keep_cols=("label",),
+    )
+    base.commit_full(emb.filter(v % 4 != 3))
+    packed_cs.refresh(), byte_cs.refresh()
+    assert packed_cs.last_refresh_mode == "full"
+    # CDC epoch: delete some, replace some, insert the held-out rows
+    repl = emb.filter((v % 4 != 3) & (v % 11 == 5)).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x * F.lit(1.02))
+        .cast(emb.schema["embedding"].dataType)
+        .alias("embedding"),
+    )
+    news = emb.filter((v % 4 == 3) & (v % 7 != 0))
+    dels = (
+        emb.filter((v % 7 == 0) & (v % 4 != 3))
+        .select("vec_id")
+        .unionByName(repl.select("vec_id"))
+    )
+    base.commit_mutation(append_df=repl.unionByName(news), delete_ids=dels)
+    packed_cs.refresh(), byte_cs.refresh()
+    assert packed_cs.last_refresh_mode == "incremental"
+
+    scratch = CodesSnapshot(
+        base, DeltaSnapshotStore(spark, str(tmp_path / "scratch")),
+        cents, books, keep_cols=("label",), pack4=True,
+    )
+    scratch.refresh()
+    got = sorted(
+        (r.vec_id, r.label, r.cell, bytes(r.pq_code))
+        for r in packed_cs.codes().collect()
+    )
+    want = sorted(
+        (r.vec_id, r.label, r.cell, bytes(r.pq_code))
+        for r in scratch.codes().collect()
+    )
+    assert got == want and len(got) > 0
+
+    raw = base.read()
+    kw = dict(k=5, nprobe=4, refine=8)
+    a = ann_join_topk(
+        packed_cs.codes(), cents, books, pq4_probes, raw=raw, **kw
+    )
+    b = ann_join_topk(
+        byte_cs.codes(), cents, books, pq4_probes, raw=raw, **kw
+    )
+    assert _canon(a) == _canon(b)
+
+    # the layout is part of the view identity: resuming the packed
+    # store with a byte-code snapshot refuses like a retrained model
+    with pytest.raises(ValueError, match="different model"):
+        CodesSnapshot(
+            base, DeltaSnapshotStore(spark, str(tmp_path / "p4")),
+            cents, books, keep_cols=("label",),
+        )
+
+
+def test_pack4_maintenance_validation(spark, tmp_path, pq4_model):
+    from lightweight_vector_database_spark.plans.ann_maintenance import (
+        CodesSnapshot,
+    )
+    from lightweight_vector_database_spark.sources.delta_snapshots import (
+        DeltaSnapshotStore,
+    )
+
+    emb, cents, books, *_ = pq4_model
+    base = DeltaSnapshotStore(spark, str(tmp_path / "vb"))
+    view = DeltaSnapshotStore(spark, str(tmp_path / "vv"))
+    with pytest.raises(ValueError, match="IMI"):
+        CodesSnapshot(
+            base, view, None, books, pack4=True,
+            imi=(np.zeros((2, 32)), np.zeros((2, 32))),
+        )
+    wide = np.zeros((4, 32, 16))  # ksub 32 > 16
+    with pytest.raises(ValueError, match="nibble"):
+        CodesSnapshot(base, view, cents, wide, pack4=True)
