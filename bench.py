@@ -63,7 +63,9 @@ def _calibration_probe(spark) -> float:
     range(1M) groupBy(id % 101) count through the noop sink. Pure-JVM
     codegen with one tiny shuffle — its runtime moves only with host
     state, so comparing start/end values against the quiet band
-    (~0.10-0.25s warm) dates any contamination within the run."""
+    (0.45-0.65s warm, measured across the r11 quiet runs; the round-5
+    contended-day reference was 0.92s) dates contamination within the
+    run."""
     from pyspark.sql import functions as F
 
     t0 = time.perf_counter()
