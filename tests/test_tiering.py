@@ -300,13 +300,27 @@ def test_serving_knobs_resolve_from_committed_fixture_frontiers():
     adapt = s11._repo_file("FRONTIER_sf001_adapt.json")
     if not all(os.path.exists(p) for p in (filt, cos, fcos, sem, adapt)):
         pytest.skip("fixture frontier recordings absent")
-    assert fixture_operating_point(adapt, s13._ADAPT_FLOOR, (2, 2)) == (
+    # the adaptive frontier is esc-BEARING since r11: the fixed-knob
+    # projection must refuse it (the recall was measured UNDER explicit
+    # escalation knobs), and the suite resolves the FULL record through
+    # fixture_serving_point instead — walked exhaustively in
+    # test_esc_aware_fixture_serving_point
+    from lightweight_vector_database_spark.operators.tiering import (
+        fixture_serving_point,
+    )
+
+    with pytest.raises(ValueError, match="escalation"):
+        fixture_operating_point(adapt, s13._ADAPT_FLOOR, (2, 2))
+    rec = fixture_serving_point(
+        adapt, s13._ADAPT_FLOOR,
+        {"nprobe": 2, "refine": 2, "esc_nprobe": 4, "esc_refine": 16},
+    )
+    assert (rec["nprobe"], rec["refine"]) == (
         s13._ADAPT_NPROBE, s13._ADAPT_REFINE,
     )
-    # the escalation multipliers are the plans/ann_join defaults (the
-    # oracle replay pins the concrete values)
-    assert s13._ADAPT_ESC_NPROBE == 2 * s13._ADAPT_NPROBE
-    assert s13._ADAPT_ESC_REFINE == 8 * s13._ADAPT_REFINE
+    assert (rec["esc_nprobe"], rec["esc_refine"]) == (
+        s13._ADAPT_ESC_NPROBE, s13._ADAPT_ESC_REFINE,
+    )
     assert fixture_operating_point(filt, s12._AJF_FLOOR, (8, 16)) == (
         s12._AJF_NPROBE, s12._AJF_REFINE,
     )
