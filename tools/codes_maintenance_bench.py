@@ -17,6 +17,9 @@ Equality of the two tables is asserted at the smallest churn point
 (the pytest suite pins it exhaustively at small scale; here it guards
 the bench itself).
 
+``--pq4``: maintain the 4-bit fast-scan layout (m=16/ksub=16 model,
+nibble-packed codes — half the stored bytes; CodesSnapshot(pack4=True)).
+
 ``--imi K``: maintain the view under a KxK two-level coarse model
 (CodesSnapshot(imi=(c1, c2))) instead of the flat 64-cell IVF — the
 composition VERDICT r10 item 5 asks to pin at sweep scale: the
@@ -73,6 +76,9 @@ def main() -> None:
         if "--imi" in sys.argv
         else 0
     )
+    pq4 = "--pq4" in sys.argv
+    if pq4 and imi_k:
+        raise SystemExit("--pq4 and --imi are mutually exclusive")
     if imi_k:
         from lightweight_vector_database_spark.operators.similarity import (
             train_imi,
@@ -86,10 +92,11 @@ def main() -> None:
         cents = None
     else:
         cents, books = train_ivfpq(
-            base_df, n_centroids=64, m=8, ksub=256, iters=4,
+            base_df, n_centroids=64, m=16 if pq4 else 8,
+            ksub=16 if pq4 else 256, iters=4,
             sample_rows=8192, sample_id_col="vec_id",
         )
-        model_kw = {}
+        model_kw = {"pack4": True} if pq4 else {}
     base = DeltaSnapshotStore(spark, f"{tmp}/base")
     base.commit_full(base_df, partition_by=None)
     view = DeltaSnapshotStore(spark, f"{tmp}/codes")
@@ -101,6 +108,7 @@ def main() -> None:
     bootstrap_s = time.time() - t0
     results = {"n_rows": n_rows, "bootstrap_full_encode_sec": round(bootstrap_s, 2),
                "imi_k": imi_k or None,
+               "pack4": pq4,
                "points": []}
     print(f"bootstrap (full encode, {n_rows:,} rows): {bootstrap_s:.1f}s",
           flush=True)
