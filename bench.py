@@ -28,7 +28,10 @@ def _cpu_jiffies() -> tuple[int, int]:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        # first 8 fields only (user..steal): guest/guest_nice are
+        # already folded into user/nice by the kernel, so summing them
+        # would double-count and understate steal_pct
+        return steal, sum(vals[:8])
     except Exception:
         return 0, 0
 

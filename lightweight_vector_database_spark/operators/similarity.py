@@ -675,6 +675,13 @@ def pack_codes4(codes: np.ndarray) -> list[bytes]:
     register on fast-scan kernels (André et al., "Cache locality is
     not enough", VLDB 2015)."""
     n, m = codes.shape
+    if n and (codes.min() < 0 or codes.max() >= 16):
+        raise ValueError(
+            "pack_codes4 requires code values in [0, 16); got range "
+            f"[{int(codes.min())}, {int(codes.max())}] — a value >= 16 "
+            "would silently cross-contaminate the adjacent nibble. "
+            "Train with ksub <= 16 for the 4-bit layout."
+        )
     if m % 2:
         codes = np.concatenate(
             [codes, np.zeros((n, 1), dtype=codes.dtype)], axis=1
@@ -796,6 +803,16 @@ def ivfpq_search(
     matvec would do numerically, but the left-fold form keeps the
     values identical to the batched kernel's).
     """
+    from pyspark.sql.types import BinaryType
+
+    if isinstance(encoded.schema["pq_code"].dataType, BinaryType):
+        raise ValueError(
+            "ivfpq_search cannot serve a pack4 (nibble-packed binary "
+            "pq_code) snapshot — its element_at LUT probe needs the "
+            "array<int> layout. Serve packed codes through "
+            "ann_join_topk (which carries the 4-bit ADC kernel), or "
+            "re-encode with pack4=False."
+        )
     cents = np.asarray(centroids, dtype=np.float64)
     books = np.asarray(codebooks, dtype=np.float64)
     rot = (

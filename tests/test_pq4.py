@@ -47,6 +47,27 @@ def test_pack4_requires_nibble_sized_codebooks(spark):
         ivfpq_encode(emb, cents, books, pack4=True)
 
 
+def test_pack_codes4_rejects_oversized_values():
+    # a code >= 16 would silently bleed into the adjacent nibble
+    # ([17, 1] round-trips to [1, 1]) — the packer must fail loudly
+    with pytest.raises(ValueError, match="\\[0, 16\\)"):
+        pack_codes4(np.array([[17, 1]]))
+    with pytest.raises(ValueError, match="\\[0, 16\\)"):
+        pack_codes4(np.array([[3, -1]]))
+    assert pack_codes4(np.zeros((0, 4), dtype=np.int64)) == []
+
+
+def test_ivfpq_search_refuses_packed_snapshot(spark, pq4_model):
+    from lightweight_vector_database_spark.operators.similarity import (
+        ivfpq_search,
+    )
+
+    _emb, cents, books, _unpacked, packed = pq4_model
+    probe = [0.0] * len(cents[0])
+    with pytest.raises(ValueError, match="ann_join_topk"):
+        ivfpq_search(packed, cents, books, probe, k=3)
+
+
 @pytest.fixture(scope="module")
 def pq4_model(spark):
     emb = load_table(spark, SF001, "embeddings").select(

@@ -118,7 +118,7 @@ def main() -> None:
     # fixed probe table (1000 seeds of the initial corpus, re-used
     # every serve; EAGER so probe construction is outside every timing)
     probes = (
-        corpus.filter(v % (n_init // N_PROBES) == 0)
+        corpus.filter(v % max(1, n_init // N_PROBES) == 0)
         .filter(v < n_init)
         .select(
             F.col("vec_id").alias("probe_id"),
