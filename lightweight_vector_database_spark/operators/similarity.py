@@ -666,6 +666,86 @@ def train_opq_np(
     return cents, R, books
 
 
+def zca_whitening_np(sample: np.ndarray, eps: float = 1e-5) -> np.ndarray:
+    """Symmetric (ZCA) whitening matrix from the training sample's
+    covariance: ``W = U diag(1/sqrt(lam + eps)) U^T``. Applied before
+    the COARSE stage (``train_whitened_ivfpq`` / ``ivfpq_encode(
+    whiten=)`` / ``ann_join_topk(whiten=)``) it equalizes the
+    residual variance spectrum, so Lloyd's k-means stops collapsing
+    onto the dominant variance directions — the r11 anisotropic mix
+    left 11 live coarse cells of 64 (ROUND11_NOTES), capping nprobe
+    headroom. ZCA (vs plain PCA whitening) keeps the transform as
+    close to identity as a whitening can be (Bell & Sejnowski's
+    symmetric form), so near-isotropic corpora are served almost
+    unchanged. Deterministic for a given sample (eigh on the
+    symmetric covariance)."""
+    X = np.asarray(sample, dtype=np.float64)
+    mu = X.mean(axis=0)
+    C = (X - mu).T @ (X - mu) / max(1, len(X) - 1)
+    lam, U = np.linalg.eigh(C)
+    lam = np.maximum(lam, 0.0)
+    return (U * (1.0 / np.sqrt(lam + eps))[None, :]) @ U.T
+
+
+def train_whitened_ivfpq_np(
+    sample: np.ndarray,
+    n_centroids: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    iters: int = 5,
+    seed: int = 42,
+    eps: float = 1e-5,
+    opq: bool = False,
+):
+    """Numpy core of ``train_whitened_ivfpq`` (same sample -> same
+    model, no Spark — the exact-oracle twin). The whitening is a
+    VECTOR-SPACE transform: coarse centroids, residuals and codebooks
+    all live in the whitened space, and serving (``ann_join_topk(
+    whiten=W)``) whitens probes with the same left-fold matvec before
+    assignment + ADC while the exact re-rank stays on the RAW vectors
+    — candidate selection geometry changes, the final metric does not.
+    Returns ``(W, cents, books)``, or ``(W, cents, rotation, books)``
+    with ``opq=True`` (the OPQ rotation is trained on the WHITENED
+    residuals — the composition the anisotropic axis measures)."""
+    X = np.asarray(sample, dtype=np.float64)
+    W = zca_whitening_np(X, eps=eps)
+    Xw = fold_matvec(X, W)
+    if opq:
+        cents, R, books = train_opq_np(
+            Xw, n_centroids=n_centroids, m=m, ksub=ksub, iters=iters,
+            seed=seed,
+        )
+        return W, cents, R, books
+    cents, books = train_ivfpq_np(
+        Xw, n_centroids=n_centroids, m=m, ksub=ksub, iters=iters, seed=seed
+    )
+    return W, cents, books
+
+
+def train_whitened_ivfpq(
+    df: DataFrame,
+    n_centroids: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample_rows: int = 8192,
+    seed: int = 42,
+    sample_id_col: str | None = None,
+    eps: float = 1e-5,
+    opq: bool = False,
+):
+    """Whitened-coarse IVF-PQ training (see the np core above for the
+    construction and serving contract). Sampling contract as
+    ``train_ivfpq``: pass ``sample_id_col`` for the seeded-uniform
+    rule."""
+    sample = _training_sample(df, vec_col, sample_rows, sample_id_col)
+    return train_whitened_ivfpq_np(
+        sample, n_centroids=n_centroids, m=m, ksub=ksub, iters=iters,
+        seed=seed, eps=eps, opq=opq,
+    )
+
+
 def pack_codes4(codes: np.ndarray) -> list[bytes]:
     """Pack (n, m) PQ codes with values < 16 into nibble-packed bytes
     — the 4-bit fast-scan layout (VERDICT r10 item 4): byte i holds
@@ -710,6 +790,7 @@ def ivfpq_encode(
     vec_col: str = "embedding",
     rotation: np.ndarray | None = None,
     pack4: bool = False,
+    whiten: np.ndarray | None = None,
 ) -> DataFrame:
     """Add ``cell`` (coarse assignment) and ``pq_code`` (residual
     codes) in ONE Arrow pass — the bulk index build. Write the result
@@ -725,7 +806,15 @@ def ivfpq_encode(
     byte) instead of array<int> — requires ksub <= 16. The argmin code
     values are identical either way; only the storage layout changes
     (the serving kernel unpacks losslessly), so the exact oracles hold
-    unchanged."""
+    unchanged.
+
+    ``whiten``: ZCA matrix from ``train_whitened_ivfpq`` — every
+    vector enters the whitened coarse space (left-fold matvec, the
+    oracle's exact arithmetic) BEFORE cell assignment, and the
+    residual/PQ pipeline runs on the whitened coordinates (the
+    centroids and codebooks must be the whitened-space model trained
+    alongside W). Composes with ``rotation`` (OPQ on whitened
+    residuals) and ``pack4`` (storage-only)."""
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
@@ -736,7 +825,14 @@ def ivfpq_encode(
         if rotation is not None
         else None
     )
+    wmat = (
+        np.asarray(whiten, dtype=np.float64) if whiten is not None else None
+    )
     m, ksub, dsub = books.shape
+    if wmat is not None and wmat.shape != (m * dsub, m * dsub):
+        raise ValueError(
+            f"whiten is {wmat.shape}, codebooks cover dim {m * dsub}"
+        )
     if pack4 and ksub > 16:
         raise ValueError(
             f"pack4 stores one code per nibble; ksub {ksub} > 16 codes "
@@ -753,6 +849,8 @@ def ivfpq_encode(
     )
     def enc(vecs):
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        if wmat is not None:
+            mat = fold_matvec(mat, wmat)
         d = (mat**2).sum(axis=1)[:, None] - 2.0 * (mat @ c_t) + c_sq[None, :]
         cell = d.argmin(axis=1)
         res = mat - cents[cell]

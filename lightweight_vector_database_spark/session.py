@@ -14,13 +14,21 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "lvdb-spark", cpus: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "lvdb-spark",
+    cpus: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """``extra_conf`` entries are applied last (e.g.
+    ``{"spark.scheduler.mode": "FAIR"}`` for serve/maintenance pool
+    isolation — like driver memory, scheduler mode only takes effect
+    at JVM launch, so it must ride the builder, not a live session)."""
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     # local mode: driver == executors, so driver memory IS the cluster
     # memory; the 1g default OOMs at a few million rows x 32 threads.
     # Must be set before the JVM launches (no effect on a live session).
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-    return (
+    builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.driver.memory", mem)
@@ -32,5 +40,7 @@ def get_spark(app_name: str = "lvdb-spark", cpus: str | None = None) -> SparkSes
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.warehouse.dir", "/tmp/lvdb_warehouse")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

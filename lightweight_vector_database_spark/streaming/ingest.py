@@ -317,14 +317,39 @@ class VectorIngest:
         )
         self._record_epoch(epoch_id)
 
-    def start(self, stream_df: DataFrame, checkpoint: str, **trigger):
+    def start(
+        self,
+        stream_df: DataFrame,
+        checkpoint: str,
+        scheduler_pool: str | None = None,
+        **trigger,
+    ):
         """Attach to a streaming DataFrame of raw vector rows and run
-        with the given trigger (default availableNow)."""
+        with the given trigger (default availableNow).
+
+        ``scheduler_pool``: assign the stream's micro-batch jobs to a
+        named fair-scheduler pool (the StreamExecution thread inherits
+        the local property at ``start()``), so continuous maintenance
+        shares task slots FAIRLY with concurrent serving threads
+        instead of FIFO head-of-line blocking them — the serve/
+        maintenance isolation measured by tools/stream_serve_bench.py
+        (STREAM_SERVE_r11_d8: live serves 1.7x quiet under FIFO).
+        Takes effect only when the session runs
+        ``spark.scheduler.mode=FAIR`` (harmless under FIFO); the
+        calling thread's pool property is restored either way."""
         if not trigger:
             trigger = {"availableNow": True}
-        return (
-            stream_df.writeStream.foreachBatch(self.apply_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(**trigger)
-            .start()
-        )
+        sc = stream_df.sparkSession.sparkContext
+        prev = sc.getLocalProperty("spark.scheduler.pool")
+        if scheduler_pool is not None:
+            sc.setLocalProperty("spark.scheduler.pool", scheduler_pool)
+        try:
+            return (
+                stream_df.writeStream.foreachBatch(self.apply_batch)
+                .option("checkpointLocation", checkpoint)
+                .trigger(**trigger)
+                .start()
+            )
+        finally:
+            if scheduler_pool is not None:
+                sc.setLocalProperty("spark.scheduler.pool", prev)

@@ -114,6 +114,40 @@ def test_ingest_through_real_stream(spark, tmp_path, index):
     assert "cell_id" in snap.columns
 
 
+def test_ingest_start_scheduler_pool_contract(spark, tmp_path, index):
+    """start(scheduler_pool=) tags the stream's micro-batch jobs with
+    a fair-scheduler pool (the StreamExecution thread inherits the
+    local property at start) and ALWAYS restores the calling thread's
+    own pool — the serve thread must not leak into the maintenance
+    pool after launching the stream. Ingest results are unchanged."""
+    sc = spark.sparkContext
+    src = tmp_path / "incoming"
+    for seed in (31, 32):
+        _batch(spark, seed, 10).coalesce(1).write.mode("append").parquet(str(src))
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    ingest = VectorIngest(store, index)
+    stream = (
+        spark.readStream.schema("embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sc.setLocalProperty("spark.scheduler.pool", "serve")
+    try:
+        q = ingest.start(
+            stream,
+            checkpoint=str(tmp_path / "ckpt"),
+            scheduler_pool="maintenance",
+        )
+        # restored immediately after start(), not at query end
+        assert sc.getLocalProperty("spark.scheduler.pool") == "serve"
+        q.awaitTermination(120)
+        assert store.read().count() == 20
+        assert sc.getLocalProperty("spark.scheduler.pool") == "serve"
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
+    assert sc.getLocalProperty("spark.scheduler.pool") is None
+
+
 def test_cdc_batches_full_mutation_surface(spark, tmp_path, index):
     """CDC sink: insert / update (delete+insert keeping id) / delete,
     with incremental stats staying consistent throughout."""

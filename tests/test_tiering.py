@@ -564,3 +564,53 @@ def test_m16_crossover_confirmed_on_quiet_rerecord():
     )
     pt4 = ann_serving_point(0.95, a1e4)
     assert pt4 is not None and pt4["probes_per_sec"] > exact[10_000]
+
+
+def test_pq4_opq_composition_refuses_filtered_floor():
+    """The pq4 x OPQ composition record (VERDICT r11 item 1): does the
+    learned rotation buy back the adversarial-filtered recall the
+    4-bit codes lose, at still-half the bytes? Measured answer at 1M
+    (PROBE_SWEEP_r12_pq4opq_base1M vs PROBE_SWEEP_r11_pq4_base1M, same
+    knobs m=16/ksub=16/cosine/parity): NO — the rotation moves
+    filtered recall 0.62->0.616 and adaptive 0.825->0.795 (the corpus
+    residuals are near-isotropic, the one regime OPQ cannot help, Ge
+    et al. CVPR 2013). The serving contract must therefore REFUSE the
+    packed build for the 0.95-floor filtered regime — the resolver
+    returns None (serve exact / another build) rather than a point no
+    recording clears — while the CLEAN regime resolves normally, and
+    the frontier records carry the full build identity (m, ksub, opq)
+    so the cross-build mixing guard fires."""
+    import pytest as _pytest
+    from pathlib import Path
+
+    from lightweight_vector_database_spark.operators.tiering import (
+        ann_operating_point,
+        ann_serving_point,
+        frontier_from_sweeps,
+    )
+
+    root = Path(__file__).resolve().parent.parent
+    plain = root / "PROBE_SWEEP_r11_pq4_base1M.json"
+    opq = root / "PROBE_SWEEP_r12_pq4opq_base1M.json"
+    if not (plain.exists() and opq.exists()):
+        pytest.skip("pq4 1M recordings absent")
+    files = {str(plain): None, str(opq): None}
+    filt = frontier_from_sweeps(files, n_probes=100_000, path="ann_filt")
+    adapt = frontier_from_sweeps(files, n_probes=100_000, path="ann_adapt")
+    # full build identity on every record
+    assert {(r["m"], r["ksub"]) for r in filt} == {(16, 16)}
+    assert {r["opq"] for r in filt} == {False, True}
+    # the loud refusal: NO pq4 build (rotated or not) clears 0.95
+    # under the cluster-correlated predicate, base or adaptive point
+    assert ann_serving_point(0.95, filt) is None
+    assert ann_serving_point(0.95, adapt) is None
+    # ...and the fixed-build resolver refuses the cross-build mix
+    # outright instead of projecting across rotations
+    with _pytest.raises(ValueError, match="OPQ-rotated"):
+        ann_operating_point(0.95, filt)
+    # clean retrieval: both pq4 builds clear 0.95 and the resolver
+    # hands back the full record including its build axes
+    clean = frontier_from_sweeps(files, n_probes=100_000, path="ann")
+    pt = ann_serving_point(0.95, clean)
+    assert pt is not None and pt["ksub"] == 16 and pt["m"] == 16
+    assert pt["recall"] >= 0.999

@@ -329,6 +329,15 @@ def main() -> None:
     # generator's residuals are near-isotropic, so a recording here is
     # the honest lower bound of the knob.
     use_opq = "--opq" in sys.argv
+    # --whiten : ZCA whitening in front of the coarse stage
+    # (train_whitened_ivfpq / ivfpq_encode(whiten=) / ann_join_topk(
+    # whiten=)) — the anisotropy-aware coarse layer (VERDICT r11 item
+    # 3). Composes with --opq (rotation trained on whitened residuals)
+    # and the ksub<=16 pack4 layout; refused with --imi.
+    use_whiten = "--whiten" in sys.argv
+    if use_whiten and "--imi" in sys.argv:
+        raise SystemExit("--whiten does not compose with --imi "
+                         "(same refusal as ann_join_topk)")
     if cosine:
         # cosine contract: model + codes over the L2-NORMALIZED base
         # (the exact left-fold-norm arithmetic the kernel normalizes
@@ -340,7 +349,22 @@ def main() -> None:
         enc_base = _norm_emb(base)
     else:
         enc_base = base
-    if use_opq:
+    ann_whiten = None
+    if use_whiten:
+        from lightweight_vector_database_spark.operators.similarity import (
+            train_whitened_ivfpq,
+        )
+
+        model = train_whitened_ivfpq(
+            enc_base, n_centroids=ann_cells, m=ann_m, ksub=ann_ksub,
+            iters=4, sample_rows=8192, sample_id_col="vec_id",
+            opq=use_opq,
+        )
+        if use_opq:
+            ann_whiten, cents, ann_rot, books = model
+        else:
+            (ann_whiten, cents, books), ann_rot = model, None
+    elif use_opq:
         from lightweight_vector_database_spark.operators.similarity import (
             train_opq,
         )
@@ -357,7 +381,8 @@ def main() -> None:
         )
     codes_path = os.path.join(tmp, "codes")
     ivfpq_encode(
-        enc_base, cents, books, rotation=ann_rot, pack4=ann_ksub <= 16
+        enc_base, cents, books, rotation=ann_rot, pack4=ann_ksub <= 16,
+        whiten=ann_whiten,
     ).select(
         "vec_id", "cell", "pq_code"
     ).repartition("cell").write.mode("overwrite").partitionBy(
@@ -370,6 +395,20 @@ def main() -> None:
         int(r["cell"]): int(r["cnt"])
         for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    # coarse-layer health, recorded with every sweep (r12): how many
+    # cells Lloyd actually uses and how concentrated the mass is — the
+    # balance that bounds nprobe pruning at scale
+    import numpy as _np
+
+    _cnts = sorted(code_stats.values(), reverse=True)
+    _cum = _np.cumsum(_cnts) / max(1, sum(_cnts))
+    coarse_stats = {
+        "live_cells": len(_cnts),
+        "total_cells": ann_cells,
+        "top4_mass": round(float(_cum[min(3, len(_cum) - 1)]), 4),
+        "cells_for_90pct": int(_np.searchsorted(_cum, 0.9) + 1),
+    }
+    print(f"coarse: {coarse_stats}", flush=True)
 
     # --imi K : build a SECOND serving snapshot under a two-level
     # (K x K product-cell) coarse model and serve it two ways over the
@@ -439,7 +478,7 @@ def main() -> None:
         paths["ann"] = lambda p=probes: ann_join_topk(
             codes, cents, books, p, raw=base, k=K, metric=sweep_metric,
             nprobe=ann_nprobe, refine=ann_refine, code_stats=code_stats,
-            rotation=ann_rot,
+            rotation=ann_rot, whiten=ann_whiten,
         )
         if imi_k:
             paths["ann_imi"] = lambda p=probes: ann_join_topk(
@@ -467,7 +506,7 @@ def main() -> None:
             paths["ann_filt"] = lambda p=probes: ann_join_topk(
                 codes, cents, books, p, raw=base, k=K, metric=sweep_metric,
                 nprobe=ann_nprobe, refine=ann_refine, pred=FILT_PRED,
-                rotation=ann_rot,
+                rotation=ann_rot, whiten=ann_whiten,
             )
             # per-probe adaptive escalation at the SAME base knob
             # (VERDICT r9 item 1): only predicate-displaced probes pay
@@ -477,7 +516,7 @@ def main() -> None:
             paths["ann_adapt"] = lambda p=probes: ann_join_topk(
                 codes, cents, books, p, raw=base, k=K, metric=sweep_metric,
                 nprobe=ann_nprobe, refine=ann_refine, pred=FILT_PRED,
-                adaptive=True, rotation=ann_rot,
+                adaptive=True, rotation=ann_rot, whiten=ann_whiten,
                 esc_nprobe=esc_nprobe, esc_refine=esc_refine,
             )
         if cosine:
@@ -563,6 +602,8 @@ def main() -> None:
                     "ann_m": ann_m,
                     "ann_ksub": ann_ksub,
                     "ann_opq": use_opq,
+                    "ann_whiten": use_whiten,
+                    "coarse_stats": coarse_stats,
                     "aniso": aniso,
                     "esc_nprobe": esc_nprobe,
                     "esc_refine": esc_refine,

@@ -66,9 +66,24 @@ def main() -> None:
     interval = opt("--interval", 2.5, float)
     depth = opt("--depth", 8, int)
     out_json = opt("--json", None, str)
+    # --pool: run the session under the FAIR scheduler with the
+    # maintenance stream and the serve loop in separate pools (equal
+    # weight -> each side gets a fair share of task slots while both
+    # are busy), vs the default FIFO where a maintenance stage at the
+    # queue head blocks every serve task behind it. The r11 FIFO
+    # recording (STREAM_SERVE_r11_d8) measured live serves 1.7x quiet;
+    # this flag records the isolated column.
+    pooled = "--pool" in argv
 
-    spark = get_spark("stream-serve-bench")
+    spark = get_spark(
+        "stream-serve-bench",
+        extra_conf={"spark.scheduler.mode": "FAIR"} if pooled else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    if pooled:
+        # the main thread IS the serve thread; the stream's micro-batch
+        # thread gets its pool at ingest.start(scheduler_pool=)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "serve")
 
     import tempfile
 
@@ -138,6 +153,7 @@ def main() -> None:
     load0 = _loadavg()
     q = ingest.start(
         stream, checkpoint=f"{tmp}/ckpt",
+        scheduler_pool="maintenance" if pooled else None,
         processingTime=f"{interval} seconds",
     )
 
@@ -202,6 +218,7 @@ def main() -> None:
     med = lambda xs: sorted(xs)[len(xs) // 2] if xs else None
     doc = {
         "n_init": n_init,
+        "scheduler": "fair-pooled" if pooled else "fifo",
         "n_batches": n_batches,
         "batch_rows": batch_rows,
         "interval_sec": interval,
