@@ -280,6 +280,32 @@ def main() -> None:
         ladder["ann_1e4"] = round(time.perf_counter() - t0, 3)
         unpersist_caches()
         print(f"# probe_ladder ann_1e4: {ladder['ann_1e4']:.3f}s", file=sys.stderr)
+
+        # --- pq4 ladder row (VERDICT r11 item 5): the same 10^4-probe
+        # serve over the NIBBLE-PACKED snapshot, so a regression in the
+        # packed kernel (unpack_codes4 / the binary-column ADC branch)
+        # moves a recorded number the way the byte path's does. Same
+        # probes, suite pq4 model (m=16/ksub=16), build outside the
+        # clock.
+        from lightweight_vector_database_spark.suite.pipeline_suite14 import (
+            _PQ4_NPROBE,
+            _PQ4_REFINE,
+            _pq4_codes,
+            _pq4_model,
+        )
+
+        p4_cents, p4_books = _pq4_model(spark, sf_dir)
+        p4_codes = _pq4_codes(spark, sf_dir)
+        p4_codes.count()
+        t0 = time.perf_counter()
+        out = ann_join_topk(
+            p4_codes, p4_cents, p4_books, probes, raw=emb, k=2,
+            nprobe=_PQ4_NPROBE, refine=_PQ4_REFINE,
+        )
+        out.write.format("noop").mode("overwrite").save()
+        ladder["pq4_1e4"] = round(time.perf_counter() - t0, 3)
+        unpersist_caches()
+        print(f"# probe_ladder pq4_1e4: {ladder['pq4_1e4']:.3f}s", file=sys.stderr)
     except Exception as e:
         print(f"# ann ladder failed: {e}", file=sys.stderr)
 

@@ -3,15 +3,21 @@ ANISOTROPY-AWARE coarse layer — ZCA whitening in front of IVF-PQ
 (VERDICT r11 item 3).
 
 Real embedding corpora have correlated, variance-skewed coordinates;
-Lloyd's k-means on such data collapses onto the dominant variance
-directions (the r11 anisotropic 1M fixture left 11 live coarse cells
-of 64, capping nprobe headroom — ROUND11_NOTES). ``zca_whitening_np``
-equalizes the spectrum before the coarse stage: centroids, residuals
-and codebooks live in the whitened space, probes enter it with the
-same left-fold matvec at serving time, and the exact re-rank stays on
-the RAW vectors so the reported metric is unchanged
+when that skew degenerates Lloyd's k-means (centroids starve along
+the dominant variance directions), a covariance-conditioned coarse
+stage restores the allocation. ``zca_whitening_np`` equalizes the
+spectrum before the coarse stage: centroids, residuals and codebooks
+live in the whitened space, probes enter it with the same left-fold
+matvec at serving time, and the exact re-rank stays on the RAW
+vectors so the reported metric is unchanged
 (operators/similarity.train_whitened_ivfpq / plans/ann_join.py
-``whiten=``).
+``whiten=``). Measured caveat (ROUND12_NOTES): on the sweep
+generator's aniso mix the collapse claimed in r11 does NOT reproduce
+(62/64 live cells, balanced), and at matched nprobe the raw Voronoi
+partition — being metric-matched — retrieves as well or better;
+whitening is an OPTION whose use case is a corpus whose coarse
+training demonstrably degenerates (probe_sweep now records
+coarse_stats with every run so that is detectable from evidence).
 
 Both queries replay the ENTIRE whitened pipeline in DuckDB —
 whitening fold, whitened coarse assignment, residual codes, ADC,
@@ -168,4 +174,84 @@ SELECT probe_id, vec_id, round(dist, 6) AS dist, rank FROM topk
 register("ann_join_whitened", _wh_query(opq=False), _wh_oracle(opq=False))
 register(
     "ann_join_whitened_opq", _wh_query(opq=True), _wh_oracle(opq=True)
+)
+
+
+# --- adaptive escalation on the filtered-cosine shape -------------------------
+# VERDICT r11 item 4: the adaptive shape carried esc-bearing frontier
+# records since r11, but the fcos fixture family walked base-only
+# points, so no fcos registration could resolve adaptive knobs from
+# evidence. FRONTIER_sf001_fcos_adapt.json (tools/fixture_frontier.py
+# --shape filtered_cosine_adaptive) walks explicit (base, escalation)
+# points on the composed predicate + cosine contract; this query
+# resolves its FULL operating point — base AND escalation — through
+# operators/tiering.fixture_serving_point, and the oracle replays the
+# whole adaptive filtered-cosine pipeline (displaced-home test,
+# qualifying-mass widening, per-probe budget) via
+# _aj_replay_sql(adaptive_esc=, base_where=, norm=).
+
+from ..operators.tiering import fixture_serving_point  # noqa: E402
+from .pipeline_suite11 import _repo_file  # noqa: E402
+from .pipeline_suite12 import (  # noqa: E402
+    _AJF_PRED,
+    _AJFC_K,
+    _ajn_codes,
+    _ajn_model,
+    _ajn_trained_np,
+)
+
+_FCA_FLOOR = 0.95
+# fallback pins the kernel-default 2x/8x escalation of the fcos base
+# point the r10 frontier resolved (4, 16) — served only when the
+# adaptive recording is absent
+_FCA_PT = fixture_serving_point(
+    _repo_file("FRONTIER_sf001_fcos_adapt.json"),
+    _FCA_FLOOR,
+    {"nprobe": 4, "refine": 16, "esc_nprobe": 8, "esc_refine": 128},
+)
+_FCA_NPROBE = _FCA_PT["nprobe"]
+_FCA_REFINE = _FCA_PT["refine"]
+_FCA_ESC_NPROBE = _FCA_PT["esc_nprobe"] or 2 * _FCA_NPROBE
+_FCA_ESC_REFINE = _FCA_PT["esc_refine"] or 8 * _FCA_REFINE
+
+
+def _fca_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ann_join import ann_join_topk
+
+    cents, books = _ajn_model(spark, sf_dir)
+    codes = _ajn_codes(spark, sf_dir)  # v2: normalized + label
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_join_topk(
+        codes, cents, books, _aj_probes(spark, sf_dir), raw=emb,
+        k=_AJFC_K, nprobe=_FCA_NPROBE, refine=_FCA_REFINE,
+        metric="cosine", pred=F.expr(_AJF_PRED),
+        adaptive=True,
+        esc_nprobe=_FCA_ESC_NPROBE, esc_refine=_FCA_ESC_REFINE,
+    )
+    return out.select(
+        "probe_id",
+        "vec_id",
+        (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _fca_oracle() -> str | None:
+    trained = _ajn_trained_np()
+    if trained is None:
+        return None
+    cents, books = trained
+    body = _aj_replay_sql(
+        cents, books, _AJ_PROBES_CTE, k=_AJFC_K, nprobe=_FCA_NPROBE,
+        refine=_FCA_REFINE, base_where=_AJF_PRED, norm=True,
+        exact_metric="cosine",
+        adaptive_esc=(_FCA_ESC_NPROBE, _FCA_ESC_REFINE),
+    )
+    return body + """
+SELECT probe_id, vec_id, round(dist, 6) + 0.0 AS dist, rank FROM topk
+"""
+
+
+register(
+    "ann_join_filtered_cosine_adaptive", _fca_query, _fca_oracle()
 )

@@ -614,3 +614,48 @@ def test_pq4_opq_composition_refuses_filtered_floor():
     pt = ann_serving_point(0.95, clean)
     assert pt is not None and pt["ksub"] == 16 and pt["m"] == 16
     assert pt["recall"] >= 0.999
+
+
+def test_fcos_adaptive_fixture_serving_point():
+    """r12: the filtered-cosine fixture family gains the escalation
+    axis (VERDICT r11 item 4). FRONTIER_sf001_fcos_adapt.json walks
+    explicit (base, escalation) points on the composed predicate +
+    cosine contract; the registered ann_join_filtered_cosine_adaptive
+    query must resolve its FULL operating point from that recording
+    via fixture_serving_point, and the (nprobe, refine)-only
+    projection must refuse the esc-bearing records."""
+    from pathlib import Path
+
+    from lightweight_vector_database_spark.operators.tiering import (
+        fixture_operating_point,
+        fixture_serving_point,
+    )
+
+    path = str(
+        Path(__file__).resolve().parent.parent
+        / "FRONTIER_sf001_fcos_adapt.json"
+    )
+    if not Path(path).exists():
+        pytest.skip("fcos adaptive fixture frontier recording absent")
+
+    fb = {"nprobe": 4, "refine": 16, "esc_nprobe": 8, "esc_refine": 128}
+    pt = fixture_serving_point(path, 0.95, fb)
+    # the resolved point comes from the recording, with its esc axis
+    assert pt != fb
+    assert pt["esc_nprobe"] is not None and pt["esc_refine"] is not None
+    assert fixture_serving_point(path, 1.01, fb) == fb
+    with pytest.raises(ValueError, match="escalation"):
+        fixture_operating_point(path, 0.95, (4, 16))
+
+    from lightweight_vector_database_spark.suite.pipeline_suite15 import (
+        _FCA_ESC_NPROBE,
+        _FCA_ESC_REFINE,
+        _FCA_NPROBE,
+        _FCA_REFINE,
+    )
+
+    assert (_FCA_NPROBE, _FCA_REFINE) == (pt["nprobe"], pt["refine"])
+    assert (_FCA_ESC_NPROBE, _FCA_ESC_REFINE) == (
+        pt["esc_nprobe"],
+        pt["esc_refine"],
+    )

@@ -25,6 +25,13 @@ Shapes:
   escalation at 2x/8x of each base point, vs the exact join over the
   surviving cells' rows. The BASE (nprobe, refine) is what the
   frontier ladder walks; escalation rides it.
+* ``filtered_cosine_adaptive`` — the fcos shape under PER-PROBE
+  escalation (VERDICT r11 item 4: the fcos fixture family could not
+  resolve adaptive knobs from evidence because its frontier carried
+  base-only points): the same composed predicate + cosine contract,
+  walked over explicit (base, escalation) points, each record
+  carrying its esc knobs for operators/tiering.fixture_serving_point.
+  Resolved by suite/pipeline_suite15.
 
 The output JSON's ``results`` are frontier records consumable directly
 by operators/tiering.ann_operating_point.
@@ -119,7 +126,7 @@ def run_knn_shape(shape: str, out_json: str) -> None:
         codes = _aj_codes(spark, SF_DIR)  # v2: carries the label column
         exact = knn_join(probes, emb.filter(pred), k=k, strategy="partial")
         kwargs = {"pred": pred}
-    elif shape == "filtered_cosine":
+    elif shape in ("filtered_cosine", "filtered_cosine_adaptive"):
         k, pred = _AJFC_K, F.expr(_AJF_PRED)
         cents, books = _ajn_model(spark, SF_DIR)
         codes = _ajn_codes(spark, SF_DIR)  # v2: normalized + label
@@ -128,6 +135,8 @@ def run_knn_shape(shape: str, out_json: str) -> None:
             strategy="partial",
         )
         kwargs = {"metric": "cosine", "pred": pred}
+        if shape == "filtered_cosine_adaptive":
+            kwargs["adaptive"] = True
     else:
         k, pred = _AJC_K, None
         cents, books = _ajn_model(spark, SF_DIR)
@@ -144,7 +153,7 @@ def run_knn_shape(shape: str, out_json: str) -> None:
     results = []
     walk = (
         POINTS_ADAPTIVE
-        if shape == "adaptive"
+        if shape in ("adaptive", "filtered_cosine_adaptive")
         else [(pt, None) for pt in POINTS_KNN]
     )
     for (nprobe, refine), esc in walk:
@@ -191,6 +200,7 @@ def run_knn_shape(shape: str, out_json: str) -> None:
                     "filtered": "filtered",
                     "cosine": "cosine",
                     "filtered_cosine": "filtered cosine",
+                    "filtered_cosine_adaptive": "filtered cosine",
                     "adaptive": "surviving-cells filtered",
                 }[shape]
                 + " join",
@@ -199,7 +209,7 @@ def run_knn_shape(shape: str, out_json: str) -> None:
                      "knobs (esc_nprobe, esc_refine) — resolved "
                      "together with the base point by "
                      "operators/tiering.fixture_serving_point"}
-                    if shape == "adaptive"
+                    if shape in ("adaptive", "filtered_cosine_adaptive")
                     else {}
                 ),
                 "results": results,
@@ -221,6 +231,7 @@ def main() -> None:
         "filtered": "FRONTIER_sf001_filt.json",
         "cosine": "FRONTIER_sf001_cos.json",
         "filtered_cosine": "FRONTIER_sf001_fcos.json",
+        "filtered_cosine_adaptive": "FRONTIER_sf001_fcos_adapt.json",
         "adaptive": "FRONTIER_sf001_adapt.json",
     }[shape]
     out_json = (
@@ -228,7 +239,8 @@ def main() -> None:
         if "--json" in sys.argv
         else default_json
     )
-    if shape in ("filtered", "cosine", "filtered_cosine", "adaptive"):
+    if shape in ("filtered", "cosine", "filtered_cosine",
+                 "filtered_cosine_adaptive", "adaptive"):
         run_knn_shape(shape, out_json)
         return
     from lightweight_vector_database_spark.functions.distance import (
