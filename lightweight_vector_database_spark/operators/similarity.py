@@ -746,6 +746,100 @@ def train_whitened_ivfpq(
     )
 
 
+def spherical_kmeans_np(
+    sample_unit: np.ndarray, n_centroids: int, iters: int, seed: int = 42
+) -> np.ndarray:
+    """Spherical k-means on UNIT-NORM rows: assignment by max dot
+    product (== min squared euclidean once every centroid is unit
+    norm, so the existing serve kernels need no change), centroid
+    update = re-normalized member mean — the maximum-mean-cosine
+    update (Dhillon & Modha, "Concept Decompositions for Large Sparse
+    Text Data Using Clustering", Machine Learning 42, 2001). For the
+    cosine serving contract this keeps the coarse centroids ON the
+    sphere the data lives on, where plain Lloyd's unconstrained means
+    drift inside the ball (mean of unit vectors has norm < 1, shrinking
+    with cluster spread — wide cells get interior centroids and the
+    Voronoi partition stops being metric-matched). Deterministic for a
+    given (sample, seed): seeded row-choice init, empty or zero-mean
+    cells keep their previous centroid."""
+    X = np.asarray(sample_unit, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)
+    cents = X[idx].copy()
+    for _ in range(iters):
+        a = (X @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = X[a == c]
+            if len(members):
+                mu = members.sum(axis=0)
+                n = float(np.sqrt((mu * mu).sum()))
+                if n > 0.0:
+                    cents[c] = mu / n
+    return cents
+
+
+def train_spherical_ivfpq_np(
+    sample: np.ndarray,
+    n_centroids: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Numpy core of ``train_spherical_ivfpq`` (same sample -> same
+    model, no Spark — the exact-oracle twin). Normalizes the RAW
+    sample rows to unit norm (zero rows pass through unscaled), runs
+    spherical k-means for the coarse stage, then trains the residual
+    codebooks in the NORMALIZED space with the final assignment taken
+    by the same squared-euclidean argmin the serve kernel uses. The
+    returned model is a drop-in for the ``metric='cosine'`` serving
+    path (``ann_join_topk(metric='cosine')`` / ``ivfpq_encode`` over
+    the L2-normalized codes table): unit centroids make euclidean
+    assignment identical to cosine assignment, so ONLY training
+    changes — encode, serve, and oracle replay are untouched. The
+    normalization accumulates the squared norm as a LEFT FOLD over
+    dimensions (the plans/ann_join.fold_norms order), keeping the
+    training space arithmetically identical to the serve/encode
+    space."""
+    X = np.asarray(sample, dtype=np.float64)
+    acc = np.zeros(len(X))
+    for t in range(X.shape[1]):
+        acc = acc + X[:, t] * X[:, t]
+    norms = np.sqrt(acc)
+    Xn = X / np.where(norms > 0.0, norms, 1.0)[:, None]
+    cents = spherical_kmeans_np(Xn, n_centroids, iters, seed)
+    assign = (
+        ((Xn[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    )
+    residuals = Xn - cents[assign]
+    books = _residual_pq_books_np(residuals, m=m, ksub=ksub, iters=iters, seed=seed)
+    return cents, books
+
+
+def train_spherical_ivfpq(
+    df: DataFrame,
+    n_centroids: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample_rows: int = 8192,
+    seed: int = 42,
+    sample_id_col: str | None = None,
+):
+    """Spherical-coarse IVF-PQ training for the COSINE serving
+    contract (see the np core above). Takes the RAW embeddings table —
+    normalization happens inside the np core, so the Spark sampler and
+    the DuckDB oracle builder fetch identical raw rows and reach
+    byte-identical models. Sampling contract as ``train_ivfpq``: pass
+    ``sample_id_col`` for the seeded-uniform rule."""
+    sample = _training_sample(df, vec_col, sample_rows, sample_id_col)
+    return train_spherical_ivfpq_np(
+        sample, n_centroids=n_centroids, m=m, ksub=ksub, iters=iters,
+        seed=seed,
+    )
+
+
 def pack_codes4(codes: np.ndarray) -> list[bytes]:
     """Pack (n, m) PQ codes with values < 16 into nibble-packed bytes
     — the 4-bit fast-scan layout (VERDICT r10 item 4): byte i holds

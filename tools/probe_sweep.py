@@ -338,6 +338,22 @@ def main() -> None:
     if use_whiten and "--imi" in sys.argv:
         raise SystemExit("--whiten does not compose with --imi "
                          "(same refusal as ann_join_topk)")
+    # --spherical : spherical-kmeans coarse layer (train_spherical_
+    # ivfpq) for the COSINE contract — centroid means re-normalized
+    # onto the sphere every iteration, so the coarse Voronoi partition
+    # is trained in the metric it serves (VERDICT r11 item 3's
+    # "(or spherical k-means)" half). Cosine-only by construction;
+    # measured against the plain-Lloyd cosine build at identical
+    # knobs. Refused with --opq/--whiten/--imi (no trained
+    # composition — the honest-refusal rule).
+    use_spherical = "--spherical" in sys.argv
+    if use_spherical and not cosine:
+        raise SystemExit("--spherical requires --cosine (spherical "
+                         "k-means is the cosine contract's coarse "
+                         "trainer)")
+    if use_spherical and (use_opq or use_whiten or "--imi" in sys.argv):
+        raise SystemExit("--spherical does not compose with "
+                         "--opq/--whiten/--imi (no trained composition)")
     if cosine:
         # cosine contract: model + codes over the L2-NORMALIZED base
         # (the exact left-fold-norm arithmetic the kernel normalizes
@@ -370,6 +386,19 @@ def main() -> None:
         )
 
         cents, ann_rot, books = train_opq(
+            enc_base, n_centroids=ann_cells, m=ann_m, ksub=ann_ksub,
+            iters=4, sample_rows=8192, sample_id_col="vec_id",
+        )
+    elif use_spherical:
+        from lightweight_vector_database_spark.operators.similarity import (
+            train_spherical_ivfpq,
+        )
+
+        ann_rot = None
+        # enc_base is already the normalized table under --cosine; the
+        # trainer re-normalizes internally (identity on unit rows), so
+        # sampling it keeps one table for train + encode
+        cents, books = train_spherical_ivfpq(
             enc_base, n_centroids=ann_cells, m=ann_m, ksub=ann_ksub,
             iters=4, sample_rows=8192, sample_id_col="vec_id",
         )
@@ -603,6 +632,7 @@ def main() -> None:
                     "ann_ksub": ann_ksub,
                     "ann_opq": use_opq,
                     "ann_whiten": use_whiten,
+                    "ann_spherical": use_spherical,
                     "coarse_stats": coarse_stats,
                     "aniso": aniso,
                     "esc_nprobe": esc_nprobe,
