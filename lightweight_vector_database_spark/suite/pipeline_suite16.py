@@ -53,14 +53,20 @@ from .pipeline_suite11 import (
 )
 from .pipeline_suite12 import _norm_emb
 
-# Same k/knob shape as the plain-cosine tier so the two queries are
-# directly comparable; the (nprobe, refine) point is fixed rather than
-# frontier-resolved — the spherical build is an OPTION whose frontier
-# would be recorded if it were promoted to the serving default
-# (operators/tiering.ann_serving_point expects per-build records).
+# Same k as the plain-cosine tier so the two queries are directly
+# comparable; the (nprobe, refine) point resolves from the spherical
+# build's OWN recorded frontier (tools/fixture_frontier --shape
+# spherical -> FRONTIER_sf001_sph.json) at the standard 0.95 floor —
+# the same evidence-only governance as every other serving shape.
+# (4, 8) is the pre-recording fallback only.
+from ..operators.tiering import fixture_operating_point
+from .pipeline_suite11 import _repo_file
+
 _SPH_K = 10
-_SPH_NPROBE = 4
-_SPH_REFINE = 8
+_SPH_FLOOR = 0.95
+_SPH_NPROBE, _SPH_REFINE = fixture_operating_point(
+    _repo_file("FRONTIER_sf001_sph.json"), _SPH_FLOOR, (4, 8)
+)
 _SPH_MEMO: dict[str, tuple] = {}
 _SPH_SNAP: dict[tuple, DataFrame] = {}
 

@@ -167,3 +167,37 @@ def test_spherical_serve_exhaustive_equals_brute_cosine(
             (p["probe_id"], vid, i + 1) for i, (_, vid) in enumerate(scored)
         ]
     assert sorted((r[0], r[1], r[2]) for r in got) == sorted(want)
+
+
+def test_spherical_fixture_operating_point_resolution():
+    """r12: ann_join_spherical resolves its (nprobe, refine) from the
+    spherical build's OWN recorded frontier (FRONTIER_sf001_sph.json,
+    tools/fixture_frontier --shape spherical) at the 0.95 floor —
+    the evidence-only governance every serving shape follows. The
+    suite constants must equal the recording's resolution, and an
+    unclippable floor must fall back (refusal contract)."""
+    from pathlib import Path
+
+    from lightweight_vector_database_spark.operators.tiering import (
+        fixture_operating_point,
+    )
+    from lightweight_vector_database_spark.suite.pipeline_suite16 import (
+        _SPH_FLOOR,
+        _SPH_NPROBE,
+        _SPH_REFINE,
+    )
+
+    path = str(
+        Path(__file__).resolve().parent.parent / "FRONTIER_sf001_sph.json"
+    )
+    if not Path(path).exists():
+        pytest.skip("spherical fixture frontier recording absent")
+
+    assert (_SPH_NPROBE, _SPH_REFINE) == fixture_operating_point(
+        path, _SPH_FLOOR, (4, 8)
+    )
+    # the resolved point is recorded, not the fallback
+    assert (_SPH_NPROBE, _SPH_REFINE) != (4, 8)
+    # a floor no recorded point clears serves the fallback, never an
+    # invented knob
+    assert fixture_operating_point(path, 1.01, (4, 8)) == (4, 8)
