@@ -201,3 +201,73 @@ def test_spherical_fixture_operating_point_resolution():
     # a floor no recorded point clears serves the fallback, never an
     # invented knob
     assert fixture_operating_point(path, 1.01, (4, 8)) == (4, 8)
+
+
+def test_spherical_model_composes_with_codes_maintenance(spark, tmp_path):
+    """The spherical model is the plain (cents, books) form, so the
+    incremental maintenance loop (plans/ann_maintenance.CodesSnapshot)
+    serves it unchanged: maintained == from-scratch encode after a
+    mixed CDC history over the NORMALIZED corpus (the cosine
+    contract's encode space), and a plain-Lloyd model refuses to
+    resume into the spherical store (value-based fingerprint — the
+    two trainings differ only in centroid values)."""
+    from lightweight_vector_database_spark.operators.similarity import (
+        train_ivfpq_np,
+    )
+    from lightweight_vector_database_spark.plans.ann_maintenance import (
+        CodesSnapshot,
+    )
+    from lightweight_vector_database_spark.sources.delta_snapshots import (
+        DeltaSnapshotStore,
+    )
+
+    dim = 16
+
+    def rows(ids):
+        data = []
+        for i in ids:
+            v = np.array(
+                [0.3 * np.cos(0.7 * (i + 1) * (t + 1)) for t in range(dim)]
+            )
+            v = v / np.sqrt((v * v).sum())  # unit rows: the encode space
+            data.append((int(i), [float(x) for x in v]))
+        return spark.createDataFrame(data, "vec_id long, embedding array<double>")
+
+    sample = np.stack([r.embedding for r in rows(range(200)).collect()])
+    cents, books = train_spherical_ivfpq_np(
+        sample, n_centroids=4, m=4, ksub=16, iters=3
+    )
+    plain_cents, plain_books = train_ivfpq_np(
+        sample, n_centroids=4, m=4, ksub=16, iters=3
+    )
+    assert not np.array_equal(cents, plain_cents)  # distinct builds
+
+    base = DeltaSnapshotStore(spark, str(tmp_path / "base"))
+    view = DeltaSnapshotStore(spark, str(tmp_path / "codes"))
+    cs = CodesSnapshot(base, view, cents, books)
+    base.commit_full(rows(range(80)), partition_by=None)
+    cs.refresh()
+    base.commit_mutation(
+        append_df=rows(range(100, 120)),
+        delete_ids=spark.createDataFrame(
+            [(int(i),) for i in range(10)], "vec_id long"
+        ),
+    )
+    cs.refresh()
+    assert cs.last_refresh_mode == "incremental"
+    fresh = CodesSnapshot(
+        DeltaSnapshotStore(spark, str(tmp_path / "base")),
+        DeltaSnapshotStore(spark, str(tmp_path / "codes_fresh")),
+        cents, books,
+    )
+    fresh.refresh()
+
+    def canon(df):
+        return sorted(
+            (r.vec_id, r.cell, tuple(r.pq_code)) for r in df.collect()
+        )
+
+    assert canon(cs.codes()) == canon(fresh.codes())
+    # plain-Lloyd model (different centroid values) refuses to resume
+    with pytest.raises(ValueError, match="different model"):
+        CodesSnapshot(base, view, plain_cents, plain_books)
