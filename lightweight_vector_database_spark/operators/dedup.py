@@ -79,6 +79,13 @@ def jaccard_pairs(
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) computed from integer
     counts -> the double division is engine-portable.
     """
+    if not df.isStreaming:
+        # scan-parallelism fix (see minhash_signatures): the shingle
+        # explode is the dominant per-row cost and a small single-file
+        # corpus runs it on one task (no-op at scale)
+        from ..sources import fan_out
+
+        df = fan_out(df)
     grams = (
         F.array_distinct(tokens(text_col))
         if ngram == 1
@@ -233,6 +240,13 @@ def winnow_pairs(
     # HOF pipeline for each would triple the work. At corpus scale
     # you'd persist it anyway: it IS the fingerprint index (same note
     # as minhash_dedup_candidates' signature cache).
+    if not df.isStreaming:
+        # scan-parallelism fix (see minhash_signatures): the winnow
+        # fingerprint HOF pipeline is interpreted per token and a small
+        # single-file corpus runs it on one task (no-op at scale)
+        from ..sources import fan_out
+
+        df = fan_out(df)
     fps = df.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_fingerprints(text_col, k, w)).alias("fp"),
@@ -353,6 +367,16 @@ def minhash_signatures(
     if method == "auto":
         n = df.count()
         method = "explode" if n <= AUTO_EXPLODE_MAX_ROWS else "expr"
+    if not df.isStreaming:
+        # the k-permutation fold is the dominant per-row cost of the
+        # whole LSH pipeline; a small single-file corpus scans as ONE
+        # task, serializing that fold on one core (guide §2.5). No-op
+        # when the scan already spans the cluster, and skipped for
+        # streaming inputs (stream_near_dup_pairs must stay stateless
+        # expressions).
+        from ..sources import fan_out
+
+        df = fan_out(df)
     grams = (
         F.array_distinct(tokens(text_col))
         if ngram == 1
@@ -669,6 +693,13 @@ def simhash64(
     per-bit contributions (with i=63 as the negative sign-bit pattern,
     mirrored by the oracle's checked sign-fold) equals the two's-
     complement reassembly."""
+    if not df.isStreaming:
+        # same scan-parallelism fix as minhash_signatures: the 64-slot
+        # vote fold is interpreted per token, and a small single-file
+        # corpus runs it on ONE task (guide §2.5; no-op at scale)
+        from ..sources import fan_out
+
+        df = fan_out(df)
     toks = F.array_distinct(tokens(text_col))
     hashes = F.transform(toks, _md5_token64)
     bits = F.array(*[F.lit(i).cast("int") for i in range(64)])

@@ -32,14 +32,58 @@ TABLES = [
 _CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir.rstrip("/"), name)
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
+    """``fan_out=True`` returns the table behind a parallelism-raising
+    round-robin repartition (see :func:`fan_out`) — for call sites whose
+    per-row work (hash folds, n-gram explodes, aggregation) dominates
+    the scan. The fanned-out plan is memoized like the plain one, so
+    the partition-count probe runs once per (session, sf_dir, table)."""
+    key = (id(spark), sf_dir.rstrip("/"), name, bool(fan_out))
     hit = _CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    df = _load_table_uncached(spark, sf_dir, name)
+    if fan_out:
+        df = globals()["fan_out"](load_table(spark, sf_dir, name))
+    else:
+        df = _load_table_uncached(spark, sf_dir, name)
     _CACHE[key] = (spark, df)
     return df
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Raise a CPU-heavy upstream's parallelism to the cluster default.
+
+    Input splits are sized by BYTES (``spark.sql.files.maxPartitionBytes``),
+    so a table that is small on disk — a single sub-128MB file, or one
+    parquet row group, which is unsplittable by row — gives the whole
+    scan stage ONE task. Every derived per-row computation above it
+    (signature folds, n-gram explodes, distance expressions, partial
+    aggregation) then runs on one core regardless of cluster size: the
+    scan-parallelism analogue of input skew (optimization guide §2.5 —
+    "repartition immediately after the read"; §6 — ``minPartitionNum``
+    cannot split a single row group).
+
+    Round-robin repartition to ``defaultParallelism`` when the plan has
+    fewer partitions; a NO-OP (returns ``df`` unchanged, no shuffle)
+    wherever the scan already spans the cluster — i.e. at any real
+    scale — and on streaming DataFrames. The shuffle this adds moves
+    only the bytes the single task would otherwise have processed
+    alone, so it pays for itself whenever downstream per-row work
+    exceeds one serialize/deserialize of the rows.
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target)
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

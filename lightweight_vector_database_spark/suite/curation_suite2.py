@@ -149,7 +149,10 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-grams with any test doc. Inverted-index join on the n-gram;
     distinct-per-doc first so a repeated phrase inside one doc doesn't
     inflate the overlap count."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the 8-gram shingle explode over the train side is the
+    # dominant per-row cost; a single-file corpus scans as one task
+    # (guide §2.5; no-op at scale)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(T.word_ngrams("text", _NGRAM_N))).alias("ng"),
