@@ -462,24 +462,41 @@ def knn_join_blocks(
             probe_vec_col=probe_vec_col, vec_col=vec_col, id_col=id_col,
             strategy="partial", **metric_kwargs,
         )
-    if n_probe_blocks:
+    par = base.sparkSession.sparkContext.defaultParallelism
+    if n_probe_blocks and n_base_blocks:
+        P, B = int(n_probe_blocks), int(n_base_blocks)
+    elif n_probe_blocks:
         P = int(n_probe_blocks)
-    else:
-        P = max(1, math.ceil(probes.count() / MATMUL_MAX_DRIVER_PROBES))
-    if n_base_blocks:
+        B_min = max(1, math.ceil(base.count() / MATMUL_MAX_DRIVER_PROBES))
+        B = max(B_min, math.ceil(par / P))
+    elif n_base_blocks:
         B = int(n_base_blocks)
+        P_min = max(1, math.ceil(probes.count() / MATMUL_MAX_DRIVER_PROBES))
+        P = max(P_min, math.ceil(par / B))
     else:
-        # size base blocks by ROWS, not partition count: probe-side
-        # shuffle is |probes| x B, so B should be the smallest value
-        # keeping a base block in task memory (~65k rows ~ 35 MB at
-        # dim 64) — while still giving the scheduler at least
-        # defaultParallelism (P x B) groups to spread
-        par = base.sparkSession.sparkContext.defaultParallelism
-        B = max(
-            1,
-            math.ceil(base.count() / MATMUL_MAX_DRIVER_PROBES),
-            math.ceil(par / P),
-        )
+        # memory floors: each block must fit a task (~65k rows ~ 35 MB
+        # at dim 64)
+        n_p, n_b = probes.count(), base.count()
+        P_min = max(1, math.ceil(n_p / MATMUL_MAX_DRIVER_PROBES))
+        B_min = max(1, math.ceil(n_b / MATMUL_MAX_DRIVER_PROBES))
+        if P_min * B_min >= par:
+            # the memory floors alone give the scheduler enough groups
+            P, B = P_min, B_min
+        else:
+            # split the extra parallelism between the two sides to
+            # MINIMIZE the replicated shuffle volume |probes|*B +
+            # |base|*P subject to P*B >= defaultParallelism (each side
+            # replicates across the other's blocks). The old rule put
+            # the whole parallelism factor on B, which shipped
+            # |probes| x par rows whenever the base was small: measured
+            # 320k probe-vector copies (~166 MB) for the 10^4-probe
+            # ladder over a 2k-row base, vs ~56k rows for the balanced
+            # split. Continuous optimum of the relaxation is
+            # P = sqrt(par * n_p / n_b); clamp to the floors and to the
+            # row counts so neither side splits beyond its rows.
+            P = int(round(math.sqrt(par * n_p / max(1, n_b))))
+            P = max(P_min, min(P, par, max(1, n_p)))
+            B = max(B_min, min(math.ceil(par / P), max(1, n_b)))
     inv_diag = metric_kwargs.get("inv_diag")
     keep_pad = 2 * k
 
@@ -565,9 +582,20 @@ def knn_join_blocks(
                     o_dist.extend(exact[order].tolist())
         return pd.DataFrame({probe_id_col: o_pid, id_col: o_id, "dist": o_dist})
 
+    # explicit co-partitioning on the block keys: exempt from AQE's
+    # byte-based partition coalescing, which cannot see the matmul
+    # kernels' CPU cost and packs the P x B scoring groups onto a few
+    # tasks when the tiles are small on the wire (same finding as
+    # plans/ann_join's cogroup). Same keys/count on both sides, so it
+    # replaces the planner's implicit exchanges one-for-one.
+    n_shuf = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200") or 200),
+    )
     scored = (
-        probes_x.groupBy("__pblk", "__bblk")
-        .cogroup(base_x.groupBy("__pblk", "__bblk"))
+        probes_x.repartition(n_shuf, "__pblk", "__bblk")
+        .groupBy("__pblk", "__bblk")
+        .cogroup(base_x.repartition(n_shuf, "__pblk", "__bblk").groupBy("__pblk", "__bblk"))
         .applyInPandas(score, out_schema)
     )
     # asc_nulls_last, not asc: Arrow maps the kernel's NaN distances

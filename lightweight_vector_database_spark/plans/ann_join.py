@@ -570,6 +570,15 @@ def ann_join_topk(
         .mapInPandas(assign, cand_schema)
         .persist(StorageLevel.DISK_ONLY)
     )
+    # the persisted assignment is also the cheapest source of
+    # (probe_id, probe_vec) for the exact re-rank below: each probe's
+    # nprobe copies sit in ONE partition (assign is map-only), so the
+    # dropDuplicates partial-aggregates down to one row per probe
+    # BEFORE its exchange — same shuffle volume as re-reading the probe
+    # table, minus recomputing the caller's probe pipeline (profiled:
+    # the bench ladder's crossJoin+limit probe chain re-materialized as
+    # a 1.5s single-task broadcast build per serve)
+    assigned = cand
 
     # ---- 2. code pruning + two-dimensional salting --------------------------
     # O(cells) metadata: candidate mass per cell (probe-side psalt
@@ -594,13 +603,38 @@ def ann_join_topk(
                 F.lit(None).cast("long").alias("rank"),
             ).filter(F.lit(False))
         )
+    # psalt floor (guide §2.5 "too few distinct partitioning keys"): the
+    # cogroup's distinct key count is Σ cells (nsalt x nps); when only a
+    # handful of cells are probed (small nprobe, small fixtures) and the
+    # byte-sized nps stays 1, the Python ADC kernels land on <= n_cells
+    # tasks — and AQE's BYTE-based coalescing shrinks that further
+    # because it cannot see per-row Python cost (profiled: the 10^4-probe
+    # ladder ran its 5.2s scoring stage on 6 tasks of 32 cores). Floor
+    # the per-cell probe-group count so the live key count covers the
+    # cluster several times over; at real scale (cells >> cores) the
+    # floor is 1 and nothing changes. Purely physical: psalt splits a
+    # cell's PROBES and replicates its codes, so every (probe, cell)
+    # scoring pair exists exactly once regardless of nps.
+    live_cand_cells = sum(
+        1 for c in cand_counts if code_stats.get(c, 0) > 0
+    )
+    nps_floor = max(
+        1,
+        -(
+            -4 * spark.sparkContext.defaultParallelism
+            // max(1, live_cand_cells)
+        ),
+    )
     cell_map = F.broadcast(
         spark.createDataFrame(
             [
                 (
                     int(c),
                     max(1, -(-code_stats.get(c, 0) // salt_codes)),
-                    max(1, -(-cnt // probe_group_rows)),
+                    max(
+                        min(nps_floor, cnt),
+                        -(-cnt // probe_group_rows),
+                    ),
                 )
                 for c, cnt in sorted(cand_counts.items())
                 if code_stats.get(c, 0) > 0
@@ -743,9 +777,24 @@ def ann_join_topk(
              "__esc": o_esc}
         )
 
+    # explicit co-partitioning on the cogroup keys: a user repartition
+    # satisfies the cogroup's required distribution (same keys, same
+    # count), replacing the planner's implicit exchanges one-for-one —
+    # and unlike those it is exempt from AQE partition coalescing,
+    # which sizes post-shuffle partitions by BYTES and so packs the
+    # CPU-heavy Python scoring groups onto a few tasks when the
+    # candidate relation is small on the wire (profiled above). Target
+    # = the session's shuffle parallelism, never less than the core
+    # count — identical to pre-AQE behavior at any real scale.
+    n_shuf = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200") or 200),
+    )
+    grp = [cell_col, "salt", "psalt"]
     scored = (
-        cand.groupBy(cell_col, "salt", "psalt")
-        .cogroup(coded.groupBy(cell_col, "salt", "psalt"))
+        cand.repartition(n_shuf, *grp)
+        .groupBy(*grp)
+        .cogroup(coded.repartition(n_shuf, *grp).groupBy(*grp))
         .applyInPandas(score, out_schema)
     )
 
@@ -771,9 +820,20 @@ def ann_join_topk(
         if metric == "cosine"
         else metric_expr("euclidean_sq", vec_col, F.col(probe_vec_col))
     )
+    # Reuse is only bit-safe when the assignment emitted the RAW probe
+    # coordinates: the cosine path emits NORMALIZED probes and the
+    # whitened path emits whitened ones (the ADC space), while the
+    # exact re-rank contract is raw-vs-raw. Those paths re-read the
+    # caller's probe table as before.
+    if metric == "euclidean_sq" and wmat is None:
+        probe_vecs = assigned.select(
+            probe_id_col, probe_vec_col
+        ).dropDuplicates([probe_id_col])
+    else:
+        probe_vecs = probes.select(probe_id_col, probe_vec_col)
     refined = (
         cand_topk.join(raw.select(id_col, vec_col), id_col)
-        .join(probes.select(probe_id_col, probe_vec_col), probe_id_col)
+        .join(probe_vecs, probe_id_col)
         .withColumn("dist", exact)
         .select(
             F.col(probe_id_col).cast("long").alias(probe_id_col),

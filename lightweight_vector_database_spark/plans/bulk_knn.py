@@ -175,7 +175,6 @@ def knn_join_bulk(
                 continue
             pids = pdf[probe_id_col].to_numpy()
             P_all = np.stack(pdf[probe_vec_col].to_numpy()).astype(np.float64)
-            out_pid, out_vec, out_cell, out_salt, out_ub = [], [], [], [], []
             for lo in range(0, len(pids), derive_chunk):
                 P = P_all[lo : lo + derive_chunk]
                 lb, ub = _bounds(P)
@@ -199,31 +198,35 @@ def knn_join_bulk(
                     np.inf,
                 )
                 mask = lb <= kth[:, None]
-                for bi in range(len(P)):
-                    pid = int(pids[lo + bi])
-                    pvec = P[bi].tolist()
-                    kub = float(kth[bi])
-                    for ci in np.nonzero(mask[bi])[0].tolist():
-                        c, ns = int(cells[ci]), int(nsalt[ci])
-                        for s in range(ns):
-                            out_pid.append(pid)
-                            out_vec.append(pvec)
-                            out_cell.append(c)
-                            out_salt.append(s)
-                            out_ub.append(kub)
+                # vectorized row construction (guide §4.2): the old
+                # per-probe / per-cell / per-salt Python append loop was
+                # the hottest code in the whole bulk path (profiled
+                # 11.1s of the 10^4-probe ladder on this loop alone —
+                # ~half the row's wall). np.nonzero walks the mask
+                # row-major (probe, cell) and np.repeat expands salts
+                # in-order, so the emitted rows are IDENTICAL, in the
+                # same order, to the loop's output.
+                pi, ci = np.nonzero(mask)
+                reps = nsalt[ci]
+                r_pi = np.repeat(pi, reps)
+                r_ci = np.repeat(ci, reps)
+                starts = np.cumsum(reps) - reps
+                salt_seq = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+                    starts, reps
+                )
+                P_list = P.tolist()
                 # yield per probe chunk: bounds the Arrow output batch
                 # (a whole input partition's candidates in one frame is
                 # an unbounded buffer at large probe counts)
                 yield pd.DataFrame(
                     {
-                        probe_id_col: out_pid,
-                        probe_vec_col: out_vec,
-                        "cell_id": out_cell,
-                        "salt": out_salt,
-                        "__kth_ub": out_ub,
+                        probe_id_col: pids[lo : lo + derive_chunk][r_pi],
+                        probe_vec_col: [P_list[i] for i in r_pi],
+                        "cell_id": cells[r_ci],
+                        "salt": salt_seq.astype(np.int32),
+                        "__kth_ub": kth[r_pi],
                     }
                 )
-                out_pid, out_vec, out_cell, out_salt, out_ub = [], [], [], [], []
 
     # Persisted (spill-to-disk) because two jobs consume it — the
     # cand_counts collect and the final scored pipeline; without the
@@ -303,8 +306,21 @@ def knn_join_bulk(
             probe_vec_col=probe_vec_col, vec_col=vec_col, id_col=id_col,
             **metric_kwargs,
         )
+    # psalt floor (guide §2.5 "too few distinct partitioning keys"):
+    # with few candidate cells and byte-sized npsalt at 1, the Python
+    # scoring cogroup has <= n_cells distinct keys and lands on a
+    # handful of tasks (same finding as plans/ann_join — see the floor
+    # comment there). Splitting a cell's probes across more psalt
+    # buckets is purely physical: every (probe, cell) pair is scored
+    # exactly once either way. At real scale (cells >> cores) the
+    # floor is 1.
+    nps_floor = max(
+        1,
+        -(-4 * spark.sparkContext.defaultParallelism // max(1, len(cand_counts))),
+    )
     npsalt = {
-        c: max(1, -(-cnt // probe_group_rows)) for c, cnt in cand_counts.items()
+        c: max(min(nps_floor, cnt), -(-cnt // probe_group_rows))
+        for c, cnt in cand_counts.items()
     }
     cell_map = F.broadcast(
         spark.createDataFrame(
@@ -385,9 +401,21 @@ def knn_join_bulk(
             {probe_id_col: o_pid, id_col: o_id, "dist": o_dist, "__kth_ub": o_ub}
         )
 
+    # explicit co-partitioning on the cogroup keys — exempt from AQE's
+    # byte-based partition coalescing, which cannot see the Python
+    # kernels' CPU cost and packs them onto a few tasks when the
+    # candidate relation is small on the wire (see plans/ann_join for
+    # the profiled case). Same key set and count on both sides, so it
+    # replaces the planner's implicit exchanges one-for-one.
+    n_shuf = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200") or 200),
+    )
+    grp = ["cell_id", "salt", "psalt"]
     scored = (
-        cand.groupBy("cell_id", "salt", "psalt")
-        .cogroup(base.groupBy("cell_id", "salt", "psalt"))
+        cand.repartition(n_shuf, *grp)
+        .groupBy(*grp)
+        .cogroup(base.repartition(n_shuf, *grp).groupBy(*grp))
         .applyInPandas(score, out_schema)
     )
 

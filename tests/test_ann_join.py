@@ -184,12 +184,17 @@ def test_nprobe_exceeding_cells_clamps(spark, model, probes):
 
 
 def test_candidate_derivation_runs_once(spark, model, probes):
-    """VERDICT r8 item 4 / ADVICE r8: the probe->cell assignment pass
-    is persisted across its two consumers (the cand-counts collect and
-    the scored pipeline), so the probe table is scanned exactly twice
-    per job — once by the assignment, once by the exact re-rank join.
-    The unpersisted shape re-executed the assignment inside the final
-    job (3 scans): a doubled hottest stage at the 10^8-probe workload."""
+    """VERDICT r8 item 4 / ADVICE r8, tightened in the r12 optimization
+    round: the probe->cell assignment pass is persisted across its
+    consumers, and the euclidean re-rank now reads its probe vectors
+    back from that persisted assignment (dropDuplicates on probe_id)
+    instead of re-scanning the caller's probe table — so the probe
+    table is scanned exactly ONCE per job. The unpersisted shape
+    re-executed the assignment inside the final job (3 scans): a
+    doubled hottest stage at the 10^8-probe workload; the pre-r12
+    shape re-scanned the probe pipeline for the re-rank join (2
+    scans), which re-materialized expensive caller-side probe
+    constructions per serve."""
     emb, cents, books, codes = model
     p = probes.filter(F.col("probe_id") < 250)
     n = p.count()
@@ -208,9 +213,9 @@ def test_candidate_derivation_runs_once(spark, model, probes):
         refine=4,
     )
     assert out.count() == n * 5
-    assert acc.value == 2 * n, (
-        f"probe table scanned {acc.value / n:.1f}x (expected 2x: "
-        "assignment + re-rank join) — the derivation persist regressed"
+    assert acc.value == n, (
+        f"probe table scanned {acc.value / n:.1f}x (expected 1x: "
+        "assignment only; the re-rank reuses the persisted assignment)"
     )
     from lightweight_vector_database_spark.operators.dedup import (
         unpersist_caches,

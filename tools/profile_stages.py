@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -27,7 +28,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.makedirs(EVT_DIR, exist_ok=True)
     for f in glob.glob(EVT_DIR + "/*"):
-        os.remove(f)
+        shutil.rmtree(f) if os.path.isdir(f) else os.remove(f)
 
     from pyspark.sql import functions as F
 
@@ -39,6 +40,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVT_DIR,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -129,9 +132,17 @@ def main() -> None:
 
     # ---- parse the event log -------------------------------------------------
     path = os.path.join(EVT_DIR, app_id)
+    if not os.path.exists(path):
+        cands = glob.glob(os.path.join(EVT_DIR, f"*{app_id}*"))
+        path = cands[0] if cands else path
+    if os.path.isdir(path):  # Spark 4 rolling event log directory
+        parts = sorted(glob.glob(os.path.join(path, "events_*")))
+        lines = (line for p in parts for line in open(p))
+    else:
+        lines = iter(open(path))
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    for line in open(path):
+    for line in lines:
         try:
             ev = json.loads(line)
         except json.JSONDecodeError:
