@@ -48,6 +48,15 @@ def bigram_lm_scores(
     Returns ``(id_col, n_bigrams long, cross_entropy double)``;
     lower = more typical of the corpus.
     """
+    if not docs.isStreaming:
+        # scan-parallelism fix (see dedup.minhash_signatures): the
+        # bigram explode chain is evaluated from THREE subtrees (the
+        # scoring side and both count aggregates — Catalyst does no CSE
+        # across DataFrame reuse) and a small single-file corpus runs
+        # each on one task (no-op at scale)
+        from ..sources import fan_out
+
+        docs = fan_out(docs)
     bg = (
         docs.select(F.col(id_col), word_ngrams(text_col, 2).alias("g"))
         .select(F.col(id_col), F.explode("g").alias("bg"))

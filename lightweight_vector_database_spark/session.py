@@ -35,6 +35,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+        # isnotnull(e)` from every explode(e) and pushes it toward the
+        # scan with e INLINED — for the text operators e is an
+        # interpreted n-gram/tokenize HOF pipeline, so the same
+        # expensive expression is evaluated up to twice more per row
+        # (once per conjunct) below whatever exchange sits under the
+        # Generate (plan-verified: the bigram-LM fan-out ran two 4.4s
+        # single-task filter stages for a 7.8s query). The inferred
+        # filter buys nothing in this suite: explode of an empty array
+        # already emits no rows, and no operator sits between the
+        # projection and its Generate that the early filter could make
+        # cheaper. Semantics are unchanged by excluding the rule (it is
+        # an optimizer-only rewrite); measured suite-wide before
+        # adopting (OPTIMIZATION_r12.md).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
