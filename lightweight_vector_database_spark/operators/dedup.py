@@ -176,6 +176,13 @@ def containment_candidates_short(
     suite/curation_suite3.dedup_containment_banded)."""
     if h < 1:
         raise ValueError("h must be >= 1")
+    if not df.isStreaming:
+        # scan-parallelism fix (see minhash_signatures): the shingle
+        # explode feeds several subtrees and a small single-file corpus
+        # runs each on one task (no-op at scale)
+        from ..sources import fan_out
+
+        df = fan_out(df)
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_ngrams(text_col, ngram))).alias("ng"),

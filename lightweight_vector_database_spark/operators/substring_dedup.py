@@ -47,6 +47,13 @@ def token_window_hashes(
     emit nothing."""
     if window < 1:
         raise ValueError("window must be >= 1")
+    if not docs.isStreaming:
+        # scan-parallelism fix (see dedup.minhash_signatures): the
+        # window-hash HOF pipeline is interpreted per token and a small
+        # single-file corpus runs it on one task (no-op at scale)
+        from ..sources import fan_out
+
+        docs = fan_out(docs)
     toks = T.tokens(text_col)
     n = F.size(toks)
     idx = F.when(
