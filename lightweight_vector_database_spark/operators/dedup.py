@@ -831,12 +831,42 @@ def embedding_topk_pairs(
 
     O(n^2) distances — the correctness baseline. At scale use the LSH
     bucketing in similarity.py to restrict the pair space first.
+
+    Physical shape: the L2 norms are hoisted to a per-ROW projection
+    below the nested-loop join (one fold per vector instead of two per
+    pair — bit-identical, see cosine_distance_prenormed), and the
+    streamed side is fanned out so the O(n^2) interpreted pair scoring
+    spans the cluster instead of inheriting a single-row-group scan's
+    one task.
     """
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
+    from ..functions.distance import cosine_distance_prenormed, l2_norm
+    from ..sources import fan_out
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    if not df.isStreaming:
+        base = fan_out(base)
+    a = base.select(
+        F.col("__id").alias("id1"),
+        F.col("__v").alias("__v1"),
+        F.col("__n").alias("__n1"),
+    )
+    b = base.select(
+        F.col("__id").alias("id2"),
+        F.col("__v").alias("__v2"),
+        F.col("__n").alias("__n2"),
+    )
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("cos_dist", cosine_distance(F.col("__v1"), F.col("__v2")))
+        .withColumn(
+            "cos_dist",
+            cosine_distance_prenormed(
+                F.col("__v1"), F.col("__v2"), F.col("__n1"), F.col("__n2")
+            ),
+        )
         .select("id1", "id2", "cos_dist")
         .orderBy(F.col("cos_dist").asc(), F.col("id1").asc(), F.col("id2").asc())
         .limit(k)
@@ -868,24 +898,38 @@ def srp_signature_expr(
     probability two vectors agree on a bit is 1 - angle/pi, so small
     cosine distance => small hamming distance on the signature. Pure
     codegen: one left-fold dot product per bit, no UDF."""
-    from ..functions.distance import vec_lit
-
     if not 1 <= num_bits <= 63:
         raise ValueError("num_bits must be in [1, 63] (bit 63 is the sign)")
     v = F.col(vec_col).cast("array<double>")
-    sig = F.lit(0).cast("long")
-    for j, plane in enumerate(_srp_planes(num_bits, dim, seed)):
-        dot = F.aggregate(
-            F.zip_with(v, vec_lit(plane), lambda x, c: x * c),
+    # One nested array<array<double>> literal + three higher-order
+    # lambdas instead of num_bits separate (64-literal chain + fold)
+    # expressions: the per-plane chain form cost ~7.5s of DRIVER-side
+    # py4j construction per call (measured, OPTIMIZATION_r12.md) and
+    # bloated every consuming subtree's analysis. Arithmetic is
+    # bit-identical: per plane the same ascending zip_with/left-fold
+    # dot, and the OR-accumulation visits planes in the same ascending
+    # j via aggregate over transform output (1L << j as a shiftleft of
+    # the same ints).
+    from ..functions.distance import matrix_lit
+
+    planes = matrix_lit(_srp_planes(num_bits, dim, seed))
+    dots = F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(v, p, lambda x, c: x * c),
             F.lit(0.0),
             lambda acc, t: acc + t,
-        )
-        sig = sig.bitwiseOR(
-            F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
+        ),
+    )
+    powers = F.lit([1 << j for j in range(num_bits)]).cast("array<long>")
+    bits = F.zip_with(
+        dots,
+        powers,
+        lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)
+    )
 
 
 def embedding_srp_pairs(
@@ -934,6 +978,13 @@ def embedding_srp_pairs(
         F.col(vec_col).alias("__v"),
         srp_signature_expr(vec_col, num_bits, dim, seed).alias("sig"),
     )
+    if not df.isStreaming:
+        # scan-parallelism fix (see minhash_signatures): the 32-plane
+        # signature fold and the banded pair probing otherwise run on
+        # a single-row-group scan's ONE task (no-op at scale)
+        from ..sources import fan_out
+
+        sh = fan_out(sh)
     banded = sh.select(
         "id",
         "__v",
@@ -956,27 +1007,73 @@ def embedding_srp_pairs(
         banded, ["band", "key"], max_bucket, oversize, label="embedding_srp_pairs"
     )
     a = a_src.select(
-        F.col("id").alias("id1"), F.col("__v").alias("__v1"),
+        F.col("id").alias("id1"),
         F.col("sig").alias("__s1"), "band", "key",
     )
     b = b_src.select(
-        F.col("id").alias("id2"), F.col("__v").alias("__v2"),
+        F.col("id").alias("id2"),
         F.col("sig").alias("__s2"), "band", "key",
     )
-    from ..functions.distance import cosine_distance
+    from ..functions.distance import (
+        cosine_distance_prenormed,
+        l2_norm,
+    )
 
-    return (
+    # Candidate enumeration carries only (id, sig) — never the vectors
+    # (guide §2.3: shuffle keys/metadata, not payloads). The hamming
+    # filter runs BEFORE the pair distinct (hamming is a pure function
+    # of the two signatures, so filter and distinct commute; fewer rows
+    # deduped), and the vectors are re-attached to the surviving pairs
+    # by id joins. Result set identical: (sig, vec) are functions of
+    # id, so distinct on (id1, id2, hamming) ≡ the old distinct over
+    # the 6-tuple, and cos_dist is the same expression over the same
+    # vector values (norms hoisted per-row — see
+    # cosine_distance_prenormed).
+    #
+    # The explicit repartition pins the pair-distinct exchange at
+    # cluster parallelism: AQE's byte-based coalescing would otherwise
+    # fold the tiny (id, id, hamming) rows onto one task and serialize
+    # the per-pair interpreted cosine that follows (same failure mode
+    # as the ANN cogroup fix, OPTIMIZATION_r12.md). Partitioning by
+    # (id1, id2) — a subset of the distinct key — satisfies the
+    # aggregate's required distribution, so no extra exchange appears.
+    par = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "__s1", "__s2", "__v1", "__v2")
-        .distinct()  # a pair may share several bands
         .withColumn(
             "hamming",
             F.bit_count(F.col("__s1").bitwiseXOR(F.col("__s2"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+        .repartition(par, "id1", "id2")
+        .distinct()  # a pair may share several bands
+    )
+    v1 = sh.select(
+        F.col("id").alias("id1"),
+        F.col("__v").alias("__v1"),
+        l2_norm(F.col("__v")).alias("__n1"),
+    )
+    v2 = sh.select(
+        F.col("id").alias("id2"),
+        F.col("__v").alias("__v2"),
+        l2_norm(F.col("__v")).alias("__n2"),
+    )
+    return (
+        pairs.join(v1, "id1")
+        .join(v2, "id2")
         .withColumn(
-            "cos_dist", F.round(cosine_distance(F.col("__v1"), F.col("__v2")), 6)
+            "cos_dist",
+            F.round(
+                cosine_distance_prenormed(
+                    F.col("__v1"), F.col("__v2"), F.col("__n1"), F.col("__n2")
+                ),
+                6,
+            ),
         )
         .select("id1", "id2", "hamming", "cos_dist")
     )

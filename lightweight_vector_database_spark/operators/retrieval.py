@@ -298,18 +298,25 @@ def sq8_train(
     Only the 2 x dim quantizer parameters touch the driver — they are
     index METADATA, shipped into scoring expressions as literals
     (exactly how production SQ indexes store their trained ranges)."""
-    row = df.agg(
-        *[
-            F.min(F.element_at(F.col(vec_col), i).cast("double")).alias(f"lo_{i}")
-            for i in range(1, dim + 1)
-        ],
-        *[
-            F.max(F.element_at(F.col(vec_col), i).cast("double")).alias(f"hi_{i}")
-            for i in range(1, dim + 1)
-        ],
-    ).collect()[0]
-    lo = [float(row[f"lo_{i}"]) for i in range(1, dim + 1)]
-    hi = [float(row[f"hi_{i}"]) for i in range(1, dim + 1)]
+    # one posexplode + groupBy(dim) pass instead of 2 x dim separate
+    # agg expressions: the wide-agg form cost ~2s of driver-side
+    # expression construction (128 aliased columns) for the same exact
+    # per-dimension min/max values
+    rows = (
+        df.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "__i", "__x"
+            )
+        )
+        .groupBy("__i")
+        .agg(F.min("__x").alias("__lo"), F.max("__x").alias("__hi"))
+        .collect()
+    )
+    if len(rows) != dim:
+        raise ValueError(f"expected {dim} dimensions, found {len(rows)}")
+    by_i = {int(r["__i"]): r for r in rows}
+    lo = [float(by_i[i]["__lo"]) for i in range(dim)]
+    hi = [float(by_i[i]["__hi"]) for i in range(dim)]
     return lo, hi
 
 
@@ -341,10 +348,14 @@ def sq8_rerank(
         # a zero-width range would divide by zero in the code map;
         # constant dimensions must be dropped before quantization
         raise ValueError("every quantizer range must have hi > lo")
+    from ..functions.distance import vec_lit
+
+    # one F.expr literal per array instead of 3 x dim F.lit py4j round
+    # trips (same values — see vec_lit's bit-exactness note)
     v = F.col(vec_col)
-    lo_a = F.array(*[F.lit(float(x)) for x in lo])
-    hi_a = F.array(*[F.lit(float(x)) for x in hi])
-    p_a = F.array(*[F.lit(x) for x in probe])
+    lo_a = vec_lit(lo)
+    hi_a = vec_lit(hi)
+    p_a = vec_lit(probe)
 
     def recon(i: Column) -> Column:
         x = F.element_at(v, i).cast("double")

@@ -62,6 +62,15 @@ def semantic_pairs(
     assigned = ivf_assign(df, centroids, vec_col=vec_col).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "cell"
     )
+    if not df.isStreaming:
+        # scan-parallelism fix (see dedup.minhash_signatures): the pair
+        # join below broadcasts one side, so the streamed side — which
+        # carries the interpreted argmin-assignment fold AND the
+        # per-pair dot scoring — otherwise inherits a single-row-group
+        # scan's ONE task (no-op at real scale)
+        from ..sources import fan_out
+
+        assigned = fan_out(assigned)
     if max_cluster is not None:
         sizes = assigned.groupBy("cell").count()
         big = sizes.filter(F.col("count") > max_cluster)
@@ -73,20 +82,32 @@ def semantic_pairs(
             )
             over = [r[0] for r in dropped]
             assigned = assigned.filter(~F.col("cell").isin(over))
+    # L2 norms hoisted to a per-ROW projection below the pair join:
+    # one interpreted fold per vector instead of two per PAIR.
+    # Bit-identical — the norm is the same sqrt(fold) over the same
+    # doubles, and the final dot/(na*nb) is the same expression tree.
+    vv = _as_double(F.col("__v"))
+    assigned = assigned.withColumn(
+        "__n", F.sqrt(_fold_sum(F.zip_with(vv, vv, lambda x, y: x * y)))
+    )
     a = assigned.select(
-        "cell", F.col("__id").alias("id1"), F.col("__v").alias("__v1")
+        "cell",
+        F.col("__id").alias("id1"),
+        F.col("__v").alias("__v1"),
+        F.col("__n").alias("__n1"),
     )
     b = assigned.select(
-        "cell", F.col("__id").alias("id2"), F.col("__v").alias("__v2")
+        "cell",
+        F.col("__id").alias("id2"),
+        F.col("__v").alias("__v2"),
+        F.col("__n").alias("__n2"),
     )
     # cos similarity spelled as dot/(|a||b|) DIRECTLY (not 1 - cos_dist:
     # 1-(1-x) != x in floats, and the DuckDB oracle must replay the
     # identical arithmetic). Left folds match list_sum accumulation.
     v1, v2 = _as_double(F.col("__v1")), _as_double(F.col("__v2"))
     num = _fold_sum(F.zip_with(v1, v2, lambda x, y: x * y))
-    na = F.sqrt(_fold_sum(F.zip_with(v1, v1, lambda x, y: x * y)))
-    nb = F.sqrt(_fold_sum(F.zip_with(v2, v2, lambda x, y: x * y)))
-    sim = num / (na * nb)
+    sim = num / (F.col("__n1") * F.col("__n2"))
     return (
         a.join(b, "cell")
         .filter(F.col("id1") < F.col("id2"))
