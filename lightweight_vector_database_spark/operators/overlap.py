@@ -40,6 +40,14 @@ def group_minhash_signatures(
     ``ngram``-shingles of md5(p || ':' || shingle)."""
     if n_perms < 1:
         raise ValueError("n_perms must be >= 1")
+    if not docs.isStreaming:
+        # scan-parallelism fix (see dedup.minhash_signatures): the
+        # n-gram shingle explode and the n_perms-way hash expansion
+        # otherwise run on a single-row-group scan's ONE task (no-op
+        # at any real corpus scale)
+        from ..sources import fan_out
+
+        docs = fan_out(docs)
     grams = (
         docs.select(
             group_col, F.explode(T.word_ngrams(text_col, ngram)).alias("g")

@@ -238,9 +238,18 @@ def knn_join_bulk(
 
     from ..caching import register_cache
 
+    probe_src = probes.select(probe_id_col, probe_vec_col)
+    if not probes.isStreaming:
+        # scan-parallelism fix (see sources.fan_out): a probe pipeline
+        # rooted at a single-row-group scan reaches this mapInPandas as
+        # ONE partition, so the whole numpy bounds derivation — the
+        # most CPU-heavy pass of the bulk path — runs on one task.
+        # No-op at any real probe-table scale.
+        from ..sources import fan_out
+
+        probe_src = fan_out(probe_src)
     cand = register_cache(
-        probes.select(probe_id_col, probe_vec_col)
-        .mapInPandas(derive, cand_schema)
+        probe_src.mapInPandas(derive, cand_schema)
         .persist(StorageLevel.DISK_ONLY)
     )
 
