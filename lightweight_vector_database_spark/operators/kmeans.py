@@ -50,7 +50,11 @@ def assign_clusters(
     v = F.col(vec_col)
 
     def dist_to(c: list[float]) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in c])
+        # one F.expr literal instead of a dim-element F.lit chain
+        # (bit-identical values; see functions/distance.vec_lit)
+        from ..functions.distance import vec_lit
+
+        arr = vec_lit(c)
         return F.aggregate(
             F.sequence(F.lit(1), F.lit(len(c))),
             F.lit(0.0),
@@ -84,6 +88,10 @@ def kmeans_fixed(
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
     emb = df.select(id_col, vec_col)
+    # NOTE (r12): fan_out(emb) was measured here and REVERTED — the
+    # per-iteration round-robin shuffle of the vectors cost what the
+    # spread k x dim assignment fold saved at this k (interleaved A/B
+    # medians 6.7s vs 6.7-8.3s; OPTIMIZATION_r12.md).
 
     init_rows = emb.orderBy(F.col(id_col).asc()).limit(k).collect()
     if len(init_rows) < k:
