@@ -312,8 +312,12 @@ def test_cell_snapshot_recovers_from_crash_leftovers(spark, tmp_path, monkeypatc
 def test_adaptive_scan_counts_unchanged(spark, clustered):
     """The escalation signals are computed INSIDE the existing
     assignment pass (O(cells) arrays from the broadcast, no extra job):
-    the probe table is still scanned exactly twice — assignment +
-    re-rank join (the r8 pin, adaptive variant)."""
+    the probe table is scanned exactly ONCE — the r12 single-scan
+    re-rank (probe vectors deduplicated out of the persisted
+    assignment instead of re-reading the probe pipeline) applies to
+    the adaptive plain-euclidean path too, so the r8 "assignment +
+    re-rank = 2 scans" pin tightened to 1 (same re-pin as
+    test_ann_join.test_candidate_derivation_runs_once)."""
     df, cents, books, codes, probes = clustered
     p = probes.filter(F.col("probe_id") < 150)
     n = p.count()
@@ -332,9 +336,9 @@ def test_adaptive_scan_counts_unchanged(spark, clustered):
         refine=2, pred=F.col("vec_id") % 2 == 0, adaptive=True,
     )
     assert out.count() == n * 5
-    assert acc.value == 2 * n, (
-        f"probe table scanned {acc.value / n:.1f}x (expected 2x) — "
-        "adaptive escalation added a probe-table pass"
+    assert acc.value == n, (
+        f"probe table scanned {acc.value / n:.1f}x (expected 1x) — "
+        "an extra probe-table pass crept into the adaptive path"
     )
     from lightweight_vector_database_spark.caching import unpersist_caches
 
