@@ -238,18 +238,16 @@ def knn_join_bulk(
 
     from ..caching import register_cache
 
-    probe_src = probes.select(probe_id_col, probe_vec_col)
-    if not probes.isStreaming:
-        # scan-parallelism fix (see sources.fan_out): a probe pipeline
-        # rooted at a single-row-group scan reaches this mapInPandas as
-        # ONE partition, so the whole numpy bounds derivation — the
-        # most CPU-heavy pass of the bulk path — runs on one task.
-        # No-op at any real probe-table scale.
-        from ..sources import fan_out
-
-        probe_src = fan_out(probe_src)
+    # NOTE (r12): fan_out(probes) ahead of the derive mapInPandas was
+    # measured and REVERTED — interleaved A/B showed the bench's
+    # DEFAULT-routing bulk_1e4 row consistently ~40% slower with it
+    # (12.3-14.3s vs 7.3-9.3s job-sum, 3/3 pairs) and no reliable win
+    # on the pinned-matmul registered query; the one-shot 77s sweep
+    # row that motivated it was dominated by first-run snapshot builds
+    # (OPTIMIZATION_r12.md).
     cand = register_cache(
-        probe_src.mapInPandas(derive, cand_schema)
+        probes.select(probe_id_col, probe_vec_col)
+        .mapInPandas(derive, cand_schema)
         .persist(StorageLevel.DISK_ONLY)
     )
 
