@@ -37,8 +37,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .knn import knn
-from .retrieval import hamming_rerank, sq8_rerank, sq8_train
+from ..functions.distance import metric_expr
+from .retrieval import sq8_train
 
 # preference order: cheapest candidate scan first (packed words are
 # 16x smaller than float32 vectors; SQ8 codes 4x). The IVF-PQ tier
@@ -68,6 +68,73 @@ def seeded_probe_rows(
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
+def _probe_table(spark, probes: list[tuple[int, list[float]]], dim: int):
+    """The probe sample as a small broadcastable DataFrame
+    (__pid long, __pv array<double>, __pw0/__pw1 packed sign words).
+    The packed words replay hamming_rerank's driver-side probe packing
+    verbatim; unused columns are pruned by Catalyst per tier."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    half = dim // 2
+    rows = []
+    for pid, vec in probes:
+        vec = [float(x) for x in vec]
+        p0 = sum(1 << i for i in range(half) if vec[i] > 0)
+        p1 = sum(1 << i for i in range(half) if vec[half + i] > 0)
+        rows.append((int(pid), vec, p0, p1))
+    schema = StructType(
+        [
+            StructField("__pid", LongType(), False),
+            StructField("__pv", ArrayType(DoubleType(), False), False),
+            StructField("__pw0", LongType(), False),
+            StructField("__pw1", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _topk_per_probe(
+    scored: DataFrame,
+    score_col: str,
+    n: int,
+    id_col: str,
+    n_local_groups: int = 1,
+) -> DataFrame:
+    """Per-probe top-``n`` of ``scored`` under the (score asc, id asc)
+    total order — the windowed equivalent of each per-probe
+    TakeOrderedAndProject (identical selected sets: the order is total,
+    so row_number <= n picks exactly the subplan's rows).
+
+    ``n_local_groups`` > 1 splits the window into a local pass keyed by
+    a deterministic hash group before the global per-probe pass (guide
+    §2.5: a probe-count-only key space would put the whole base on
+    n_probes tasks at scale; the local pass spreads the sort across the
+    cluster and the global pass sees only n_groups x n survivors).
+    """
+    from pyspark.sql import Window
+
+    if n_local_groups > 1:
+        grp = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_local_groups))
+        w1 = Window.partitionBy(F.col("__pid"), grp).orderBy(
+            F.col(score_col).asc(), F.col(id_col).asc()
+        )
+        scored = scored.withColumn(
+            "__rn_local", F.row_number().over(w1)
+        ).filter(F.col("__rn_local") <= n)
+    w2 = Window.partitionBy("__pid").orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("__rn", F.row_number().over(w2)).filter(
+        F.col("__rn") <= n
+    )
+
+
 def _topk_union(
     df: DataFrame,
     probes: list[tuple[int, list[float]]],
@@ -81,42 +148,200 @@ def _topk_union(
     dim: int,
     ivfpq: tuple | None = None,
 ) -> DataFrame:
-    """(probe_id, vec_id) of each probe's top-k under ``tier`` — one
-    lazy union of per-probe TakeOrdered subplans (a single job).
+    """(probe_id, vec_id) of each probe's top-k under ``tier`` — ONE
+    batched plan whose size is independent of the probe count (the
+    per-probe union form cost O(probes x tiers) driver-side subplan
+    construction, ~16s at 8 probes x 4 tiers): the probes ship as a
+    broadcast table and each per-probe TakeOrdered becomes a
+    row_number window over the identical (score asc, id asc) total
+    order, so the selected sets are exactly the per-probe subplans'
+    (the DuckDB oracle replays this same probes-cross-join + window
+    form). All scoring arithmetic is the same expression tree as the
+    single-probe operators with the probe literal replaced by the
+    probe column — identical folds over identical doubles.
+
     ``ivfpq`` = (encoded codes DataFrame, centroids, codebooks,
     nprobe) for the ivfpq tier."""
-    from .similarity import ivfpq_search
+    from .retrieval import binary_quantize
 
-    parts = []
-    for pid, vec in probes:
-        if tier == "exact":
-            top = knn(df, vec, k, vec_col=vec_col, id_col=id_col)
-        elif tier == "hamming":
-            top = hamming_rerank(
-                df, vec, k, candidates, vec_col=vec_col, id_col=id_col,
-                dim=dim,
-            )
-        elif tier == "sq8":
-            top = sq8_rerank(
-                df, vec, k, candidates, lo, hi, vec_col=vec_col,
-                id_col=id_col,
-            )
-        elif tier == "ivfpq":
-            encoded, cents, books, nprobe = ivfpq
-            top = ivfpq_search(
-                encoded, cents, books, vec, k=k, nprobe=nprobe,
-                refine=max(1, candidates // k), vec_col=vec_col,
-                id_col=id_col, raw=df.select(id_col, vec_col),
-            )
-        else:
-            raise KeyError(tier)
-        parts.append(
-            top.select(
-                F.lit(pid).cast("long").alias("probe_id"),
-                F.col(id_col).alias("__nn"),
-            )
+    spark = df.sparkSession
+    pdf = F.broadcast(_probe_table(spark, probes, dim))
+    par = spark.sparkContext.defaultParallelism
+    # enough local groups that probes x groups covers the cluster;
+    # scale-adaptive (follows defaultParallelism), never a constant
+    n_groups = max(1, -(-4 * par // max(1, len(probes))))
+    pv = F.col("__pv")
+
+    if tier == "exact":
+        # dimension guard as in knn(): zip_with null-pads mismatched
+        # arrays, which would sort nulls FIRST — fail loudly instead
+        guard = F.assert_true(
+            F.size(F.col(vec_col)) == F.size(pv),
+            F.concat(
+                F.lit("probe dim != vector dim "),
+                F.size(F.col(vec_col)).cast("string"),
+            ),
         )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+        dist = metric_expr("euclidean_sq", vec_col, pv)
+        scored = (
+            df.select(id_col, vec_col)
+            .crossJoin(pdf)
+            .withColumn("__d", F.when(guard.isNull(), dist))
+        )
+        out = _topk_per_probe(scored, "__d", k, id_col, n_groups)
+    elif tier == "hamming":
+        packed = binary_quantize(
+            df.select(id_col, vec_col), vec_col=vec_col, dim=dim
+        )
+        ham = (
+            F.bit_count(F.col("w0").bitwiseXOR(F.col("__pw0")))
+            + F.bit_count(F.col("w1").bitwiseXOR(F.col("__pw1")))
+        ).cast("long")
+        cand = _topk_per_probe(
+            packed.crossJoin(pdf).withColumn("__h", ham),
+            "__h",
+            candidates,
+            id_col,
+            n_groups,
+        ).drop("__rn", "__rn_local")
+        dist = metric_expr("euclidean_sq", vec_col, pv)
+        out = _topk_per_probe(cand.withColumn("__d", dist), "__d", k, id_col)
+    elif tier == "sq8":
+        # same quantize -> dequantize -> distance fold as sq8_rerank,
+        # probe literal -> probe column
+        if not (len(lo) == len(hi) == dim):
+            raise ValueError("lo/hi/probe dims differ")
+        if any(h <= l for l, h in zip(lo, hi)):
+            raise ValueError("every quantizer range must have hi > lo")
+        from ..functions.distance import vec_lit
+
+        v = F.col(vec_col)
+        lo_a = vec_lit([float(x) for x in lo])
+        hi_a = vec_lit([float(x) for x in hi])
+
+        def recon(i):
+            x = F.element_at(v, i).cast("double")
+            l, h = F.element_at(lo_a, i), F.element_at(hi_a, i)
+            code = F.least(
+                F.greatest(
+                    F.floor((x - l) / (h - l) * F.lit(255.0)), F.lit(0)
+                ),
+                F.lit(255),
+            )
+            return l + (code + F.lit(0.5)) * (h - l) / F.lit(256.0)
+
+        adist = F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (recon(i) - F.element_at(pv, i))
+            * (recon(i) - F.element_at(pv, i)),
+        )
+        cand = _topk_per_probe(
+            df.select(id_col, vec_col)
+            .crossJoin(pdf)
+            .withColumn("__a", adist),
+            "__a",
+            candidates,
+            id_col,
+            n_groups,
+        ).drop("__rn", "__rn_local")
+        dist = metric_expr("euclidean_sq", vec_col, pv)
+        out = _topk_per_probe(cand.withColumn("__d", dist), "__d", k, id_col)
+    elif tier == "ivfpq":
+        out = _ivfpq_topk_batched(
+            df, probes, pdf, k, max(1, candidates // k), vec_col, id_col,
+            ivfpq, n_groups,
+        )
+    else:
+        raise KeyError(tier)
+    return out.select(
+        F.col("__pid").cast("long").alias("probe_id"),
+        F.col(id_col).alias("__nn"),
+    )
+
+
+def _ivfpq_topk_batched(
+    df: DataFrame,
+    probes: list[tuple[int, list[float]]],
+    pdf,
+    k: int,
+    refine: int,
+    vec_col: str,
+    id_col: str,
+    ivfpq: tuple,
+    n_groups: int,
+) -> DataFrame:
+    """Batched ivfpq_search over the probe sample: the per-(probe,
+    cell) residual LUTs — the exact same numpy values ivfpq_search
+    bakes into per-probe CASE literals — ship as a small broadcast
+    table joined on ``cell``, and the ADC sum is the same ascending
+    left fold from 0.0 (F.aggregate over 1..m), so every candidate
+    scores identically; top-k*refine and the exact re-rank use the
+    same (score asc, id asc) total order as ivfpq_search."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    encoded, centroids, codebooks, nprobe = ivfpq
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    lut_rows = []
+    all_cells: set[int] = set()
+    for pid, vec in probes:
+        p = np.asarray([float(x) for x in vec], dtype=np.float64)
+        order = np.argsort(((cents - p) ** 2).sum(axis=1))
+        for cell in (int(c) for c in order[:nprobe]):
+            r = p - cents[cell]
+            lut = [
+                ((books[j] - r[j * dsub : (j + 1) * dsub][None, :]) ** 2)
+                .sum(axis=1)
+                .tolist()
+                for j in range(m)
+            ]
+            lut_rows.append((int(pid), int(cell), lut))
+            all_cells.add(cell)
+    lschema = StructType(
+        [
+            StructField("__pid", LongType(), False),
+            StructField("__cell", IntegerType(), False),
+            StructField(
+                "__lut", ArrayType(ArrayType(DoubleType(), False), False),
+                False,
+            ),
+        ]
+    )
+    ldf = F.broadcast(encoded.sparkSession.createDataFrame(lut_rows, lschema))
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(m))),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("__lut"), j),
+            F.element_at(F.col("pq_code"), j) + 1,
+        ),
+    )
+    scored = (
+        encoded.filter(F.col("cell").isin(sorted(all_cells)))
+        .select(id_col, "cell", "pq_code")
+        .join(ldf, F.col("cell").cast("int") == F.col("__cell"))
+        .withColumn("__adc", adc)
+    )
+    cand = _topk_per_probe(
+        scored, "__adc", k * refine, id_col, n_groups
+    ).select("__pid", id_col)
+    raw = df.select(id_col, vec_col)
+    cand = F.broadcast(cand).join(raw, id_col).join(pdf, "__pid")
+    dist = metric_expr("euclidean_sq", vec_col, F.col("__pv"))
+    return _topk_per_probe(cand.withColumn("__d", dist), "__d", k, id_col)
 
 
 def tier_report(

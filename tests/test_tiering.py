@@ -659,3 +659,65 @@ def test_fcos_adaptive_fixture_serving_point():
         pt["esc_nprobe"],
         pt["esc_refine"],
     )
+
+
+def test_batched_topk_union_equals_per_probe_operators(spark, sf_dir):
+    """r13 optimization pin: _topk_union was rewritten from one
+    TakeOrdered subplan per (probe x tier) to ONE batched broadcast-
+    probes + window plan per tier. The selected (probe_id, vec_id)
+    sets must be EXACTLY the single-probe operators' — same scoring
+    arithmetic, same (score asc, id asc) total order — for every tier,
+    including the exact ground truth."""
+    from lightweight_vector_database_spark.operators.knn import knn
+    from lightweight_vector_database_spark.operators.retrieval import (
+        hamming_rerank,
+        sq8_rerank,
+        sq8_train,
+    )
+    from lightweight_vector_database_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_search,
+        train_ivfpq,
+    )
+    from lightweight_vector_database_spark.operators.tiering import (
+        _topk_union,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, cand, n_probes = 5, 20, 3
+    probes = seeded_probe_rows(emb, n_probes)
+    lo, hi = sq8_train(emb, dim=DIM)
+    cents, books = train_ivfpq(
+        emb, n_centroids=4, m=8, ksub=16, iters=2,
+        sample_rows=512, sample_id_col="vec_id",
+    )
+    codes = ivfpq_encode(emb, cents, books).select("vec_id", "cell", "pq_code")
+    ivfpq = (codes, cents, books, 2)
+
+    def reference(tier):
+        got = set()
+        for pid, vec in probes:
+            if tier == "exact":
+                top = knn(emb, vec, k)
+            elif tier == "hamming":
+                top = hamming_rerank(emb, vec, k, cand, dim=DIM)
+            elif tier == "sq8":
+                top = sq8_rerank(emb, vec, k, cand, lo, hi)
+            else:
+                top = ivfpq_search(
+                    codes, cents, books, vec, k=k, nprobe=2,
+                    refine=max(1, cand // k),
+                    raw=emb.select("vec_id", "embedding"),
+                )
+            got |= {(pid, int(r["vec_id"])) for r in top.collect()}
+        return got
+
+    for tier in ("exact", "hamming", "sq8", "ivfpq"):
+        batched = {
+            (int(r["probe_id"]), int(r["__nn"]))
+            for r in _topk_union(
+                emb, probes, tier, k, cand, lo, hi,
+                "embedding", "vec_id", DIM, ivfpq=ivfpq,
+            ).collect()
+        }
+        assert batched == reference(tier), tier
