@@ -21,8 +21,9 @@ Edges are kept oriented (larger id -> smaller id) between rounds:
 
 Both emit only (bigger, smaller) pairs, so orientation is an
 invariant and convergence can be detected by an edge-set fingerprint
-(count + xor of hashes — one cheap agg job per round), confirmed
-exactly with ``exceptAll`` before terminating.
+(count + xor of hashes — observed as accumulators riding the round's
+checkpoint job, zero extra jobs), confirmed exactly with
+``exceptAll`` before terminating.
 ``localCheckpoint`` truncates the growing lineage so round N doesn't
 replay rounds 1..N-1 (the classic iterative-Spark trap).
 
@@ -39,8 +40,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _fingerprint(e: DataFrame) -> tuple[int, int]:
-    """Cheap order-independent edge-set fingerprint: (count, xor(hash)).
+def _checkpoint_with_fingerprint(e: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """Eager localCheckpoint with the round's edge-set fingerprint
+    (count, xor(hash)) FUSED into the checkpoint job via observe():
+    the metrics ride the materialization pass as accumulators, so each
+    round runs ONE job instead of checkpoint + a separate fingerprint
+    agg (the per-round fixed cost dominates at small scale; at 100 TB
+    it still saves a full scan of the round's edges per round).
 
     XOR-fold instead of sum: order-independent like sum, but cannot
     overflow — Spark 4 runs ANSI mode by default, where summing raw
@@ -49,11 +55,16 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     A hash collision between consecutive rounds is guarded by the
     exact exceptAll confirmation in the convergence loop.
     """
-    row = e.agg(
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = e.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row.n), int(row.h)
+    ).localCheckpoint(eager=True)
+    got = obs.get
+    return out, (int(got["n"]), int(got["h"]))
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -113,7 +124,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     # orient (bigger -> smaller), drop self loops/dups
-    e = (
+    e, prev = _checkpoint_with_fingerprint(
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
             F.least(F.col(src), F.col(dst)).alias("b"),
@@ -124,14 +135,11 @@ def connected_components(
         # _large_star's no-self-loop invariant note)
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     converged = False
-    prev = _fingerprint(e)
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _fingerprint(new_e)
+        new_e, cur = _checkpoint_with_fingerprint(_small_star(_large_star(e)))
         # fingerprint match is a cheap pre-filter; confirm the fixpoint
         # EXACTLY (counts equal + one-sided containment => set equality)
         # so a hash collision can never terminate the loop early.

@@ -198,3 +198,35 @@ def test_bm25_filters_terms_before_shuffle(spark, sf_dir):
     for i in hits:
         assert "Generate explode" in lines[i + 1], lines[i : i + 2]
     assert "Python" not in plan
+
+
+def test_generate_filter_inference_stays_excluded(spark, sf_dir):
+    """session.py excludes InferFiltersFromGenerate session-wide: the
+    rule synthesizes `size(e) > 0 AND isnotnull(e)` from every
+    explode(e) with the generator expression INLINED into both
+    conjuncts — for the text operators e is the full n-gram/tokenize
+    HOF pipeline, so the most expensive expression in the query ran up
+    to twice more per row (OPTIMIZATION_r12.md measured bigram-LM
+    7.8s -> 2.4s from the exclusion). This pins the tradeoff so a
+    Spark upgrade or session refactor that silently re-enables the
+    rule fails a test instead of re-paying the double evaluation."""
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules", ""
+    )
+    # the observable plan shape: no inferred size(...) FILTER conjunct
+    # under the bigram/tfidf Generates (size( appears legitimately in
+    # the word_ngrams projection; the rule's signature is a Filter
+    # node whose predicate inlines it)
+    for name in ("text_bigram_perplexity", "tfidf_top_terms"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        offending = [
+            ln
+            for ln in plan.splitlines()
+            if "Filter" in ln and "size(" in ln
+        ]
+        assert not offending, (name, offending[:2])
