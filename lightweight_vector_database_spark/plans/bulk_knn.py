@@ -162,9 +162,17 @@ def knn_join_bulk(
         raise KeyError(metric)
 
     # ---- 1. distributed candidate derivation -------------------------
+    # candidates carry IDS AND BOUNDS ONLY (guide §2.3/§8: shuffle
+    # keys and metadata, not payloads): the old schema shipped a full
+    # probe-vector copy per (probe x cell x salt) row — built row by
+    # row in Python inside derive, serialized into the persist, and
+    # shuffled — ~dim x replication more candidate bytes than the ids
+    # for zero information (the vectors are a function of probe_id).
+    # Vectors re-attach to candidates by a single probe_id join from
+    # the once-persisted probe projection below, just before the
+    # cogroup exchange.
     cand_schema = (
-        f"{probe_id_col} long, {probe_vec_col} array<double>, "
-        "cell_id long, salt int, __kth_ub double"
+        f"{probe_id_col} long, cell_id long, salt int, __kth_ub double"
     )
 
     def derive(batches: Iterator) -> Iterator:
@@ -214,14 +222,12 @@ def knn_join_bulk(
                 salt_seq = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
                     starts, reps
                 )
-                P_list = P.tolist()
                 # yield per probe chunk: bounds the Arrow output batch
                 # (a whole input partition's candidates in one frame is
                 # an unbounded buffer at large probe counts)
                 yield pd.DataFrame(
                     {
                         probe_id_col: pids[lo : lo + derive_chunk][r_pi],
-                        probe_vec_col: [P_list[i] for i in r_pi],
                         "cell_id": cells[r_ci],
                         "salt": salt_seq.astype(np.int32),
                         "__kth_ub": kth[r_pi],
@@ -245,10 +251,18 @@ def knn_join_bulk(
     # on the pinned-matmul registered query; the one-shot 77s sweep
     # row that motivated it was dominated by first-run snapshot builds
     # (OPTIMIZATION_r12.md).
+    # the caller's probe pipeline executes ONCE: this narrow projection
+    # feeds the derivation, the futility count, the vector re-attach
+    # join and the redo anti-join (it was re-executed per consumer
+    # before — 3 scans pinned by test_bulk_derivation_runs_once, now 1).
+    # MEMORY_AND_DISK: bounded by n_probes x dim, spills gracefully.
+    pvecs = register_cache(
+        probes.select(probe_id_col, probe_vec_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     cand = register_cache(
-        probes.select(probe_id_col, probe_vec_col)
-        .mapInPandas(derive, cand_schema)
-        .persist(StorageLevel.DISK_ONLY)
+        pvecs.mapInPandas(derive, cand_schema).persist(StorageLevel.DISK_ONLY)
     )
 
     # ---- 2. base pruning + two-dimensional salting ---------------------
@@ -286,9 +300,11 @@ def knn_join_bulk(
     }
     if not cand_counts:
         # no candidates (empty probe table): answer everything by the
-        # exact brute join (itself empty for empty probes)
+        # exact brute join (itself empty for empty probes); pvecs (the
+        # cached probe projection) serves the fallback and is released
+        # by the shared registry
         cand.unpersist()
-        return knn_join(probes, assigned, k, metric=metric,
+        return knn_join(pvecs, assigned, k, metric=metric,
                         probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
                         vec_col=vec_col, id_col=id_col, strategy="partial",
                         **metric_kwargs)
@@ -301,15 +317,16 @@ def knn_join_bulk(
     # collected, O(cells)) expose this for metadata cost: if the mean
     # candidate set covers more than ``futility_ratio`` of the cells,
     # the distributed block-tiled brute join is strictly cheaper —
-    # route there. One probes.count() action prices the ratio.
-    n_probes = probes.count()
+    # route there. One count on the cached probe projection prices the
+    # ratio.
+    n_probes = pvecs.count()
     total_cand = sum(cand_counts.values())
     if n_probes and total_cand >= futility_ratio * n_probes * len(cells):
         from ..operators.knn import knn_join_blocks
 
         cand.unpersist()
         return knn_join_blocks(
-            probes, assigned, k, metric=metric, probe_id_col=probe_id_col,
+            pvecs, assigned, k, metric=metric, probe_id_col=probe_id_col,
             probe_vec_col=probe_vec_col, vec_col=vec_col, id_col=id_col,
             **metric_kwargs,
         )
@@ -352,6 +369,15 @@ def knn_join_bulk(
     cand = cand.join(cell_map.select("cell_id", "__nps"), "cell_id").withColumn(
         "psalt", F.pmod(F.hash(F.col(probe_id_col)), F.col("__nps")).cast("int")
     )
+    # re-attach the probe vectors to the id-only candidates just below
+    # the cogroup exchange: one equi-join on probe_id against the
+    # cached narrow projection (the planner broadcasts it when small;
+    # at large probe counts it becomes a shuffle join of ONE vector
+    # copy per probe instead of one per candidate row). Values are
+    # bit-identical to the old inlined copies: derive round-tripped the
+    # same array<double> through float64 (exact), and score() stacks
+    # either to float64.
+    cand = cand.join(pvecs, probe_id_col)
 
     # ---- 3. cogrouped matmul scoring ----------------------------------
     out_schema = f"{probe_id_col} long, {id_col} long, dist double, __kth_ub double"
@@ -447,7 +473,7 @@ def knn_join_bulk(
     out_cols = [probe_id_col, id_col, "dist", "rank"]
     good = validated.filter(ok).select(*out_cols)
     good_ids = validated.filter(ok).select(probe_id_col).distinct()
-    redo = probes.join(good_ids, probe_id_col, "left_anti")
+    redo = pvecs.join(good_ids, probe_id_col, "left_anti")
     exact = knn_join(
         redo, assigned, k, metric=metric, probe_id_col=probe_id_col,
         probe_vec_col=probe_vec_col, vec_col=vec_col, id_col=id_col,

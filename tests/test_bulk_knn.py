@@ -187,12 +187,12 @@ def test_bulk_skew_salting(spark):
 
 
 def test_bulk_derivation_runs_once(spark, fixture):
-    """VERDICT r8 item 4: the candidate-derivation mapInPandas output
-    is persisted across its consumers, so the probe table is scanned
-    exactly three times per job — derivation, the futility
-    probes.count(), and the redo anti-join. The unpersisted shape
-    re-executed the full bound-derivation pass inside the final job
-    (4 scans)."""
+    """VERDICT r8 item 4, tightened in r13: the probe pipeline now
+    feeds ONE persisted narrow projection that serves every consumer
+    (derivation, futility count, vector re-attach join, redo
+    anti-join), so the caller's probe table is scanned exactly ONCE
+    per job (was 3x when derivation/count/redo each re-executed it;
+    4x before the r8 derivation persist)."""
     emb, idx, assigned, stats, probes = fixture
     n = probes.count()
     acc = spark.sparkContext.accumulator(0)
@@ -209,10 +209,11 @@ def test_bulk_derivation_runs_once(spark, fixture):
         assigned, idx, cp, k=5, stats=stats, futility_ratio=1.01
     )
     assert out.count() == n * 5
-    assert acc.value == 3 * n, (
-        f"probe table scanned {acc.value / n:.1f}x (expected 3x: "
-        "derivation + futility count + redo anti-join) — the "
-        "derivation persist regressed"
+    assert acc.value == n, (
+        f"probe table scanned {acc.value / n:.1f}x (expected 1x: the "
+        "persisted probe projection serves derivation, futility "
+        "count, vector re-attach and redo) — the probe persist "
+        "regressed"
     )
     from lightweight_vector_database_spark.operators.dedup import (
         unpersist_caches,
