@@ -57,7 +57,7 @@ def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     merging per doc). The Gopher-style cut only needs monotonicity, and
     the overcount is engine-identical on both sides of the oracle; tune
     downstream thresholds against THIS definition, not a [0,1] range."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     aug = F.when(
         F.col("doc_id") % 7 == 0,
         F.concat(F.col("text"), F.repeat(F.lit(_REP_PHRASE), _REP_N)),
@@ -173,7 +173,7 @@ _MIN_HITS = 2
 
 
 def _bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(T.word_ngrams("text", _NGRAM_N))).alias("ng"),
@@ -296,7 +296,7 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same inverted-index shape as the jaccard pairs; at corpus scale
     the same formula runs on minhash-LSH candidates instead of all
     sharing pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     grams = docs.select(
         "doc_id", F.explode(F.array_distinct(T.word_ngrams("text", 3))).alias("ng")
     )
@@ -536,7 +536,7 @@ def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shareable byproduct — materialize the marked relation."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(T.word_ngrams("text", _NGRAM_N))).alias("ng"),
@@ -647,7 +647,7 @@ def _bloom_merged_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the oracle computes, making the merge path itself
     value-checked (and tests pin grouped == per-source-loop
     bit-identity)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     from ..operators.sketches import bloom_build_grouped, bloom_collapse
 
     grams = docs.select(
