@@ -781,6 +781,13 @@ def simhash_candidate_pairs(
         )
     width = 64 // bands
     sh = simhash64(df, id_col, text_col)
+    if not df.isStreaming:
+        # the banded self-join consumes sh on BOTH sides and Catalyst
+        # does no CSE across DataFrame reuse, so without the persist the
+        # interpreted 64-vote simhash fold executes twice per document
+        # (same rationale as the minhash signature cache below; freed
+        # via the shared registry)
+        sh = _register_cache(sh.persist())
     mask = (1 << width) - 1
     banded = sh.select(
         "id",
