@@ -607,20 +607,29 @@ GROUP BY 1, 2
 # at 100 TB the per-month aggregate is the only distributed work and
 # each recursive step joins against that 12-row result (broadcast).
 def _recursive_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import register_cache
+
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lvdb_orders_rec")
+    # materialize the per-month aggregate ONCE: inlined as a CTE, each
+    # of the 12 recursion steps re-evaluated the full orders aggregate
+    # (12 extra scans — measured 4.0s -> 2.0s at sf0.1 with identical
+    # values; the persist is registered in the shared cache registry)
+    rev = register_cache(
+        spark.sql("""
+SELECT month(o_orderdate) AS m,
+       sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS rev_cents
+FROM __lvdb_orders_rec WHERE year(o_orderdate) = 1995
+GROUP BY month(o_orderdate)
+""").persist()
+    )
+    rev.createOrReplaceTempView("__lvdb_rev_rec")
     return spark.sql("""
-WITH RECURSIVE rev AS (
-  SELECT month(o_orderdate) AS m,
-         sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS rev_cents
-  FROM __lvdb_orders_rec WHERE year(o_orderdate) = 1995
-  GROUP BY month(o_orderdate)
-),
-t(m, rev_cents, carry_cents) AS (
-  SELECT m, rev_cents, rev_cents FROM rev WHERE m = 1
+WITH RECURSIVE t(m, rev_cents, carry_cents) AS (
+  SELECT m, rev_cents, rev_cents FROM __lvdb_rev_rec WHERE m = 1
   UNION ALL
   SELECT t.m + 1, coalesce(r.rev_cents, CAST(0 AS BIGINT)),
          coalesce(r.rev_cents, CAST(0 AS BIGINT)) + t.carry_cents DIV 2
-  FROM t LEFT JOIN rev r ON r.m = t.m + 1
+  FROM t LEFT JOIN __lvdb_rev_rec r ON r.m = t.m + 1
   WHERE t.m < 12
 )
 SELECT CAST(m AS BIGINT) AS month, CAST(rev_cents AS BIGINT) AS rev_cents,
