@@ -114,24 +114,38 @@ def kmeans_fixed(
     assigned: DataFrame | None = None
     for _ in range(iters):
         assigned = assign_clusters(emb, cents, vec_col=vec_col)
-        sums = assigned.groupBy("j").agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            *[
-                F.sum(
-                    F.floor(
-                        F.element_at(F.col(vec_col), i).cast("double")
-                        * F.lit(1e6)
-                    ).cast("long")
-                ).alias(f"s_{i}")
-                for i in range(1, dim + 1)
-            ],
-        ).collect()
-        cents = sorted(
-            (
-                int(r["j"]),
-                [(r[f"s_{i}"] / 1e6) / r["n"] for i in range(1, dim + 1)],
+        # one posexplode + groupBy(j, dim) pass instead of dim aliased
+        # sum columns (the wide-agg form cost ~1s/round of driver-side
+        # expression construction + a dim-wide codegen agg for the same
+        # values — same rewrite as retrieval.sq8_train). Long addition
+        # is order-independent, so the per-(cluster, dimension) sums
+        # are EXACTLY the old per-column sums; the element cast is the
+        # identical float->double widening.
+        sums = (
+            assigned.select(
+                "j",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "__i", "__x"
+                ),
             )
-            for r in sums
+            .groupBy("j", "__i")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.floor(F.col("__x") * F.lit(1e6)).cast("long")
+                ).alias("s"),
+            )
+            .collect()
+        )
+        by_j: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_j.setdefault(int(r["j"]), {})[int(r["__i"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        cents = sorted(
+            (j, [(d[i][0] / 1e6) / d[i][1] for i in range(dim)])
+            for j, d in by_j.items()
         )
 
     norms = {
